@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs `graft.Verify` output (parquet per query + oracle_sql.json) against
+DuckDB over the same sf dir and reports per-query match status. Usage:
+
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+    python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = f"{out_dir}/{name}"
+        if not glob.glob(f"{res_dir}/*.parquet"):
+            print(f"FAIL  {name}: no spark output")
+            n_bad += 1
+            continue
+        try:
+            got = canon(con.execute(
+                f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf())
+            want = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL  {name}: {e}")
+            n_bad += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL  {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            n_bad += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL  {name}: rows {len(got)} vs {len(want)}")
+            n_bad += 1
+            continue
+        bad_cols = []
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                eq = np.isclose(a.astype(float), b.astype(float),
+                                rtol=0, atol=0, equal_nan=True)
+                exact = bool(eq.all())
+                close = bool(np.isclose(a.astype(float), b.astype(float),
+                                        rtol=1e-9, atol=1e-9, equal_nan=True).all())
+                if not exact:
+                    bad_cols.append((c, "float-exact" if close else "float-DIFF"))
+            else:
+                if not a.astype(str).equals(b.astype(str)):
+                    bad_cols.append((c, "value"))
+        if bad_cols:
+            print(f"FAIL  {name}: mismatched cols {bad_cols}")
+            for c, _ in bad_cols[:2]:
+                mask = got[c].astype(str) != want[c].astype(str)
+                print(got[mask].head(3))
+                print(want[mask].head(3))
+            n_bad += 1
+        else:
+            print(f"ok    {name} ({len(got)} rows)")
+            n_ok += 1
+    # queries without oracle -> rows-only
+    have_oracle = set(oracle)
+    for d in sorted(os.listdir(out_dir)):
+        if os.path.isdir(f"{out_dir}/{d}") and d not in have_oracle:
+            n = con.execute(f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
+            print(f"rows  {d}: {n} rows (no oracle)")
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-module query catalogs. Every key in [[queries]]
+  * with an entry in [[oracleSql]] is hash-compared against DuckDB on the
+  * same parquet tables at sf0.01; keys without an oracle get a weaker
+  * rows-only check (reserved for ops DuckDB cannot express, e.g.
+  * xxhash64-based MinHash).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Word count through the generic MapReduce core — the reference's
+    * signature workload (mrapps/wc.go) running scan → flatMap → shuffle →
+    * sorted streaming reduce, end to end.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("source", "text").as[(String, String)]
+    graft.mr.MapReduce
+      .run(spark, docs, apps.MrApps.wcMap, apps.MrApps.wcReduce, 8)
+      .toDF()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    apps.MrApps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    apps.MrApps.oracles
 }
