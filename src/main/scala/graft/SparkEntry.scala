@@ -28,11 +28,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    apps.MrApps.queries
+    apps.MrApps.queries ++ relational.RelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    apps.MrApps.oracles
+    apps.MrApps.oracles ++ relational.RelQueries.oracles
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.relational.RelQueries
+
+/** Sanity + physical-plan assertions for the relational catalog. The
+  * value-level correctness gate is the DuckDB oracle (check_oracle.py);
+  * these tests pin the *plans*: broadcasts stay broadcasts and scans
+  * stay pruned, so a 1000-executor run shuffles only what it must.
+  */
+class RelationalSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q5 joins all dimensions via BroadcastHashJoin (no dimension shuffle)") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ:\n" + p)
+  }
+
+  test("q1 scan prunes columns and pushes the shipdate filter") {
+    val q = SparkEntry.queries("q1_pricing")(spark, sf)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate filter not pushed to parquet:\n" + scan)
+    assert(!scan.contains("l_orderkey"), "unused column not pruned from scan")
+  }
+
+  test("topk window ranks deterministically (ties broken by orderkey)") {
+    val rows = SparkEntry.queries("topk_orders")(spark, sf).collect()
+    val perCust = rows.groupBy(_.getLong(0))
+    assert(perCust.values.forall(_.length <= 3))
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
+  }
+
+  test("sessionize session ids are monotone per user") {
+    val rows = SparkEntry.queries("sessionize")(spark, sf)
+      .orderBy("user_id", "event_id").collect()
+    rows.groupBy(_.getLong(1)).values.foreach { evs =>
+      val ids = evs.map(_.getLong(2))
+      assert(ids.head >= 1)
+      ids.sliding(2).foreach {
+        case Array(a, b) => assert(b == a || b == a + 1)
+        case _ =>
+      }
+    }
+  }
+
+  test("set ops have distinct-set semantics") {
+    val inter = SparkEntry.queries("set_intersect")(spark, sf).collect().map(_.getLong(0))
+    assert(inter.distinct.length == inter.length)
+  }
+
+  test("all registered queries return non-negative row counts at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}
