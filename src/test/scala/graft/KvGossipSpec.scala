@@ -1,0 +1,117 @@
+package graft
+
+import graft.gossip.{HealthMerge, HealthObs, HealthState}
+import graft.kv.{KVStore, KvOp}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Correctness of the KV CAS replay and the gossip health merge.
+  * Mirrors the reference's linearizability/porcupine strategy
+  * (SURVEY.md §5.8) with the deterministic-batch analog: the
+  * distributed replay must equal the sequential interpreter, and the
+  * merge must be a commutative monoid so any gossip delivery order
+  * converges (tests/test_gossip.go:9-58 analog). Property sampling uses
+  * raw ScalaCheck generators with fixed seeds (the scalatest bridge
+  * artifact is not in the offline cache).
+  */
+class KvGossipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // ---- KV ----
+
+  private val genOps: Gen[List[KvOp]] = for {
+    n <- Gen.choose(1, 60)
+    ops <- Gen.listOfN(n, for {
+      key <- Gen.oneOf("a", "b", "c")
+      value <- Gen.alphaStr.map(_.take(6))
+      attempt <- Gen.choose(0L, 5L)
+    } yield (key, value, attempt))
+  } yield ops.zipWithIndex.map { case ((k, v, a), i) => KvOp(k, v, a, i.toLong) }
+
+  test("distributed CAS replay == sequential interpreter (random op logs)") {
+    samples(genOps, 12).foreach { ops =>
+      val seqResult = ops.groupBy(_.key).map { case (k, kops) =>
+        k -> KVStore.replayKey(k, kops.sortBy(_.seq).iterator)
+      }
+      val distResult = KVStore.replay(spark, spark.createDataset(ops))
+        .as[graft.kv.KvCell].collect().map(c => c.key -> c).toMap
+      assert(distResult === seqResult)
+    }
+  }
+
+  test("CAS semantics: version-matched put succeeds, mismatched errors (srv/server.go:59-88)") {
+    val ops = List(
+      KvOp("k", "v1", 0, 0), // OK -> version 1
+      KvOp("k", "v2", 0, 1), // ErrVersion (version is 1)
+      KvOp("k", "v3", 1, 2), // OK -> version 2
+      KvOp("k", "v4", 5, 3)) // ErrVersion
+    val cell = KVStore.replayKey("k", ops.iterator)
+    assert(cell.value == "v3" && cell.version == 2 && cell.n_ok == 2 && cell.n_errversion == 2)
+  }
+
+  test("duplicate retried op yields ErrVersion (the ErrMaybe ambiguity, srv/client.go:67-91)") {
+    val ops = List(KvOp("k", "v1", 0, 0), KvOp("k", "v1", 0, 1))
+    val cell = KVStore.replayKey("k", ops.iterator)
+    assert(cell.version == 1 && cell.n_errversion == 1)
+  }
+
+  test("kv_cas_replay over events is deterministic across runs") {
+    val a = KVStore.casReplay(spark, sf).collect().toSet
+    val b = KVStore.casReplay(spark, sf).collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  // ---- Gossip ----
+
+  private val genObs: Gen[HealthObs] = for {
+    id <- Gen.choose(0L, 3L)
+    status <- Gen.oneOf(0, 1, 2)
+    susp <- Gen.choose(0L, 2L)
+    ts <- Gen.choose(0L, 1000L)
+  } yield HealthObs(id, status, susp, ts)
+
+  private def reduceAll(obs: List[HealthObs]): HealthState =
+    HealthMerge.aggregator.finish(
+      obs.foldLeft(HealthMerge.aggregator.zero)(HealthMerge.aggregator.reduce))
+
+  test("health merge is order-insensitive (commutative)") {
+    samples(Gen.listOf(genObs), 60).foreach { obs =>
+      assert(reduceAll(obs) === reduceAll(obs.reverse))
+      assert(reduceAll(obs) === reduceAll(scala.util.Random.shuffle(obs)))
+    }
+  }
+
+  test("health merge is associative across partition splits") {
+    samples(Gen.zip(Gen.listOf(genObs), Gen.choose(0, 10)), 60).foreach { case (obs, cut0) =>
+      val cut = if (obs.isEmpty) 0 else cut0 % (obs.length + 1)
+      val (l, r) = obs.splitAt(cut)
+      val split = HealthMerge.aggregator.finish(
+        HealthMerge.aggregator.merge(
+          l.foldLeft(HealthMerge.aggregator.zero)(HealthMerge.aggregator.reduce),
+          r.foldLeft(HealthMerge.aggregator.zero)(HealthMerge.aggregator.reduce)))
+      assert(split === reduceAll(obs))
+    }
+  }
+
+  test("status escalation is monotone; consensus C=3 forces Dead") {
+    samples(Gen.listOf(genObs), 60).foreach { obs =>
+      val st = reduceAll(obs)
+      if (obs.nonEmpty) assert(st.status >= obs.map(_.status).max)
+      if (obs.map(_.suspicion).sum >= HealthMerge.ConsensusC) assert(st.status == 2)
+    }
+  }
+
+  test("gossip_health query matches a local recompute at sf0.001") {
+    val got = HealthMerge.healthTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val obs = HealthMerge.obsFromEvents(spark, sf).collect()
+    val want = obs.groupBy(_.workerId).map { case (id, os) =>
+      val st = reduceAll(os.toList)
+      (id, st.status.toLong, st.suspicion)
+    }.toSet
+    assert(got === want)
+  }
+}
