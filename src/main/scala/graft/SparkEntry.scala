@@ -29,12 +29,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     apps.MrApps.queries ++ relational.RelQueries.queries ++
-      kv.KVStore.queries ++ gossip.HealthMerge.queries
+      kv.KVStore.queries ++ gossip.HealthMerge.queries ++
+      text.TextAnalysis.queries ++ text.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     apps.MrApps.oracles ++ relational.RelQueries.oracles ++
-      kv.KVStore.oracles ++ gossip.HealthMerge.oracles
+      kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
+      text.TextAnalysis.oracles ++ text.Dedup.oracles
 }

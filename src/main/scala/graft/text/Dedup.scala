@@ -1,0 +1,223 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication suite over the documents table — the core of any
+  * 100 TB training-data pipeline. Four tiers:
+  *
+  *   1. exact        — hash-groupBy on a normalized fingerprint
+  *   2. blocked      — exact n-gram Jaccard within cheap blocks
+  *   3. minhash LSH  — shingle → 64-perm signature → banded buckets
+  *   4. simhash      — 64-bit sign-hash, banded for hamming candidates
+  *
+  * Scale design: every tier avoids the quadratic cross-join. Exact dedup
+  * is ONE shuffle on the fingerprint. The pair-producing tiers shuffle on
+  * a block/band key and only join within buckets, with a hard bucket cap
+  * (`MaxBucket`) so one degenerate key cannot quadratically explode a
+  * task — the standard LSH trade (a >cap bucket means the docs are
+  * near-identical anyway; exact dedup catches them).
+  */
+object Dedup {
+
+  /** Buckets larger than this are dropped from pair generation. */
+  val MaxBucket = 50
+
+  /** Exact dedup: normalized-text sha256, keeper = min doc_id. */
+  def exact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .groupBy(sha2(TextAnalysis.normText($"text"), 256).as("fingerprint"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Blocked exact token-set Jaccard: block on (first token, length
+    * bucket), compare only within blocks. Fully DuckDB-expressible, so
+    * this tier is the oracle anchor for the sketch tiers above it.
+    */
+  def jaccardPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .select(
+        $"doc_id",
+        array_distinct($"t").as("dt"),
+        element_at($"t", 1).as("b1"),
+        floor(size($"t") / 10).cast("long").as("b2"))
+    val a = docs.select($"doc_id".as("doc_a"), $"dt".as("ta"), $"b1", $"b2")
+    val b = docs.select($"doc_id".as("doc_b"), $"dt".as("tb"), $"b1", $"b2")
+    a.join(b, Seq("b1", "b2"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("long"))
+      .withColumn("uni", size($"ta").cast("long") + size($"tb") - $"inter")
+      .select($"doc_a", $"doc_b", $"inter",
+        ($"inter".cast("double") / $"uni").as("jacc"))
+  }
+
+  // ---- MinHash LSH ----
+
+  val NumHashes = 64
+  val Bands = 16 // 16 bands x 4 rows
+  val Rows = NumHashes / Bands
+
+  /** Prime > 2^32 for the universal hash family ((a*h + b) mod P). The
+    * modulus is what makes each map a genuine permutation-like shuffle of
+    * hash order — a bare affine map is monotone and every "permutation"
+    * would share one argmin shingle. Constants are bounded (a < 2^30) and
+    * the base hash masked to 32 bits, so a*h+b < 2^62: no ANSI overflow.
+    */
+  val MinhashPrime = 4294967311L
+
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)(
+      ((rnd.nextInt(1 << 29).toLong << 1) | 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 3-token shingles of a token-array column. */
+  def shingles(t: Column): Column =
+    transform(
+      sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ", slice(t, i + 1, lit(3))))
+
+  /** doc_id + 64-long minhash signature. The shingle is hashed ONCE
+    * (xxhash64) and the 64 permutations are cheap affine maps over that
+    * long — O(shingles + 64·shingles) per doc, all codegen'd.
+    */
+  def signatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sigCols = perms.map { case (a, b) =>
+      array_min(transform(col("hs"),
+        h => (h.bitwiseAND(0xFFFFFFFFL) * a + b) % MinhashPrime))
+    }
+    Tables.documents(spark, d)
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .filter(size($"t") >= 3)
+      .withColumn("sh", array_distinct(shingles($"t")))
+      .withColumn("hs", transform($"sh", s => xxhash64(s)))
+      .select($"doc_id", array(sigCols: _*).as("sig"))
+  }
+
+  /** Candidate pairs via banded LSH + signature-estimated Jaccard.
+    * No DuckDB oracle (xxhash64 has no DuckDB equivalent); semantics are
+    * pinned by DedupSpec against exact Jaccard.
+    */
+  def minhashPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // Signatures are computed ONCE and carried through the band shuffle as
+    // (doc_id, sig) structs — no re-scan, no post-hoc join. The sig array
+    // rides the shuffle Bands times (~sig·16 per doc); at larger scale
+    // materialize `signatures` to a table and join it back instead.
+    val sigs = signatures(spark, d)
+    val bands = sigs.select(
+      struct($"doc_id", $"sig").as("ds"),
+      posexplode(transform(
+        sequence(lit(0), lit(Bands - 1)),
+        bnd => xxhash64(slice($"sig", bnd * Rows + 1, lit(Rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    bands
+      .groupBy($"band", $"band_hash")
+      .agg(collect_list($"ds").as("ds"))
+      .filter(size($"ds") > 1 && size($"ds") <= MaxBucket)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(filter(ds, (y, j) -> j > i), y -> named_struct(
+          |    'a', least(x.doc_id, y.doc_id),
+          |    'b', greatest(x.doc_id, y.doc_id),
+          |    'm', aggregate(zip_with(x.sig, y.sig,
+          |           (u, v) -> IF(u = v, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+          |         CAST(0 AS BIGINT), (acc, w) -> acc + w)))))""".stripMargin))
+        .as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"),
+        ($"p.m".cast("double") / NumHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit simhash over distinct tokens: bit b is the sign of the sum of
+    * ±1 contributions from each token's hash bit b.
+    */
+  def simhashCol(dt: Column): Column = {
+    val hs = transform(dt, t => xxhash64(t))
+    val bitCols = (0 until 64).map { b =>
+      val bal = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bal > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  def simhashDocs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .filter(size($"t") >= 1)
+      .select($"doc_id", simhashCol(array_distinct($"t")).as("simhash"))
+  }
+
+  /** Near-dup candidates: block on each of four 16-bit chunks (two docs
+    * within hamming<=? share a chunk by pigeonhole when distance < 4
+    * chunks differ), emit pairs with exact hamming distance.
+    */
+  /** Candidate threshold: pairs at hamming > this are noise on a corpus
+    * with a shared vocabulary.
+    */
+  val MaxHamming = 8
+
+  def simhashPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // Same bucketed-pairs shape as minhash: group by 16-bit chunk, cap the
+    // bucket, generate pairs inside the bucket — never a raw self-join
+    // (low-entropy chunks would otherwise explode quadratically).
+    val docs = simhashDocs(spark, d)
+    val chunked = docs.select(
+      struct($"doc_id", $"simhash").as("ds"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright($"simhash", c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    chunked
+      .groupBy($"chunk", $"chunk_val")
+      .agg(collect_list($"ds").as("ds"))
+      .filter(size($"ds") > 1 && size($"ds") <= MaxBucket)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(filter(ds, (y, j) -> j > i), y -> named_struct(
+          |    'a', least(x.doc_id, y.doc_id),
+          |    'b', greatest(x.doc_id, y.doc_id),
+          |    'h', bit_count(x.simhash ^ y.simhash)))))""".stripMargin))
+        .as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"),
+        $"p.h".cast("long").as("hamming"))
+      .filter($"hamming" <= MaxHamming)
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_jaccard_pairs" -> (jaccardPairs _),
+    "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_simhash_pairs" -> (simhashPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(t) AS dt, t[1] AS b1,
+        |         CAST(floor(len(t) / 10) AS BIGINT) AS b2
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |        FROM documents) x)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_filter(a.dt, x -> list_contains(b.dt, x))) AS BIGINT) AS inter,
+        |  CAST(len(list_filter(a.dt, x -> list_contains(b.dt, x))) AS DOUBLE) /
+        |    (len(a.dt) + len(b.dt) - len(list_filter(a.dt, x -> list_contains(b.dt, x)))) AS jacc
+        |FROM d a JOIN d b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.doc_id < b.doc_id""".stripMargin)
+}

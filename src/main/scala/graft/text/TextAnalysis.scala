@@ -1,0 +1,187 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token statistics, quality scoring, language ID, BPE-ish token
+  * counting, and document fingerprinting — all per-document narrow
+  * transforms (no shuffle at all except where a corpus-level aggregate is
+  * explicitly requested), so they scale linearly with input splits.
+  *
+  * Everything stays inside whole-stage codegen: tokenization and the
+  * per-doc reductions use Spark's higher-order array functions
+  * (`filter`/`transform`/`aggregate`), not UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped — same lambda shape as the
+    * DuckDB oracle's `list_filter(string_split_regex(...))`.
+    */
+  def toks(c: Column): Column = filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Per-document token statistics + type-token ratio. */
+  def textStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("t", toks($"text"))
+      .select(
+        $"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        size(array_distinct($"t")).cast("long").as("n_distinct"),
+        (size(array_distinct($"t")).cast("double") / size($"t")).as("ttr"),
+        length($"text").cast("long").as("n_chars"))
+  }
+
+  /** Deterministic en/de/fr/es stop-lists for the heuristic scorer. The
+    * non-English lists deliberately include corpus vocabulary so the
+    * prediction varies on the synthetic data; real profiles drop in the
+    * same shape.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "und", "data", "batch"),
+    "fr" -> Seq("le", "et", "stream", "query"),
+    "es" -> Seq("el", "y", "table", "row"))
+
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => words.map(x === _).reduce(_ || _))).cast("long")
+
+  /** N-gram/stopword language ID: count profile hits per language, pick
+    * the argmax with a fixed tie-break order (en > de > fr > es).
+    */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, d).withColumn("t", toks($"text"))
+    val withHits = LangProfiles.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"${lang}_hits", hits(col("t"), words))
+    }
+    withHits.select(
+      $"doc_id", $"en_hits", $"de_hits", $"fr_hits", $"es_hits",
+      when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" && $"en_hits" >= $"es_hits", "en")
+        .when($"de_hits" >= $"fr_hits" && $"de_hits" >= $"es_hits", "de")
+        .when($"fr_hits" >= $"es_hits", "fr")
+        .otherwise("es").as("pred_lang"))
+  }
+
+  /** Quality scoring: stopword ratio, mean token length, and a composite
+    * score — the classic cheap heuristics pre-filter before expensive
+    * pipeline stages.
+    */
+  def quality(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "to")
+    Tables.documents(spark, d)
+      .withColumn("t", toks($"text"))
+      .withColumn("n", size($"t").cast("long"))
+      .withColumn("stop_hits", hits($"t", stop))
+      .withColumn("chars", aggregate($"t", lit(0L), (acc, x) => acc + length(x).cast("long")))
+      .select(
+        $"doc_id",
+        $"n".as("n_tokens"),
+        $"stop_hits",
+        ($"stop_hits".cast("double") / $"n").as("stop_ratio"),
+        ($"chars".cast("double") / $"n").as("avg_wlen"),
+        (($"stop_hits".cast("double") / $"n") * 0.5 +
+          least($"chars".cast("double") / $"n" / lit(10.0), lit(1.0)) * 0.5).as("quality"))
+  }
+
+  /** GPT-2-flavored regex token counter (letters / digits / punctuation
+    * runs with optional leading space). RE2 (DuckDB) and the JVM regex
+    * engine agree on this subset: leftmost-first alternation, no
+    * backtracking constructs.
+    */
+  val BpePattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def tokenCount(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(
+      $"doc_id",
+      size(expr(s"regexp_extract_all(text, '${BpePattern.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("n_bpe"))
+  }
+
+  /** Rolling-normalized fingerprint: md5 of (lowercased, whitespace
+    * collapsed, trimmed) text — the cheap exact-dup key.
+    */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def fingerprint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(
+      $"doc_id",
+      md5(normText($"text")).as("fp"))
+  }
+
+  /** Corpus-level token totals (one shuffle-free global aggregate). */
+  def corpusStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("t", toks($"text"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"t").cast("long")).as("total_tokens"),
+        (sum(size($"t").cast("long")).cast("double") / count(lit(1))).as("avg_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_lang_id" -> (langId _),
+    "text_quality" -> (quality _),
+    "text_token_count" -> (tokenCount _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_corpus_stats" -> (corpusStats _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(t) AS n_tokens,
+        |  len(list_distinct(t)) AS n_distinct,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |      FROM documents) d""".stripMargin,
+    "text_lang_id" ->
+      """SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |       WHEN fr_hits >= es_hits THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM (SELECT doc_id,
+        |  len(list_filter(t, x -> x = 'the' OR x = 'a')) AS en_hits,
+        |  len(list_filter(t, x -> x = 'der' OR x = 'und' OR x = 'data' OR x = 'batch')) AS de_hits,
+        |  len(list_filter(t, x -> x = 'le' OR x = 'et' OR x = 'stream' OR x = 'query')) AS fr_hits,
+        |  len(list_filter(t, x -> x = 'el' OR x = 'y' OR x = 'table' OR x = 'row')) AS es_hits
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |        FROM documents) d) h""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n AS n_tokens, stop_hits,
+        |  CAST(stop_hits AS DOUBLE) / n AS stop_ratio,
+        |  CAST(chars AS DOUBLE) / n AS avg_wlen,
+        |  (CAST(stop_hits AS DOUBLE) / n) * 0.5 +
+        |    least(CAST(chars AS DOUBLE) / n / 10.0, 1.0) * 0.5 AS quality
+        |FROM (SELECT doc_id, len(t) AS n,
+        |  len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to')) AS stop_hits,
+        |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS chars
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |        FROM documents) d) q""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "text_corpus_stats" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(t)) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |      FROM documents) d""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.text.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the text-analysis and dedup operators. The oracled
+  * queries are value-checked by check_oracle.py; these tests pin the
+  * sketch tiers (minhash/simhash) that DuckDB cannot express.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsWithDup = {
+    // Append an exact duplicate and a near-duplicate of doc 0.
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = d.filter($"doc_id" === 0).collect().head.getString(1)
+    val near = {
+      val t = base.split(" ")
+      (t.take(t.length - 2) :+ "zzz").mkString(" ") // drop 2 tokens, add 1
+    }
+    d.union(Seq((100001L, base), (100002L, near)).toDF("doc_id", "text"))
+  }
+
+  test("minhash est_jaccard tracks exact jaccard (sketch error < 0.25)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdup")
+    docsWithDup
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashPairs(spark, tmp.toString)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the exact duplicate pair must be found with est ~1.0
+    assert(pairs.contains((0L, 100001L)), s"exact dup pair missing: ${pairs.keys}")
+    assert(pairs((0L, 100001L)) === 1.0)
+    // the near-duplicate should surface with high estimated similarity
+    assert(pairs.contains((0L, 100002L)) || pairs.contains((100001L, 100002L)),
+      "near-dup pair not surfaced by LSH")
+    // every surfaced estimate within sketch tolerance of exact jaccard
+    val toks = docsWithDup.withColumn("t", TextAnalysis.toks($"text"))
+      .select($"doc_id", array_distinct(Dedup.shingles($"t")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { case ((a, b), est) =>
+      val (sa, sb) = (toks(a), toks(b))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(est - exact) < 0.25, s"pair ($a,$b): est $est vs exact $exact")
+    }
+  }
+
+  test("simhash: identical docs collide, near-dup within small hamming") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftsim")
+    docsWithDup
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sims = Dedup.simhashDocs(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(100001L), "identical docs must have identical simhash")
+    val hamNear = java.lang.Long.bitCount(sims(0L) ^ sims(100002L))
+    assert(hamNear <= 16, s"near-dup hamming unexpectedly large: $hamNear")
+  }
+
+  test("dedup_exact groups exact duplicates under one fingerprint") {
+    val fp = Dedup.exact(spark, sf)
+    assert(fp.agg(sum($"n_dups")).head.getLong(0) ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("language ID picks en for stopword-rich text, fixed tie-break") {
+    val preds = TextAnalysis.langId(spark, sf).collect()
+    assert(preds.nonEmpty)
+    preds.foreach { r =>
+      val (en, de, fr, es) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val pred = r.getString(5)
+      val max = Seq(en, de, fr, es).max
+      assert(Seq("en", "de", "fr", "es").zip(Seq(en, de, fr, es))
+        .find(_._2 == max).map(_._1).contains(pred))
+    }
+  }
+
+  test("token stats: ttr in (0,1], bpe count >= whitespace token count") {
+    val st = TextAnalysis.textStats(spark, sf).collect()
+    st.foreach { r =>
+      val ttr = r.getDouble(3)
+      assert(ttr > 0 && ttr <= 1.0)
+    }
+    val joined = TextAnalysis.textStats(spark, sf).select($"doc_id", $"n_tokens")
+      .join(TextAnalysis.tokenCount(spark, sf), "doc_id").collect()
+    joined.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+  }
+}
