@@ -30,7 +30,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     apps.MrApps.queries ++ relational.RelQueries.queries ++
       kv.KVStore.queries ++ gossip.HealthMerge.queries ++
-      text.TextAnalysis.queries ++ text.Dedup.queries
+      text.TextAnalysis.queries ++ text.Dedup.queries ++
+      sim.Similarity.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     apps.MrApps.oracles ++ relational.RelQueries.oracles ++
       kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
-      text.TextAnalysis.oracles ++ text.Dedup.oracles
+      text.TextAnalysis.oracles ++ text.Dedup.oracles ++
+      sim.Similarity.oracles ++ multimodal.Multimodal.oracles
 }

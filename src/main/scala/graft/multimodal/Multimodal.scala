@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** A media file as it would sit in a multimodal training table: an
+  * opaque binary payload plus typed metadata columns.
+  */
+final case class MediaFile(doc_id: Long, content: Array[Byte], media_type: String)
+
+/** Output of the (stubbed) image decoder. */
+final case class ImageMeta(
+    doc_id: Long,
+    byte_len: Long,
+    width: Long,
+    height: Long,
+    format: String)
+
+/** One sampled frame of a (fake) video payload. */
+final case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns processed by partition-wise decoder functions.
+  *
+  * The decode itself is a clearly-marked DETERMINISTIC STUB (no media
+  * libraries in this container): metadata is derived arithmetically from
+  * the byte length, which is exactly what makes the Spark-side plumbing
+  * testable end-to-end — schema (binary + struct), partition-wise batch
+  * execution via `mapPartitions` (the Scala analog of `mapInPandas`:
+  * open-decoder-once-per-partition, stream rows through), and a DuckDB
+  * oracle over the same arithmetic. Swapping in a real decoder changes
+  * only the function body, not the pipeline shape.
+  *
+  * Scale notes: decode is a narrow per-partition pass — no shuffle. The
+  * binary payload never moves through a shuffle; only extracted metadata
+  * does. That is the property to preserve at 100 TB: decode early, ship
+  * features, never reshuffle raw media bytes.
+  */
+object Multimodal {
+
+  /** documents.text cast to binary plays the media payload. */
+  def mediaFiles(spark: SparkSession, d: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(
+        $"doc_id",
+        $"text".cast("binary").as("content"),
+        (when($"doc_id" % 2 === 0, "image").otherwise("video")).as("media_type"))
+      .as[MediaFile]
+  }
+
+  /** STUB image decoder: deterministic metadata from the payload bytes.
+    * A real implementation would parse the image header here.
+    */
+  def decodeImageStub(bytes: Array[Byte]): (Long, Long, String) = {
+    val n = bytes.length.toLong
+    val width = 64L + n % 640L
+    val height = 64L + (n / 7L) % 480L
+    val format = (n % 3L) match {
+      case 0L => "png"
+      case 1L => "jpeg"
+      case _ => "webp"
+    }
+    (width, height, format)
+  }
+
+  /** Partition-wise decode: one decoder "session" per partition, rows
+    * streamed through the iterator (never materialized per partition).
+    */
+  def decodeMeta(files: Dataset[MediaFile]): Dataset[ImageMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      // decoder init would happen here, once per partition
+      it.map { f =>
+        val (w, h, fmt) = decodeImageStub(f.content)
+        ImageMeta(f.doc_id, f.content.length.toLong, w, h, fmt)
+      }
+    }
+  }
+
+  val FrameSize = 128L
+  val FrameStep = 2L
+
+  /** STUB frame sampler: every FrameStep-th FrameSize-byte "frame". */
+  def sampleFrames(files: Dataset[MediaFile]): Dataset[Frame] = {
+    import files.sparkSession.implicits._
+    files.flatMap { f =>
+      val nFrames = f.content.length / FrameSize + 1
+      (0L until nFrames by FrameStep).map(i => Frame(f.doc_id, i, i * FrameSize))
+    }
+  }
+
+  def metaQuery(spark: SparkSession, d: String): DataFrame =
+    decodeMeta(mediaFiles(spark, d)).toDF()
+
+  def framesQuery(spark: SparkSession, d: String): DataFrame =
+    sampleFrames(mediaFiles(spark, d)).toDF()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> (metaQuery _),
+    "multimodal_frames" -> (framesQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
+        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 480 AS height,
+        |  CASE CAST(octet_length(encode(text)) AS BIGINT) % 3
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(f * 128 AS BIGINT) AS frame_off
+        |FROM (SELECT doc_id,
+        |        unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT) // 128 + 1, 2)) AS f
+        |      FROM documents) t""".stripMargin)
+}

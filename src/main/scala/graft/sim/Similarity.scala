@@ -1,0 +1,126 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embeddings table (64-dim float vectors).
+  *
+  * Two tiers:
+  *   - exact brute-force cosine top-k: the correctness baseline. The
+  *     query side is tiny and `broadcast()`; the candidate scan is ONE
+  *     narrow pass — at 100 TB this is the classic "score everything
+  *     against a small probe set" shape, embarrassingly parallel.
+  *   - random-hyperplane LSH ANN: the scale path. Candidates hash into
+  *     2^16 sign-buckets; probes only compare within their bucket. Same
+  *     bucketed-pairs discipline as Dedup (no raw cross join).
+  *
+  * Cross-engine determinism: similarities are rounded to 4 decimals
+  * BEFORE ranking and ties broken by vec_id, so rank order cannot depend
+  * on last-ulp FP differences between Spark's aggregate() and DuckDB's
+  * list_dot_product.
+  */
+object Similarity {
+
+  val K = 5
+  val NumQueries = 10 // probe set: vec_id < 10
+  // Multi-table LSH: L tables of k planes each. One 2^64-bucket table
+  // would isolate every vector; L smaller tables trade memory for recall
+  // (collision prob per table = (1 - theta/pi)^k, union over L tables).
+  // Tuned for the testdata regime (top-neighbor cosine ~0.35 => per-plane
+  // collision ~0.61): k=6, L=16 gives ~0.6 expected recall while probing
+  // ~20% of candidates per query.
+  val LshTables = 16
+  val PlanesPerTable = 6
+  val NumPlanes = LshTables * PlanesPerTable
+
+  /** dot(a, b) via zip_with + left-to-right aggregate (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def withVec(df: DataFrame): DataFrame =
+    df.withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Exact cosine top-K for each probe vector (DuckDB-oracled). */
+  def knnExact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    c.crossJoin(broadcast(q))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("sim", round(dot($"qv", $"cv") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= K)
+      .select($"query_id", $"neighbor_id", $"rk", $"sim")
+  }
+
+  /** Deterministic ±1 hyperplane matrix (seeded). */
+  private val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Per-table sign bucket of vector v under table t's planes. */
+  def lshBucket(v: Column, t: Int): Column =
+    (0 until PlanesPerTable).map { i =>
+      when(dot(v, typedlit(planes(t * PlanesPerTable + i))) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (table, bucket) membership rows for each vector. */
+  private def withBuckets(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("*"),
+      posexplode(array((0 until LshTables).map(t => lshBucket($"v", t)): _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** ANN top-K: probes compare only against candidates sharing a bucket
+    * in at least one of the L tables. Rows-only driver check;
+    * SimilaritySpec measures recall against knnExact.
+    */
+  def annLsh(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+    val q = withBuckets(e.filter($"vec_id" < NumQueries))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"), $"tbl", $"bucket")
+    val c = withBuckets(e)
+      .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"), $"tbl", $"bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"qv", $"cv", $"qnorm", $"cnorm")
+      .distinct() // a pair may collide in several tables
+      .withColumn("sim", round(dot($"qv", $"cv") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= K)
+      .select($"query_id", $"neighbor_id", $"rk", $"sim")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_knn" -> (knnExact _),
+    "embed_ann_lsh" -> (annLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "embed_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |        round(list_dot_product(qv, e.v) /
+        |              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))),
+        |              4) AS sim
+        |      FROM q, e WHERE e.vec_id <> query_id)
+        |SELECT query_id, neighbor_id, rk, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM s) t
+        |WHERE rk <= 5""".stripMargin)
+}

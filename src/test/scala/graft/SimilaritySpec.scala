@@ -1,0 +1,66 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity search + multimodal plumbing semantics. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact knn returns K ranked neighbors per probe, no self-match") {
+    val rows = Similarity.knnExact(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.foreach { case (q, ns) =>
+      assert(ns.length == Similarity.K)
+      assert(!ns.exists(_.getLong(1) == q), "self-match leaked")
+      val sims = ns.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sims.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("ANN recall@5 vs exact knn is usable (> 0.3 on clustered data)") {
+    val exact = Similarity.knnExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall > 0.3, s"ANN recall too low: $recall")
+    // every ANN hit must carry the same similarity the exact tier computes
+    val exactSim = Similarity.knnExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    Similarity.annLsh(spark, sf).collect().foreach { r =>
+      exactSim.get((r.getLong(0), r.getLong(1)))
+        .foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
+  test("knn plan broadcasts the probe side") {
+    val p = Similarity.knnExact(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("multimodal decode: binary payload round-trips byte length") {
+    val meta = Multimodal.metaQuery(spark, sf).collect()
+    val chars = Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    meta.foreach { r =>
+      // ASCII corpus: byte length == char length
+      assert(r.getLong(1) == chars(r.getLong(0)))
+      assert(r.getLong(2) >= 64 && r.getLong(2) < 704)
+      assert(Seq("png", "jpeg", "webp").contains(r.getString(4)))
+    }
+  }
+
+  test("frame sampler emits every 2nd frame with correct offsets") {
+    val frames = Multimodal.framesQuery(spark, sf).collect()
+    frames.foreach { r =>
+      assert(r.getLong(1) % Multimodal.FrameStep == 0)
+      assert(r.getLong(2) == r.getLong(1) * Multimodal.FrameSize)
+    }
+    assert(frames.map(_.getLong(0)).distinct.length ==
+      Tables.documents(spark, sf).count())
+  }
+}
