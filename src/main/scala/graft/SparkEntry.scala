@@ -31,7 +31,8 @@ object SparkEntry {
     apps.MrApps.queries ++ relational.RelQueries.queries ++
       kv.KVStore.queries ++ gossip.HealthMerge.queries ++
       text.TextAnalysis.queries ++ text.Dedup.queries ++
-      sim.Similarity.queries ++ multimodal.Multimodal.queries
+      sim.Similarity.queries ++ multimodal.Multimodal.queries ++
+      streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
     apps.MrApps.oracles ++ relational.RelQueries.oracles ++
       kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
       text.TextAnalysis.oracles ++ text.Dedup.oracles ++
-      sim.Similarity.oracles ++ multimodal.Multimodal.oracles
+      sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
+      streaming.EventStreams.oracles
 }

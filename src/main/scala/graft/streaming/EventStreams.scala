@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.kv.{KvCell, KvOp}
+
+/** Structured Streaming slice over the events table (SURVEY.md §2.3):
+  * watermarked tumbling/sliding windows and stateful per-key folds.
+  *
+  * Each streaming operator has a BATCH TWIN registered in
+  * SparkEntry.queries with a DuckDB oracle — the streaming variant must
+  * converge to the twin's result when the stream drains (checked by
+  * StreamingSpec with a memory sink), which is the Spark-native analog of
+  * the reference's "distributed output == sequential oracle" test
+  * (tests/test-mr.sh). The reference's coordinator checkpoint/failover
+  * (O11, mr/coordinator_tier.go:262-298) maps to `checkpointLocation`
+  * exactly-once recovery, also exercised in the spec.
+  */
+object EventStreams {
+
+  /** events.parquet schema as read with nanosAsLong: ts arrives as Long
+    * nanos and is converted to a microsecond timestamp, same as
+    * Tables.events.
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** @param dir a DIRECTORY of events parquet part-files (the streaming
+    *            file source rejects a bare file path; in production this
+    *            is the landing directory new files arrive into)
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  private def exactSumCents(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100, 0).cast("long")).cast("double") / 100
+
+  /** Tumbling 1h windows per event type (batch twin, oracled). */
+  def tumblingBatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(window($"ts", "1 hour").getField("start").as("w_start"), $"event_type")
+      .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+  }
+
+  /** Sliding 1h/30m windows per event type (batch twin, oracled). */
+  def slidingBatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(window($"ts", "1 hour", "30 minutes").getField("start").as("w_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+  }
+
+  /** Streaming variant of [[tumblingBatch]] with a 1h watermark. */
+  def tumblingStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").getField("start").as("w_start"), $"event_type")
+      .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+  }
+
+  /** Streaming CAS KV replay (O16 as a stateful stream): per-key state is
+    * the live KV cell, updated by each micro-batch's ops in seq order —
+    * `mapGroupsWithState` is the unbounded-stream form of
+    * KVStore.replay's batch fold.
+    */
+  def kvStream(events: DataFrame): Dataset[KvCell] = {
+    import events.sparkSession.implicits._
+    val ops = events.select(
+      (col("user_id") % 50).cast("string").as("key"),
+      col("event_id").cast("string").as("value"),
+      (col("event_id") % 4).as("attempt"),
+      col("event_id").as("seq")).as[KvOp]
+    ops.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KvOp], state: GroupState[KvCell]) =>
+          val prev = state.getOption.getOrElse(KvCell(key, "", 0L, 0L, 0L))
+          var (value, version, ok, errv) =
+            (prev.value, prev.version, prev.n_ok, prev.n_errversion)
+          // micro-batch iterators are unordered; seq order is the contract
+          it.toSeq.sortBy(_.seq).foreach { op =>
+            if (op.attempt == version) { value = op.value; version += 1; ok += 1 }
+            else errv += 1
+          }
+          val cell = KvCell(key, value, version, ok, errv)
+          state.update(cell)
+          cell
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling_1h" -> (tumblingBatch _),
+    "events_sliding_1h_30m" -> (slidingBatch _))
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling_1h" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding_1h_30m" ->
+      """SELECT w_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        |         event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |           - INTERVAL '30 minutes' AS w_start,
+        |         event_type, value FROM events) t
+        |GROUP BY w_start, event_type""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming == batch-twin convergence, stateful KV replay, and
+  * checkpoint exactly-once recovery (the Spark answer to the reference's
+  * coordinator checkpoint test, tests/test-mr.sh:283-330 +
+  * mr/backup_coordinator.go).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The streaming file source needs a directory; stage the events file
+    * into one (simulating a landing directory).
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftevents")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling agg (complete mode) == batch twin") {
+    val q = EventStreams.tumblingStream(EventStreams.readEventsStream(spark, eventsDir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = EventStreams.tumblingBatch(spark, sf).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful streaming KV replay == batch CAS replay") {
+    val q = EventStreams.kvStream(EventStreams.readEventsStream(spark, eventsDir))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("kv_out").start()
+    try {
+      q.processAllAvailable()
+      // last update per key is the final cell
+      val got = spark.table("kv_out").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val want = graft.kv.KVStore.casReplay(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("checkpointed file sink is exactly-once across restart (O11 analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftck")
+    val out = s"$dir/out"
+    val ck = s"$dir/ck"
+    def run(): Unit = {
+      val q = EventStreams.readEventsStream(spark, eventsDir)
+        .select($"event_id", $"event_type")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ck)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    run() // restart from checkpoint: nothing new to process
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 == Tables.events(spark, sf).count())
+    assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
+  }
+}
