@@ -231,7 +231,65 @@ object RelQueries {
         approx_count_distinct($"l_orderkey").as("approx_orders"))
   }
 
+  /** As-of join by composition (SURVEY §2.3 joins row): for each purchase
+    * event, the most recent prior-or-same click by the same user — a
+    * running conditional max over the event stream, no join at all (the
+    * preferred Spark shape when both sides share a partition key; a
+    * custom SparkPlan is unnecessary).
+    */
+  def asofPurchaseClick(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .withColumn("last_click_ts",
+        max(when($"event_type" === "click", $"ts")).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+  }
+
+  /** CUBE grouping sets over lineitem flags. */
+  def cubeSales(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(exactSum($"l_quantity", 100L).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+        $"sum_qty", $"n")
+  }
+
+  /** rank / dense_rank / ntile in one pass (deterministic: the ordering
+    * key (o_totalprice, o_orderkey) is a total order).
+    */
+  def windowRanks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, d).select(
+      $"o_orderkey", $"o_orderstatus",
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** Pivot event counts per user (explicit value list so the output
+    * schema is static; the oracle uses conditional aggregation).
+    */
+  def pivotEvents(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_purchase_click" -> (asofPurchaseClick _),
+    "cube_sales" -> (cubeSales _),
+    "window_ranks" -> (windowRanks _),
+    "pivot_events" -> (pivotEvents _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -250,6 +308,35 @@ object RelQueries {
     "approx_distinct" -> (approxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "asof_purchase_click" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, last_click_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM events) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "cube_sales" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "window_ranks" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,

@@ -65,20 +65,31 @@ object Similarity {
     Seq.fill(NumPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** Per-table sign bucket of vector v under table t's planes. */
-  def lshBucket(v: Column, t: Int): Column =
-    (0 until PlanesPerTable).map { i =>
-      when(dot(v, typedlit(planes(t * PlanesPerTable + i))) >= 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** (table, bucket) membership rows for each vector. */
-  private def withBuckets(df: DataFrame): DataFrame = {
-    import df.sparkSession.implicits._
-    df.select(col("*"),
-      posexplode(array((0 until LshTables).map(t => lshBucket($"v", t)): _*)))
-      .withColumnRenamed("pos", "tbl")
-      .withColumnRenamed("col", "bucket")
+  /** (vec_id, tbl, bucket) rows for every vector. Plane dots are computed
+    * by exploding dimensions and joining a broadcast 64-row plane-weight
+    * table, then running all 96 dots as codegen'd sum aggregates — an
+    * aggregate(zip_with(...)) per plane would be interpreted and ~10x
+    * slower (Spark higher-order lambdas don't codegen).
+    */
+  private def bucketRows(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planesByDim = (0 until 64).map { dim =>
+      (dim, (0 until NumPlanes).map(i => planes(i)(dim)))
+    }
+    val planesDf = planesByDim.toDF("dim", "w")
+    val dotCols = (0 until NumPlanes).map(i =>
+      sum($"x" * element_at($"w", i + 1)).as(s"dot$i"))
+    val dots = df.select($"vec_id", posexplode($"v").as(Seq("dim", "x")))
+      .join(broadcast(planesDf), "dim")
+      .groupBy($"vec_id")
+      .agg(dotCols.head, dotCols.tail: _*)
+    val bucketCols = (0 until LshTables).map { t =>
+      (0 until PlanesPerTable).map { i =>
+        when(col(s"dot${t * PlanesPerTable + i}") >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    dots.select($"vec_id", posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
   }
 
   /** ANN top-K: probes compare only against candidates sharing a bucket
@@ -88,9 +99,10 @@ object Similarity {
   def annLsh(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = withVec(Tables.embeddings(spark, d))
-    val q = withBuckets(e.filter($"vec_id" < NumQueries))
+    val buckets = bucketRows(e).join(e, "vec_id")
+    val q = buckets.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"), $"tbl", $"bucket")
-    val c = withBuckets(e)
+    val c = buckets
       .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"), $"tbl", $"bucket")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")

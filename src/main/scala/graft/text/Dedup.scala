@@ -81,22 +81,27 @@ object Dedup {
       sequence(lit(0), size(t) - 3),
       i => concat_ws(" ", slice(t, i + 1, lit(3))))
 
-  /** doc_id + 64-long minhash signature. The shingle is hashed ONCE
-    * (xxhash64) and the 64 permutations are cheap affine maps over that
-    * long — O(shingles + 64·shingles) per doc, all codegen'd.
+  /** doc_id + 64-long minhash signature. The shingle set is exploded and
+    * the 64 permutation minima run as codegen'd hash-aggregate columns
+    * (Spark's higher-order array lambdas are interpreted — an
+    * array_min(transform(...)) formulation is ~4x slower). One shuffle on
+    * doc_id; the shingle is hashed once, permutations are affine maps
+    * mod a >2^32 prime.
     */
   def signatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val sigCols = perms.map { case (a, b) =>
-      array_min(transform(col("hs"),
-        h => (h.bitwiseAND(0xFFFFFFFFL) * a + b) % MinhashPrime))
-    }
-    Tables.documents(spark, d)
+    val exploded = Tables.documents(spark, d)
       .withColumn("t", TextAnalysis.toks($"text"))
       .filter(size($"t") >= 3)
-      .withColumn("sh", array_distinct(shingles($"t")))
-      .withColumn("hs", transform($"sh", s => xxhash64(s)))
-      .select($"doc_id", array(sigCols: _*).as("sig"))
+      .select($"doc_id", explode(array_distinct(shingles($"t"))).as("s"))
+      .withColumn("h", xxhash64($"s").bitwiseAND(0xFFFFFFFFL))
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(($"h" * a + b) % MinhashPrime).as(s"m$i")
+    }
+    exploded
+      .groupBy($"doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select($"doc_id", array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Candidate pairs via banded LSH + signature-estimated Jaccard.
@@ -138,24 +143,27 @@ object Dedup {
   // ---- SimHash ----
 
   /** 64-bit simhash over distinct tokens: bit b is the sign of the sum of
-    * ±1 contributions from each token's hash bit b.
+    * ±1 contributions from each token's hash bit b. Tokens are exploded
+    * and the 64 bit balances run as codegen'd aggregate columns (same
+    * rationale as [[signatures]]); one shuffle on doc_id.
     */
-  def simhashCol(dt: Column): Column = {
-    val hs = transform(dt, t => xxhash64(t))
-    val bitCols = (0 until 64).map { b =>
-      val bal = aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(bal > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
-
   def simhashDocs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    val exploded = Tables.documents(spark, d)
       .withColumn("t", TextAnalysis.toks($"text"))
       .filter(size($"t") >= 1)
-      .select($"doc_id", simhashCol(array_distinct($"t")).as("simhash"))
+      .select($"doc_id", explode(array_distinct($"t")).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val balCols = (0 until 64).map { b =>
+      sum(shiftright($"h", b).bitwiseAND(1L) * 2 - 1).as(s"bal$b")
+    }
+    exploded
+      .groupBy($"doc_id")
+      .agg(balCols.head, balCols.tail: _*)
+      .select($"doc_id",
+        (0 until 64).map(b =>
+          when(col(s"bal$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
   }
 
   /** Near-dup candidates: block on each of four 16-bit chunks (two docs

@@ -5,8 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared SparkSession for all suites (one JVM, forked by sbt). */
 object TestSpark {
+  // local[4, 2]: 4 threads, 2 task attempts — retries on, so the
+  // fault-injection suite can exercise crash recovery (test-mr.sh analog)
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
