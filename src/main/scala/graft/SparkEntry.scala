@@ -32,7 +32,7 @@ object SparkEntry {
       kv.KVStore.queries ++ gossip.HealthMerge.queries ++
       text.TextAnalysis.queries ++ text.Dedup.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
-      streaming.EventStreams.queries
+      streaming.EventStreams.queries ++ relational.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +42,5 @@ object SparkEntry {
       kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
       text.TextAnalysis.oracles ++ text.Dedup.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
-      streaming.EventStreams.oracles
+      streaming.EventStreams.oracles ++ relational.Skew.oracles
 }

@@ -34,13 +34,22 @@ object Similarity {
   val PlanesPerTable = 6
   val NumPlanes = LshTables * PlanesPerTable
 
-  /** dot(a, b) via zip_with + left-to-right aggregate (codegen'd). */
+  /** dot(a, b) via zip_with + left-to-right aggregate — the composable
+    * formulation. Interpreted (higher-order lambdas don't codegen);
+    * retained as the reference implementation the native expression is
+    * tested against.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  private def withVec(df: DataFrame): DataFrame =
+  /** Hot paths use the native codegen'd [[graft.functions.DotProduct]]
+    * (same left-to-right summation order, so oracle parity holds).
+    */
+  private def withVec(df: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(df.sparkSession)
     df.withColumn("v", col("embedding").cast("array<double>"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("norm", sqrt(expr("dot_f64(v, v)")))
+  }
 
   /** Exact cosine top-K for each probe vector (DuckDB-oracled). */
   def knnExact(spark: SparkSession, d: String): DataFrame = {
@@ -53,7 +62,7 @@ object Similarity {
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
     c.crossJoin(broadcast(q))
       .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("sim", round(dot($"qv", $"cv") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= K)
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
@@ -110,15 +119,33 @@ object Similarity {
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", $"qv", $"cv", $"qnorm", $"cnorm")
       .distinct() // a pair may collide in several tables
-      .withColumn("sim", round(dot($"qv", $"cv") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= K)
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup tier above
+    * MinHash): exact pairwise cosine within label blocks — blocking keys
+    * (a cluster id / coarse quantizer at production scale) bound the
+    * quadratic term, same discipline as Dedup's buckets. DuckDB-oracled.
+    */
+  def embedDupPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+    val a = e.select($"label", $"vec_id".as("vec_a"), $"v".as("qv"), $"norm".as("qnorm"))
+    val b = e.select($"label", $"vec_id".as("vec_b"), $"v".as("cv"), $"norm".as("cnorm"))
+    a.join(b, "label")
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .filter($"sim" >= 0.3)
+      .select($"vec_a", $"vec_b", $"label".cast("long").as("label"), $"sim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_knn" -> (knnExact _),
-    "embed_ann_lsh" -> (annLsh _))
+    "embed_ann_lsh" -> (annLsh _),
+    "dedup_embed_pairs" -> (embedDupPairs _))
 
   val oracles: Map[String, String] = Map(
     "embed_knn" ->
@@ -134,5 +161,16 @@ object Similarity {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY sim DESC, neighbor_id) AS rk
         |  FROM s) t
-        |WHERE rk <= 5""".stripMargin)
+        |WHERE rk <= 5""".stripMargin,
+    "dedup_embed_pairs" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       CAST(a.label AS BIGINT) AS label,
+        |       round(list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        |             4) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        |            4) >= 0.3""".stripMargin)
 }
