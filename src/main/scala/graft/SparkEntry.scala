@@ -32,7 +32,8 @@ object SparkEntry {
       kv.KVStore.queries ++ gossip.HealthMerge.queries ++
       text.TextAnalysis.queries ++ text.Dedup.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
-      streaming.EventStreams.queries ++ relational.Skew.queries
+      streaming.EventStreams.queries ++ relational.Skew.queries ++
+      pipeline.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
       text.TextAnalysis.oracles ++ text.Dedup.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
-      streaming.EventStreams.oracles ++ relational.Skew.oracles
+      streaming.EventStreams.oracles ++ relational.Skew.oracles ++
+      pipeline.Curation.oracles
 }
