@@ -46,21 +46,26 @@ object EventStreams {
   private def exactSumCents(c: org.apache.spark.sql.Column) =
     sum(round(c * 100, 0).cast("long")).cast("double") / 100
 
-  /** Tumbling 1h windows per event type (batch twin, oracled). */
+  /** Tumbling 1h windows per event type (batch twin, oracled). Grouping
+    * is on the window STRUCT (start projected after the agg) — grouping
+    * on `window(...).getField("start")` directly defeats Spark's
+    * time-window detection and append-mode watermarking.
+    */
   def tumblingBatch(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, d)
-      .groupBy(window($"ts", "1 hour").getField("start").as("w_start"), $"event_type")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
   }
 
   /** Sliding 1h/30m windows per event type (batch twin, oracled). */
   def slidingBatch(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, d)
-      .groupBy(window($"ts", "1 hour", "30 minutes").getField("start").as("w_start"),
-        $"event_type")
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
       .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
   }
 
   /** Streaming variant of [[tumblingBatch]] with a 1h watermark. */
@@ -68,8 +73,9 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "1 hour")
-      .groupBy(window($"ts", "1 hour").getField("start").as("w_start"), $"event_type")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
   }
 
   /** Streaming CAS KV replay (O16 as a stateful stream): per-key state is

@@ -54,6 +54,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("graftlate").toString
+    def nanos(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    def writeBatch(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val data = rows.map { case (id, ts, uid) =>
+        Row(id, nanos(ts), uid, "click", 1.0, "{}")
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1),
+        EventStreams.eventsRawSchema)
+        .write.parquet(s"$landing/$name")
+    }
+    // batch 1: events across 4 hours; watermark (1h) closes the 00:00 window
+    writeBatch("b1", Seq(
+      (1L, "2030-01-01 00:10:00", 1L),
+      (2L, "2030-01-01 00:20:00", 1L),
+      (3L, "2030-01-01 02:30:00", 1L),
+      (4L, "2030-01-01 03:30:00", 1L)))
+    val q = EventStreams.tumblingStream(
+        spark.readStream.schema(EventStreams.eventsRawSchema)
+          .option("recursiveFileLookup", true).parquet(landing)
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-closed 00:00 window + a new
+      // event advancing the watermark further
+      writeBatch("b2", Seq(
+        (5L, "2030-01-01 00:30:00", 1L), // late: watermark is already 02:30
+        (6L, "2030-01-01 05:00:00", 1L)))
+      q.processAllAvailable()
+      val rows = spark.table("late_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      val h0 = rows.filter(_._1.startsWith("2030-01-01 00:00"))
+      // the 00:00 window was emitted once, from batch 1 only: the late
+      // event must not re-emit or grow it
+      assert(h0.length == 1, s"00:00 window emitted ${h0.length} times: ${rows.mkString(",")}")
+      assert(h0.head._2 == 2, s"late event leaked into closed window: ${h0.head}")
+    } finally q.stop()
+  }
+
   test("checkpointed file sink is exactly-once across restart (O11 analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graftck")
     val out = s"$dir/out"
