@@ -13,9 +13,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/shuffle/parquet machinery so the first measured
-    // query doesn't absorb session initialization.
-    spark.range(100000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // query doesn't absorb session initialization. Best-effort: a broken
+    // sfDir must degrade to per-query -1s, not kill the whole benchmark.
+    try {
+      spark.range(100000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

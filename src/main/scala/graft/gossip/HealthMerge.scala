@@ -54,16 +54,16 @@ object HealthMerge {
     }
 
   /** events viewed as health observations: worker = user shard; an
-    * 'error' event is a suspicion increment (status Suspect), 'purchase'
-    * maps to Suspect without suspicion, the rest are Alive beacons.
+    * 'error' event is a suspicion increment at status Suspect(1) — ONLY
+    * the C=3 consensus in finish() can pronounce Dead(2), matching the
+    * reference where individual gossip observations never carry Dead
+    * directly (mr/gossip.go:243-267). The rest are Alive beacons.
     */
   def obsFromEvents(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[HealthObs] = {
     import spark.implicits._
     Tables.events(spark, d).select(
       ($"user_id" % 20).as("workerId"),
-      when($"event_type" === "error", 2)
-        .when($"event_type" === "purchase", 1)
-        .otherwise(0).as("status"),
+      when($"event_type" === "error", 1).otherwise(0).as("status"),
       when($"event_type" === "error", 1L).otherwise(0L).as("suspicion"),
       unix_micros($"ts").as("lastUpdateMicros")).as[HealthObs]
   }
@@ -91,7 +91,7 @@ object HealthMerge {
         |  last_update
         |FROM (
         |  SELECT user_id % 20 AS worker_id,
-        |    max(CASE event_type WHEN 'error' THEN 2 WHEN 'purchase' THEN 1 ELSE 0 END) AS max_status,
+        |    max(CASE event_type WHEN 'error' THEN 1 ELSE 0 END) AS max_status,
         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS susp,
         |    max(CAST(ts AS TIMESTAMP)) AS last_update
         |  FROM events GROUP BY user_id % 20) t""".stripMargin)

@@ -64,18 +64,22 @@ object KVStore {
       .toDF()
   }
 
-  /** The events table viewed as a KV op-log: key = user shard, value =
-    * event id, attempted version cycles 0..3 (so both OK and ErrVersion
-    * verdicts occur), seq = event_id.
+  /** An events-shaped frame viewed as a KV op-log: key = user shard,
+    * value = event id, attempted version cycles 0..3 (so both OK and
+    * ErrVersion verdicts occur), seq = event_id. Shared by the batch
+    * replay and the streaming twin so the two cannot drift.
     */
-  def opsFromEvents(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[KvOp] = {
-    import spark.implicits._
-    Tables.events(spark, d).select(
-      ($"user_id" % 50).cast("string").as("key"),
-      $"event_id".cast("string").as("value"),
-      ($"event_id" % 4).as("attempt"),
-      $"event_id".as("seq")).as[KvOp]
+  def opsFrom(df: DataFrame): org.apache.spark.sql.Dataset[KvOp] = {
+    import df.sparkSession.implicits._
+    df.select(
+      (col("user_id") % 50).cast("string").as("key"),
+      col("event_id").cast("string").as("value"),
+      (col("event_id") % 4).as("attempt"),
+      col("event_id").as("seq")).as[KvOp]
   }
+
+  def opsFromEvents(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[KvOp] =
+    opsFrom(Tables.events(spark, d))
 
   /** CAS replay over events (rows-only driver check — sequential CAS is
     * not expressible in DuckDB SQL; correctness is pinned by KvSpec's

@@ -82,11 +82,15 @@ object Multimodal {
   val FrameSize = 128L
   val FrameStep = 2L
 
-  /** STUB frame sampler: every FrameStep-th FrameSize-byte "frame". */
+  /** STUB frame sampler: every FrameStep-th FrameSize-byte "frame".
+    * Frame count is ceil(len/FrameSize), so a payload that is an exact
+    * multiple of FrameSize gets no phantom frame past its last byte and
+    * an empty payload yields no frames.
+    */
   def sampleFrames(files: Dataset[MediaFile]): Dataset[Frame] = {
     import files.sparkSession.implicits._
     files.flatMap { f =>
-      val nFrames = f.content.length / FrameSize + 1
+      val nFrames = (f.content.length + FrameSize - 1) / FrameSize
       (0L until nFrames by FrameStep).map(i => Frame(f.doc_id, i, i * FrameSize))
     }
   }
@@ -115,6 +119,6 @@ object Multimodal {
         |  CAST(f AS BIGINT) AS frame_idx,
         |  CAST(f * 128 AS BIGINT) AS frame_off
         |FROM (SELECT doc_id,
-        |        unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT) // 128 + 1, 2)) AS f
+        |        unnest(range(0, (CAST(octet_length(encode(text)) AS BIGINT) + 127) // 128, 2)) AS f
         |      FROM documents) t""".stripMargin)
 }

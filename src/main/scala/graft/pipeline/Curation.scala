@@ -28,7 +28,7 @@ object Curation {
       .groupBy($"tier")
       .agg(
         count(lit(1)).as("n"),
-        (sum(round($"value" * 100, 0).cast("long")).cast("double") / 100).as("sum_value"))
+        graft.relational.RelQueries.exactSum($"value", 100L).as("sum_value"))
   }
 
   /** Correlated scalar subquery through the engine's SQL surface

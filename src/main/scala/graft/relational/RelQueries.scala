@@ -37,8 +37,12 @@ object RelQueries {
     * headroom (9.2e18) still fits sums of ~1e10 rows at scale 1e6; beyond
     * that, swap in DECIMAL(38,0).
     */
-  private def exactSum(e: Column, scale: Long): Column =
-    sum(round(e * scale, 0).cast("long")).cast("double") / scale
+  /** A value snapped to its integer decimal grid (e.g. cents). */
+  def gridScale(e: Column, scale: Long): Column =
+    round(e * scale, 0).cast("long")
+
+  def exactSum(e: Column, scale: Long): Column =
+    sum(gridScale(e, scale)).cast("double") / scale
 
   /** TPC-H Q1 analog: full-scan partial+final hash aggregate. */
   def q1Pricing(spark: SparkSession, d: String): DataFrame = {
@@ -121,7 +125,7 @@ object RelQueries {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, d)
-      .withColumn("cents", round($"o_totalprice" * 100, 0).cast("long"))
+      .withColumn("cents", gridScale($"o_totalprice", 100L))
       .select($"o_custkey", $"o_orderkey",
         (sum($"cents").over(w).cast("double") / 100).as("running"))
   }

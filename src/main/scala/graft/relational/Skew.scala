@@ -14,15 +14,23 @@ import graft.Tables
   */
 object Skew {
 
+  /** @param salt a PER-ROW deterministic expression (e.g. a hash of a
+    *             unique id column). Salting by the value itself would
+    *             collapse when the hot key carries a constant value —
+    *             the exact case skew mitigation exists for. Deterministic
+    *             (not rand()) so stage retries after fetch failures
+    *             cannot re-route rows between partial groups.
+    */
   def saltedAgg(
       df: DataFrame,
       key: Column,
       value: Column,
+      salt: Column,
       salts: Int): DataFrame = {
     df.select(
         key.as("k"),
         value.as("cents"),
-        pmod(xxhash64(value), lit(salts)).as("_salt"))
+        pmod(salt, lit(salts)).as("_salt"))
       .groupBy(col("k"), col("_salt"))
       .agg(count(lit(1)).as("pn"), sum(col("cents")).as("psum"))
       .groupBy(col("k"))
@@ -39,8 +47,9 @@ object Skew {
     val skewed = Tables.events(spark, d).select(
       when($"event_id" % 10 < 7, lit("hot"))
         .otherwise($"user_id".cast("string")).as("skey"),
-      round($"value" * 100, 0).cast("long").as("cents"))
-    saltedAgg(skewed, $"skey", $"cents", salts = 16)
+      RelQueries.gridScale($"value", 100L).as("cents"),
+      xxhash64($"event_id").as("row_salt"))
+    saltedAgg(skewed, $"skey", $"cents", $"row_salt", salts = 16)
       .select($"k".as("skey"), $"n",
         ($"cents_sum".cast("double") / 100).as("sum_value"))
   }

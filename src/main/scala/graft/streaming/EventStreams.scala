@@ -43,8 +43,10 @@ object EventStreams {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  // one shared definition keeps the cross-engine bit-exactness guarantee
+  // in a single place (see RelQueries.exactSum)
   private def exactSumCents(c: org.apache.spark.sql.Column) =
-    sum(round(c * 100, 0).cast("long")).cast("double") / 100
+    graft.relational.RelQueries.exactSum(c, 100L)
 
   /** Tumbling 1h windows per event type (batch twin, oracled). Grouping
     * is on the window STRUCT (start projected after the agg) — grouping
@@ -85,11 +87,7 @@ object EventStreams {
     */
   def kvStream(events: DataFrame): Dataset[KvCell] = {
     import events.sparkSession.implicits._
-    val ops = events.select(
-      (col("user_id") % 50).cast("string").as("key"),
-      col("event_id").cast("string").as("value"),
-      (col("event_id") % 4).as("attempt"),
-      col("event_id").as("seq")).as[KvOp]
+    val ops = graft.kv.KVStore.opsFrom(events)
     ops.groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[KvOp], state: GroupState[KvCell]) =>

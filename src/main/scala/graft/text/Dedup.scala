@@ -38,6 +38,7 @@ object Dedup {
     */
   def jaccardPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    val wBlock = org.apache.spark.sql.expressions.Window.partitionBy($"b1", $"b2")
     val docs = Tables.documents(spark, d)
       .withColumn("t", TextAnalysis.toks($"text"))
       .select(
@@ -45,6 +46,11 @@ object Dedup {
         array_distinct($"t").as("dt"),
         element_at($"t", 1).as("b1"),
         floor(size($"t") / 10).cast("long").as("b2"))
+      // same MaxBucket discipline as the sketch tiers: a degenerate block
+      // (every doc starting with "the") must not go quadratic
+      .withColumn("bsz", count(lit(1)).over(wBlock))
+      .filter($"bsz" <= MaxBucket)
+      .drop("bsz")
     val a = docs.select($"doc_id".as("doc_a"), $"dt".as("ta"), $"b1", $"b2")
     val b = docs.select($"doc_id".as("doc_b"), $"dt".as("tb"), $"b1", $"b2")
     a.join(b, Seq("b1", "b2"))
@@ -166,14 +172,13 @@ object Dedup {
           .as("simhash"))
   }
 
-  /** Near-dup candidates: block on each of four 16-bit chunks (two docs
-    * within hamming<=? share a chunk by pigeonhole when distance < 4
-    * chunks differ), emit pairs with exact hamming distance.
+  /** Candidate threshold. With 4 chunks of 16 bits, the pigeonhole
+    * guarantee is only hamming <= 3 (a pair differing in 4+ bits can
+    * differ in every chunk and never share a bucket), so the emitted set
+    * is COMPLETE exactly up to this bound; higher-distance pairs that
+    * happen to collide are dropped rather than advertised as recall.
     */
-  /** Candidate threshold: pairs at hamming > this are noise on a corpus
-    * with a shared vocabulary.
-    */
-  val MaxHamming = 8
+  val MaxHamming = 3
 
   def simhashPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -217,12 +222,16 @@ object Dedup {
         |FROM documents
         |GROUP BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
     "dedup_jaccard_pairs" ->
-      """WITH d AS (
+      """WITH d0 AS (
         |  SELECT doc_id, list_distinct(t) AS dt, t[1] AS b1,
         |         CAST(floor(len(t) / 10) AS BIGINT) AS b2
         |  FROM (SELECT doc_id,
         |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-        |        FROM documents) x)
+        |        FROM documents) x),
+        |d AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY b1, b2) AS bsz FROM d0) y
+        |  WHERE bsz <= 50)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_filter(a.dt, x -> list_contains(b.dt, x))) AS BIGINT) AS inter,
         |  CAST(len(list_filter(a.dt, x -> list_contains(b.dt, x))) AS DOUBLE) /
