@@ -142,9 +142,60 @@ object Similarity {
       .select($"vec_a", $"vec_b", $"label".cast("long").as("label"), $"sim")
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** Deterministic KMeans coarse quantizer over the candidate vectors. */
+  private def centroids(e: DataFrame): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = e.select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(IvfCells).setSeed(42).setMaxIter(10).fit(vecs)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF ANN top-K: vectors are assigned to their nearest KMeans
+    * centroid (the inverted file's cell); probes search their IvfProbes
+    * nearest cells. The centroid table is tiny and broadcast — at scale
+    * the train step runs on a sample and the assignment is a narrow
+    * codegen'd pass, so the only join is probe-cell x candidate-cell.
+    * Rows-only driver check; recall measured in SimilaritySpec.
+    */
+  def annIvf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+    val cents = centroids(e)
+    val centDf = broadcast(
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cv0"))
+    // nearest cell per vector: cross join the 16 centroids, rank by dist
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
+    val assigned = e.crossJoin(centDf)
+      .withColumn("d2",
+        expr("aggregate(zip_with(v, cv0, (x, y) -> (x - y) * (x - y)), 0d, (a, b) -> a + b)"))
+      .withColumn("cr", row_number().over(wCell))
+    val cand = assigned.filter($"cr" === 1)
+      .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"), $"cell")
+    val probes = assigned.filter($"vec_id" < NumQueries && $"cr" <= IvfProbes)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"), $"cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    cand.join(broadcast(probes), "cell")
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"qv", $"cv", $"qnorm", $"cnorm")
+      .distinct()
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= K)
+      .select($"query_id", $"neighbor_id", $"rk", $"sim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_knn" -> (knnExact _),
     "embed_ann_lsh" -> (annLsh _),
+    "embed_ann_ivf" -> (annIvf _),
     "dedup_embed_pairs" -> (embedDupPairs _))
 
   val oracles: Map[String, String] = Map(

@@ -36,6 +36,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recall@5 vs exact knn is usable (> 0.3)") {
+    val exact = Similarity.knnExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall too low: $recall")
+  }
+
   test("knn plan broadcasts the probe side") {
     val p = Similarity.knnExact(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

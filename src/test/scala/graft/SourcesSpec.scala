@@ -44,6 +44,19 @@ class SourcesSpec extends SparkSpec {
     assert(asMap === want)
   }
 
+  test("wholeTextFiles preserves the (filename, contents) map contract (O1)") {
+    val dir = tmp("graftwtf")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "x y x")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"), "y z")
+    val files = graft.mr.TextIO.wholeTextFiles(spark, s"$dir/*.txt")
+    val byName = files.collect().map { case (n, c) => n.split("/").last -> c }.toMap
+    assert(byName === Map("a.txt" -> "x y x", "b.txt" -> "y z"))
+    val wc = graft.mr.MapReduce.run(
+      spark, files, graft.apps.MrApps.wcMap, graft.apps.MrApps.wcReduce, 2)
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(wc === Map("x" -> "2", "y" -> "2", "z" -> "1"))
+  }
+
   test("salted aggregation equals plain groupBy (plan differs, result not)") {
     val salted = graft.relational.Skew.skewSaltedAgg(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
