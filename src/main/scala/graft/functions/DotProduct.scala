@@ -34,12 +34,22 @@ case class DotProduct(left: Expression, right: Expression)
         s"got (${left.dataType.sql}, ${right.dataType.sql})")
   }
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+
+  /** Always nullable: mismatched-length inputs yield null (a silent
+    * min-length truncation would produce a plausible-but-wrong similarity;
+    * DuckDB's list_dot_product would not silently agree). Null ELEMENTS
+    * are not checked: inputs must be containsNull=false arrays (ours come
+    * from a parquet float column cast) — a null element would read as an
+    * unspecified value via ArrayData.getDouble, same caveat as Spark's own
+    * primitive array paths.
+    */
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -55,12 +65,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -13,16 +13,19 @@ final case class KvOp(key: String, value: String, attempt: Long, seq: Long)
 /** Per-key outcome of a replay. Verdict semantics clone the reference KV
   * server (srv/server.go:59-88): a Put succeeds iff its attempted version
   * equals the cell's current version (0 for a missing key), and success
-  * increments the version. ErrMaybe (srv/client.go:78-83) is a lost-reply
-  * client artifact, not reproducible in deterministic batch replay — see
-  * SURVEY.md §7.4; modeled in tests by injecting duplicate ops.
+  * increments the version; a put against a MISSING key with version != 0
+  * is the distinct ErrNoKey (srv/server.go:74-76), not ErrVersion.
+  * ErrMaybe (srv/client.go:78-83) is a lost-reply client artifact, not
+  * reproducible in deterministic batch replay — see SURVEY.md §7.4;
+  * modeled in tests by injecting duplicate ops.
   */
 final case class KvCell(
     key: String,
     value: String,
     version: Long,
     n_ok: Long,
-    n_errversion: Long)
+    n_errversion: Long,
+    n_errnokey: Long)
 
 /** Versioned KV store with compare-and-swap puts, as a data operator:
   * the reference's in-memory `map[string]KVData` + CAS Put
@@ -45,12 +48,14 @@ object KVStore {
     var version = 0L
     var ok = 0L
     var errv = 0L
+    var errnk = 0L
     ops.foreach { op =>
       if (op.attempt == version) {
         value = op.value; version += 1; ok += 1
-      } else errv += 1
+      } else if (version == 0L) errnk += 1 // missing key, version != 0
+      else errv += 1
     }
-    KvCell(key, if (value == null) "" else value, version, ok, errv)
+    KvCell(key, if (value == null) "" else value, version, ok, errv, errnk)
   }
 
   /** Distributed CAS replay of an op-log Dataset. Ops within a key are
@@ -81,9 +86,11 @@ object KVStore {
   def opsFromEvents(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[KvOp] =
     opsFrom(Tables.events(spark, d))
 
-  /** CAS replay over events (rows-only driver check — sequential CAS is
-    * not expressible in DuckDB SQL; correctness is pinned by KvSpec's
-    * distributed==sequential and ScalaCheck properties instead).
+  /** CAS replay over events. DuckDB-oracled via a recursive CTE: the
+    * successful puts per key form a chain (the k-th success is the first
+    * op after the (k-1)-th whose attempt equals k-1), so the sequential
+    * fold IS SQL-expressible despite being stateful. Also pinned by
+    * KvGossipSpec's distributed==sequential ScalaCheck properties.
     */
   def casReplay(spark: SparkSession, d: String): DataFrame =
     replay(spark, opsFromEvents(spark, d))
@@ -106,6 +113,41 @@ object KVStore {
     "kv_last_write" -> (lastWrite _))
 
   val oracles: Map[String, String] = Map(
+    "kv_cas_replay" ->
+      """WITH RECURSIVE ops AS (
+        |  SELECT CAST(user_id % 50 AS VARCHAR) AS key,
+        |         CAST(event_id AS VARCHAR) AS value,
+        |         event_id % 4 AS attempt, event_id AS seq
+        |  FROM events),
+        |chain AS (
+        |  SELECT key, min(seq) AS seq, CAST(1 AS BIGINT) AS version
+        |  FROM ops WHERE attempt = 0 GROUP BY key
+        |  UNION ALL
+        |  SELECT key, seq, version FROM (
+        |    SELECT c.key, o.seq, c.version + 1 AS version,
+        |           row_number() OVER (PARTITION BY c.key ORDER BY o.seq) AS rn
+        |    FROM chain c JOIN ops o
+        |      ON o.key = c.key AND o.seq > c.seq AND o.attempt = c.version) t
+        |  WHERE rn = 1),
+        |per_key AS (
+        |  SELECT key, count(*) AS n_ok, min(seq) AS first_ok,
+        |         max(seq) AS last_ok, max(version) AS version
+        |  FROM chain GROUP BY key),
+        |stats AS (
+        |  SELECT o.key, count(*) AS n_all,
+        |         CAST(count(CASE WHEN o.seq <
+        |           coalesce(p.first_ok, 9223372036854775807) THEN 1 END)
+        |           AS BIGINT) AS n_errnokey
+        |  FROM ops o LEFT JOIN per_key p USING (key) GROUP BY o.key)
+        |SELECT s.key,
+        |       coalesce(v.value, '') AS value,
+        |       coalesce(p.version, 0) AS version,
+        |       coalesce(p.n_ok, 0) AS n_ok,
+        |       s.n_errnokey,
+        |       s.n_all - coalesce(p.n_ok, 0) - s.n_errnokey AS n_errversion
+        |FROM stats s
+        |LEFT JOIN per_key p USING (key)
+        |LEFT JOIN ops v ON v.key = s.key AND v.seq = p.last_ok""".stripMargin,
     "kv_last_write" ->
       """SELECT CAST(user_id % 50 AS VARCHAR) AS key,
         |       arg_max(CAST(event_id AS VARCHAR), event_id) AS value,

@@ -91,15 +91,16 @@ object EventStreams {
     ops.groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[KvOp], state: GroupState[KvCell]) =>
-          val prev = state.getOption.getOrElse(KvCell(key, "", 0L, 0L, 0L))
-          var (value, version, ok, errv) =
-            (prev.value, prev.version, prev.n_ok, prev.n_errversion)
+          val prev = state.getOption.getOrElse(KvCell(key, "", 0L, 0L, 0L, 0L))
+          var (value, version, ok, errv, errnk) =
+            (prev.value, prev.version, prev.n_ok, prev.n_errversion, prev.n_errnokey)
           // micro-batch iterators are unordered; seq order is the contract
           it.toSeq.sortBy(_.seq).foreach { op =>
             if (op.attempt == version) { value = op.value; version += 1; ok += 1 }
+            else if (version == 0L) errnk += 1
             else errv += 1
           }
-          val cell = KvCell(key, value, version, ok, errv)
+          val cell = KvCell(key, value, version, ok, errv, errnk)
           state.update(cell)
           cell
       }

@@ -52,6 +52,17 @@ class KvGossipSpec extends SparkSpec {
     assert(cell.value == "v3" && cell.version == 2 && cell.n_ok == 2 && cell.n_errversion == 2)
   }
 
+  test("put on a missing key with version != 0 is ErrNoKey, not ErrVersion (srv/server.go:74-76)") {
+    val ops = List(
+      KvOp("k", "v1", 3, 0), // ErrNoKey (missing key, version != 0)
+      KvOp("k", "v2", 1, 1), // ErrNoKey
+      KvOp("k", "v3", 0, 2), // OK — creates
+      KvOp("k", "v4", 9, 3)) // ErrVersion (key exists now)
+    val cell = KVStore.replayKey("k", ops.iterator)
+    assert(cell.n_errnokey == 2 && cell.n_errversion == 1 && cell.n_ok == 1
+      && cell.value == "v3" && cell.version == 1)
+  }
+
   test("duplicate retried op yields ErrVersion (the ErrMaybe ambiguity, srv/client.go:67-91)") {
     val ops = List(KvOp("k", "v1", 0, 0), KvOp("k", "v1", 0, 1))
     val cell = KVStore.replayKey("k", ops.iterator)
@@ -96,11 +107,27 @@ class KvGossipSpec extends SparkSpec {
     }
   }
 
-  test("status escalation is monotone; consensus C=3 forces Dead") {
-    samples(Gen.listOf(genObs), 60).foreach { obs =>
+  /** Total order used by the LWW register, for independent recompute. */
+  private def obsOrder(o: HealthObs) = (o.lastUpdateMicros, o.suspicion, o.status)
+
+  test("recency wins: status tracks the newest observation — a worker can recover (mr/gossip.go:90-96)") {
+    samples(Gen.listOf(genObs).suchThat(_.nonEmpty), 60).foreach { obs =>
       val st = reduceAll(obs)
-      if (obs.nonEmpty) assert(st.status >= obs.map(_.status).max)
-      if (obs.map(_.suspicion).sum >= HealthMerge.ConsensusC) assert(st.status == 2)
+      val newest = obs.maxBy(obsOrder)
+      assert(st.suspicion == obs.map(_.suspicion).max)
+      assert(st.lastUpdateMicros == newest.lastUpdateMicros)
+      if (newest.status == 0) assert(st.status == 0) // Alive-latest recovers
+    }
+  }
+
+  test("consensus C=3 forces Dead only for Suspect-or-worse entries (mr/gossip.go:243-267)") {
+    samples(Gen.listOf(genObs).suchThat(_.nonEmpty), 60).foreach { obs =>
+      val st = reduceAll(obs)
+      val newest = obs.maxBy(obsOrder)
+      val expect =
+        if (newest.status >= 1 && obs.map(_.suspicion).max >= HealthMerge.ConsensusC) 2
+        else newest.status
+      assert(st.status == expect)
     }
   }
 
