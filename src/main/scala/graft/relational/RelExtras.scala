@@ -1,0 +1,313 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import RelQueries.{exactSum, gridScale}
+
+/** Second relational breadth catalog: statistical aggregates, exact
+  * percentiles, time-range window frames, explicit GROUPING SETS, full
+  * outer joins, nested/correlated subqueries, union-by-name, and the
+  * wider scalar/date function surface (SURVEY.md §2.3 rows "Aggregations
+  * beyond group-by-fold", "Window functions", "Set ops", "Scalar
+  * function library").
+  *
+  * Cross-engine notes on top of RelQueries' rules:
+  *   - moment statistics (stddev/var/corr/skew/kurt) are rounded to 4dp:
+  *     both engines accumulate in different orders, but on these inputs
+  *     the results agree to ~1e-9 relative. Spark's skewness/kurtosis are
+  *     the POPULATION moments; DuckDB's skewness is the bias-corrected
+  *     sample form, so the oracle multiplies by (n-2)/sqrt(n(n-1)), and
+  *     kurtosis uses DuckDB's kurtosis_pop.
+  *   - Spark percentile()/median() and DuckDB quantile_cont()/median()
+  *     share the linear-interpolation definition; 4dp rounding absorbs
+  *     the formula's ulp difference.
+  *   - day-of-week: Spark is 1-7 Sunday-first, DuckDB 0-6 — oracle adds 1.
+  */
+object RelExtras {
+
+  /** Moment statistics per group (partial+final merge under the hood —
+    * Spark's ImperativeAggregate moments merge associatively, so this is
+    * one shuffle of constant-size buffers at any scale).
+    */
+  def aggStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(stddev_pop($"l_quantity"), 4).as("sdp_qty"),
+        round(var_samp($"l_discount"), 4).as("var_disc"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 4).as("covar_qty_disc"),
+        round(skewness($"l_quantity"), 4).as("skew_qty"),
+        round(kurtosis($"l_quantity"), 4).as("kurt_qty"))
+  }
+
+  /** Exact percentiles (linear interpolation) + median per group. At
+    * 100 TB scale the same query swaps percentile() for
+    * approx_percentile() (t-digest sketch) — the exact form is the
+    * correctness anchor, like knnExact for the ANN tiers.
+    */
+  def aggPercentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(percentile($"l_quantity", lit(0.25)), 4).as("p25_qty"),
+        round(percentile($"l_quantity", lit(0.5)), 4).as("p50_qty"),
+        round(percentile($"l_quantity", lit(0.75)), 4).as("p75_qty"),
+        round(median($"l_extendedprice"), 4).as("med_price"))
+  }
+
+  /** Time-range window frame: per-user rolling 1h sum of event value
+    * (RANGE frame over event-time micros — peers with equal timestamps
+    * aggregate together on both engines).
+    */
+  def windowRangeFrame(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"mic")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, d)
+      .withColumn("mic", unix_micros($"ts"))
+      .withColumn("cents", gridScale($"value", 100L))
+      .select($"event_id", $"user_id",
+        (sum($"cents").over(w).cast("double") / 100).as("rolling_1h"))
+  }
+
+  /** Explicit GROUPING SETS with grouping() markers (the general form
+    * rollup/cube compile to).
+    */
+  def groupingSetsSales(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** Full outer join with mismatches on both sides: BUILDING customers
+    * vs per-customer aggregates of >300k orders.
+    */
+  def joinFullOuter(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name")
+    val o = Tables.orders(spark, d)
+      .filter($"o_totalprice" > 300000)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_big"), max($"o_totalprice").as("max_price"))
+    c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        coalesce($"c_name", lit("<none>")).as("name"),
+        coalesce($"n_big", lit(0L)).as("n_big"),
+        coalesce($"max_price", lit(0.0)).as("max_price"))
+  }
+
+  /** Nested IN + scalar + correlated NOT EXISTS subqueries in one query
+    * (Catalyst rewrites these to semi/anti joins — same physical shape
+    * as joinSemi/joinAnti, proving the SQL surface over it).
+    */
+  def subqueryInExists(spark: SparkSession, d: String): DataFrame = {
+    Tables.customer(spark, d).createOrReplaceTempView("customer_sq")
+    Tables.orders(spark, d).createOrReplaceTempView("orders_sq")
+    Tables.nation(spark, d).createOrReplaceTempView("nation_sq")
+    Tables.region(spark, d).createOrReplaceTempView("region_sq")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer_sq c
+        |WHERE c_nationkey IN (
+        |    SELECT n_nationkey FROM nation_sq
+        |    WHERE n_regionkey = (SELECT r_regionkey FROM region_sq WHERE r_name = 'ASIA'))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders_sq o
+        |    WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997)""".stripMargin)
+  }
+
+  /** UNION of differently-shaped inputs by column NAME (customers +
+    * suppliers as one tagged entity list).
+    */
+  def unionEntities(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d).select(
+      $"c_name".as("entity_name"),
+      $"c_nationkey".as("nationkey"),
+      lit("customer").as("kind"))
+    val s = Tables.supplier(spark, d).select(
+      lit("supplier").as("kind"), // different column order on purpose
+      $"s_nationkey".as("nationkey"),
+      $"s_name".as("entity_name"))
+    c.unionByName(s)
+  }
+
+  /** Wider string/bit scalar surface: edit distance, split_part, padding,
+    * translate, position, hashing, bit ops.
+    */
+  def scalarFuncs2(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, d).select(
+      $"c_custkey",
+      levenshtein(substring($"c_name", 1, 8), lit("Customer")).cast("long").as("lev"),
+      expr("split_part(c_name, '#', 2)").as("name_num"),
+      lpad($"c_custkey".cast("string"), 8, "0").as("padded"),
+      reverse($"c_name").as("rev"),
+      expr("right(c_name, 3)").as("tail3"),
+      translate($"c_name", "Cusmer", "XYZABC").as("translated"),
+      instr($"c_name", "#").cast("long").as("hash_pos"),
+      md5($"c_name").as("name_md5"),
+      repeat(substring($"c_name", 1, 2), 3).as("rep2x3"),
+      greatest($"c_custkey" % 7, $"c_nationkey" % 5).as("g_mod"),
+      least($"c_custkey" % 7, $"c_nationkey" % 5).as("l_mod"),
+      $"c_custkey".bitwiseAND(255).as("key_and"),
+      $"c_custkey".bitwiseXOR($"c_nationkey").as("key_xor"),
+      ascii($"c_name").cast("long").as("first_ascii"),
+      $"c_name".like("Customer%").as("is_customer"))
+  }
+
+  /** Date/interval arithmetic surface. */
+  def dateFuncs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d).select(
+      $"o_orderkey",
+      date_add($"o_orderdate", 30).as("plus_30d"),
+      ($"o_orderdate" + expr("INTERVAL '90' DAY")).as("plus_90d"),
+      datediff($"o_orderdate", to_date(lit("1995-01-01"))).cast("long").as("days_since_95"),
+      dayofweek($"o_orderdate").cast("long").as("dow"),
+      dayofyear($"o_orderdate").cast("long").as("doy"),
+      quarter($"o_orderdate").cast("long").as("qtr"),
+      last_day($"o_orderdate").as("month_end"),
+      date_format($"o_orderdate", "yyyy-MM").as("ym"))
+  }
+
+  /** Array function surface (scalar outputs only — list columns don't
+    * canonicalize identically across parquet readers).
+    */
+  def arrayFuncs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .withColumn("parts", split($"o_orderpriority", "-"))
+      .select(
+        $"o_orderkey",
+        size($"parts").cast("long").as("n_parts"),
+        element_at($"parts", 1).as("part1"),
+        array_contains($"parts", "URGENT").as("has_urgent"),
+        array_join(sort_array($"parts"), "+").as("sorted_joined"),
+        array_position($"parts", "HIGH").cast("long").as("pos_high"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats" -> (aggStats _),
+    "agg_percentiles" -> (aggPercentiles _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "grouping_sets_sales" -> (groupingSetsSales _),
+    "join_full_outer" -> (joinFullOuter _),
+    "subquery_in_exists" -> (subqueryInExists _),
+    "union_entities" -> (unionEntities _),
+    "scalar_funcs2" -> (scalarFuncs2 _),
+    "date_funcs" -> (dateFuncs _),
+    "array_funcs" -> (arrayFuncs _))
+
+  val oracles: Map[String, String] = Map(
+    "agg_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+        |  round(var_samp(l_discount), 4) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+        |  round(skewness(l_quantity) * (count(*) - 2)
+        |        / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_qty,
+        |  round(kurtosis_pop(l_quantity), 4) AS kurt_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+        |  round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)/100
+        |    AS rolling_1h
+        |FROM events""".stripMargin,
+    "grouping_sets_sales" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |       CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |       coalesce(c_name, '<none>') AS name,
+        |       coalesce(n_big, 0) AS n_big,
+        |       coalesce(max_price, 0.0) AS max_price
+        |FROM (SELECT c_custkey, c_name FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (
+        |      SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
+        |      FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+    "subquery_in_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE c_nationkey IN (
+        |    SELECT n_nationkey FROM nation
+        |    WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997)""".stripMargin,
+    "union_entities" ->
+      """SELECT c_name AS entity_name, c_nationkey AS nationkey,
+        |       'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name, s_nationkey, 'supplier' FROM supplier""".stripMargin,
+    "scalar_funcs2" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(substring(c_name, 1, 8), 'Customer') AS BIGINT) AS lev,
+        |  split_part(c_name, '#', 2) AS name_num,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  reverse(c_name) AS rev,
+        |  right(c_name, 3) AS tail3,
+        |  translate(c_name, 'Cusmer', 'XYZABC') AS translated,
+        |  CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+        |  md5(c_name) AS name_md5,
+        |  repeat(substring(c_name, 1, 2), 3) AS rep2x3,
+        |  greatest(c_custkey % 7, c_nationkey % 5) AS g_mod,
+        |  least(c_custkey % 7, c_nationkey % 5) AS l_mod,
+        |  c_custkey & 255 AS key_and,
+        |  xor(c_custkey, c_nationkey) AS key_xor,
+        |  CAST(ascii(c_name) AS BIGINT) AS first_ascii,
+        |  c_name LIKE 'Customer%' AS is_customer
+        |FROM customer""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+        |  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY AS plus_90d,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders""".stripMargin,
+    "array_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(len(parts) AS BIGINT) AS n_parts,
+        |  parts[1] AS part1,
+        |  list_contains(parts, 'URGENT') AS has_urgent,
+        |  array_to_string(list_sort(parts), '+') AS sorted_joined,
+        |  CAST(coalesce(list_position(parts, 'HIGH'), 0) AS BIGINT) AS pos_high
+        |FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+        |      FROM orders) t""".stripMargin)
+}

@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Additional corpus-analysis operators for the training-data pipeline
+  * tier: n-gram frequency mining, repetition scoring (a standard
+  * quality gate — high single-token share marks boilerplate/spam), and
+  * PII redaction.
+  *
+  * Scale shapes: ngram mining is explode → two-level aggregate (the
+  * per-(doc,token) partial collapses skew before the global top-k);
+  * repetition is the same shape without the global step; redaction is a
+  * pure narrow projection (regex runs inside codegen, no shuffle).
+  */
+object TextExtras {
+
+  /** Corpus-wide top-20 bigrams: tokens are exploded once, bigrams
+    * formed per document with lead() over token position, counted with a
+    * partial+final aggregate, and ranked with a total order
+    * (count desc, bigram asc) so the cut is deterministic. At 100 TB the
+    * only global state is the final top-k heap — the count aggregate is
+    * map-side combined.
+    */
+  def ngramTopk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val wTop = Window.orderBy($"n".desc, $"bigram")
+    Tables.documents(spark, d)
+      .select($"doc_id", posexplode(TextAnalysis.toks($"text")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead($"tok", 1).over(wDoc))
+      .filter($"nxt".isNotNull)
+      .select(concat($"tok", lit(" "), $"nxt").as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      // orderBy+limit compiles to TakeOrderedAndProject — a distributed
+      // per-partition top-k + driver merge, never a global sort. The
+      // single-partition row_number window then only ever sees 20 rows.
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+  }
+
+  /** Per-document repetition metrics: distinct-token ratio and the
+    * corpus-share of the single most frequent token.
+    */
+  def repetition(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id", explode(TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("f"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"f").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max($"f").as("max_freq"))
+      .select(
+        $"doc_id", $"n_tokens", $"n_distinct",
+        round($"n_distinct".cast("double") / $"n_tokens", 6).as("distinct_ratio"),
+        round($"max_freq".cast("double") / $"n_tokens", 6).as("top_tok_share"))
+  }
+
+  /** PII redaction: regexp extraction counts + replacement. The corpus
+    * text is synthetic (no organic PII), so the contact string under
+    * redaction is derived deterministically from table columns — the
+    * operator surface (RE2/Java-compatible patterns, extract_all,
+    * chained replace) is what's exercised, identically on both engines.
+    */
+  val EmailRe = "[A-Za-z0-9._-]+@[A-Za-z0-9.-]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  def piiRedact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("contact",
+        concat($"source", lit("-"), $"doc_id",
+          lit("@example.com call 555-"),
+          lpad($"doc_id".cast("string"), 4, "0")))
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"contact", lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"contact", lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace($"contact", EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_topk" -> (ngramTopk _),
+    "text_repetition" -> (repetition _),
+    "text_pii_redact" -> (piiRedact _))
+
+  val oracles: Map[String, String] = Map(
+    "text_ngram_topk" ->
+      """WITH big AS (
+        |  SELECT unnest(list_transform(range(len(t) - 1),
+        |                               i -> t[i + 1] || ' ' || t[i + 2])) AS bigram
+        |  FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+        |                           x -> x <> '') AS t
+        |        FROM documents) d),
+        |cnt AS (
+        |  SELECT bigram, count(*) AS n FROM big GROUP BY bigram)
+        |SELECT bigram, n, rk FROM (
+        |  SELECT bigram, n,
+        |         row_number() OVER (ORDER BY n DESC, bigram) AS rk
+        |  FROM cnt) t
+        |WHERE rk <= 20""".stripMargin,
+    "text_repetition" ->
+      """WITH f AS (
+        |  SELECT doc_id, tok, count(*) AS f
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> '')) AS tok
+        |        FROM documents) t
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        |       CAST(sum(f) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_distinct,
+        |       round(CAST(count(*) AS DOUBLE) / sum(f), 6) AS distinct_ratio,
+        |       round(CAST(max(f) AS DOUBLE) / sum(f), 6) AS top_tok_share
+        |FROM f GROUP BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+'))
+        |       AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact, '[0-9]{3}-[0-9]{4}'))
+        |       AS BIGINT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(contact, '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM (
+        |  SELECT doc_id,
+        |         source || '-' || doc_id || '@example.com call 555-' ||
+        |           lpad(CAST(doc_id AS VARCHAR), 4, '0') AS contact
+        |  FROM documents) t""".stripMargin)
+}
