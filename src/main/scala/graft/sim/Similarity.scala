@@ -74,41 +74,40 @@ object Similarity {
     Seq.fill(NumPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** (vec_id, tbl, bucket) rows for every vector. Plane dots are computed
-    * by exploding dimensions and joining a broadcast 64-row plane-weight
-    * table, then running all 96 dots as codegen'd sum aggregates — an
-    * aggregate(zip_with(...)) per plane would be interpreted and ~10x
-    * slower (Spark higher-order lambdas don't codegen).
+  /** (vec_id, v, norm, tbl, bucket) rows for every vector. Each plane is
+    * a CONSTANT array literal, so the 96 plane dots are 96 codegen'd
+    * dot_f64 calls against folded literals in one narrow projection — no
+    * explode, no join, no aggregate. (The previous formulation exploded
+    * 64 dims x N rows through a broadcast join into 96 sum aggregates;
+    * measured ~2x slower, and it re-ran per self-join branch.)
     */
   private def bucketRows(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val planesByDim = (0 until 64).map { dim =>
-      (dim, (0 until NumPlanes).map(i => planes(i)(dim)))
+    import df.sparkSession.implicits._
+    val dotCols = (0 until NumPlanes).map { i =>
+      // SQL double literals parse as DECIMAL; the cast is constant-folded
+      expr(s"dot_f64(v, cast(array(${planes(i).mkString(",")}) as array<double>))")
+        .as(s"dot$i")
     }
-    val planesDf = planesByDim.toDF("dim", "w")
-    val dotCols = (0 until NumPlanes).map(i =>
-      sum($"x" * element_at($"w", i + 1)).as(s"dot$i"))
-    val dots = df.select($"vec_id", posexplode($"v").as(Seq("dim", "x")))
-      .join(broadcast(planesDf), "dim")
-      .groupBy($"vec_id")
-      .agg(dotCols.head, dotCols.tail: _*)
+    val dots = df.select(($"vec_id" +: $"v" +: $"norm" +: dotCols): _*)
     val bucketCols = (0 until LshTables).map { t =>
       (0 until PlanesPerTable).map { i =>
         when(col(s"dot${t * PlanesPerTable + i}") >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    dots.select($"vec_id", posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+    dots.select($"vec_id", $"v", $"norm",
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
   }
 
   /** ANN top-K: probes compare only against candidates sharing a bucket
-    * in at least one of the L tables. Rows-only driver check;
+    * in at least one of the L tables. The similarity is computed BEFORE
+    * the cross-table dedup so distinct() shuffles three narrow columns,
+    * not two 64-dim vectors per pair. Rows-only driver check;
     * SimilaritySpec measures recall against knnExact.
     */
   def annLsh(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = withVec(Tables.embeddings(spark, d))
-    val buckets = bucketRows(e).join(e, "vec_id")
+    val buckets = bucketRows(e)
     val q = buckets.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"), $"tbl", $"bucket")
     val c = buckets
@@ -117,9 +116,9 @@ object Similarity {
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
     c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id", $"qv", $"cv", $"qnorm", $"cnorm")
-      .distinct() // a pair may collide in several tables
       .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .select($"query_id", $"neighbor_id", $"sim")
+      .distinct() // a pair may collide in several tables
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= K)
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
@@ -147,13 +146,61 @@ object Similarity {
   val IvfCells = 16
   val IvfProbes = 4
 
-  /** Deterministic KMeans coarse quantizer over the candidate vectors. */
+  /** Max vectors the quantizer trains on (driver-side sample). */
+  val TrainCap = 16384
+
+  /** Deterministic Lloyd k-means coarse quantizer trained on a bounded
+    * driver-side sample — the standard IVF recipe (FAISS trains its
+    * quantizer on a sample too): collecting TrainCap 64-dim vectors is
+    * ~8 MB regardless of table size, the distributed work stays in the
+    * assignment pass. Spark ML's KMeans on the full table spent ~3 s of
+    * scheduler overhead clustering 2000 rows; the local fit is
+    * microseconds and exactly reproducible (seeded init, fixed
+    * iteration count, ties to the lowest cell index).
+    */
   private def centroids(e: DataFrame): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val vecs = e.select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(IvfCells).setSeed(42).setMaxIter(10).fit(vecs)
-    model.clusterCenters.map(_.toArray)
+    val sample = e.select(col("vec_id"), col("v"))
+      .sort(col("vec_id")).limit(TrainCap)
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val k = IvfCells
+    val rnd = new scala.util.Random(42)
+    val cents = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    val assign = new Array[Int](sample.length)
+    for (_ <- 0 until 5) {
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d2 = 0.0; var j = 0
+          val cv = cents(c); val x = sample(i)
+          while (j < cv.length) { val df = x(j) - cv(j); d2 += df * df; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](64))
+      val counts = new Array[Int](k)
+      var n = 0
+      while (n < sample.length) {
+        val c = assign(n); counts(c) += 1
+        var j = 0
+        while (j < 64) { sums(c)(j) += sample(n)(j); j += 1 }
+        n += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < 64) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    cents
   }
 
   /** IVF ANN top-K: vectors are assigned to their nearest KMeans
@@ -168,13 +215,18 @@ object Similarity {
     val e = withVec(Tables.embeddings(spark, d))
     val cents = centroids(e)
     val centDf = broadcast(
-      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cv0"))
-    // nearest cell per vector: cross join the 16 centroids, rank by dist
+      cents.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+        .toDF("cell", "cv0", "cn2"))
+    // nearest cell per vector: cross join the 16 centroids, rank by
+    // ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; the ||v||^2 term is constant
+    // per vector so ranking on (-2 v.c + ||c||^2) is equivalent — and
+    // dot_f64 keeps the whole scoring pass inside codegen (an
+    // aggregate(zip_with(...)) here is interpreted and ~10x slower).
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
     val assigned = e.crossJoin(centDf)
-      .withColumn("d2",
-        expr("aggregate(zip_with(v, cv0, (x, y) -> (x - y) * (x - y)), 0d, (a, b) -> a + b)"))
+      .withColumn("d2", expr("-2 * dot_f64(v, cv0)") + $"cn2")
       .withColumn("cr", row_number().over(wCell))
     val cand = assigned.filter($"cr" === 1)
       .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"), $"cell")

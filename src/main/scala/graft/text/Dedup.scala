@@ -81,25 +81,38 @@ object Dedup {
       ((rnd.nextInt(1 << 29).toLong << 1) | 1L, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** 3-token shingles of a token-array column. */
+  /** 3-token shingles of a token-array column (retained as the
+    * reference formulation; [[signatures]] builds the same shingles via
+    * posexplode+lead, which stays in codegen).
+    */
   def shingles(t: Column): Column =
     transform(
       sequence(lit(0), size(t) - 3),
       i => concat_ws(" ", slice(t, i + 1, lit(3))))
 
-  /** doc_id + 64-long minhash signature. The shingle set is exploded and
-    * the 64 permutation minima run as codegen'd hash-aggregate columns
-    * (Spark's higher-order array lambdas are interpreted — an
-    * array_min(transform(...)) formulation is ~4x slower). One shuffle on
-    * doc_id; the shingle is hashed once, permutations are affine maps
-    * mod a >2^32 prime.
+  /** doc_id + 64-long minhash signature. Shingles are formed by
+    * exploding tokens once and taking two lead()s per document — the
+    * array-lambda formulation (`transform(sequence(...), slice+concat)`)
+    * is interpreted per element and was the measured hotspot (~2s of a
+    * ~3s query at sf0.1); explode+window+hash+agg all run in
+    * codegen/unsafe-row paths. The window and the 64-min aggregate both
+    * partition on doc_id, so the whole signature computation is ONE
+    * shuffle. Shingles are deliberately NOT deduplicated per document:
+    * a permutation minimum is identical over a multiset and its set, so
+    * dedup would cost work and change nothing.
     */
   def signatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
     val exploded = Tables.documents(spark, d)
       .withColumn("t", TextAnalysis.toks($"text"))
       .filter(size($"t") >= 3)
-      .select($"doc_id", explode(array_distinct(shingles($"t"))).as("s"))
+      .select($"doc_id", posexplode($"t").as(Seq("pos", "tok")))
+      .withColumn("t1", lead($"tok", 1).over(wd))
+      .withColumn("t2", lead($"tok", 2).over(wd))
+      .filter($"t2".isNotNull) // drop the two incomplete trailing shingles
+      .withColumn("s", concat_ws(" ", $"tok", $"t1", $"t2"))
       .withColumn("h", xxhash64($"s").bitwiseAND(0xFFFFFFFFL))
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(($"h" * a + b) % MinhashPrime).as(s"m$i")
