@@ -106,11 +106,64 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup: first event per (user_id, event_type), with state
+    * bounded by a 1h watermark (`dropDuplicatesWithinWatermark` evicts
+    * keys once the watermark passes them — the 100 TB-safe form; a plain
+    * dropDuplicates would grow state forever on an unbounded stream).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-stream join: each purchase joined to the same user's clicks
+    * in the preceding hour. Both sides are watermarked and the join
+    * condition is time-bounded, so Spark can evict join state — the
+    * unbounded-stream form of the as-of/window join family.
+    */
+  def purchaseClickJoinStream(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL '1' HOUR"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+  }
+
+  /** Batch twin of [[purchaseClickJoinStream]] (same pair set). */
+  def purchaseClickJoinBatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+    p.join(c,
+      $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL '1' HOUR"))
+      .select($"p_id", $"c_id", $"p_user".as("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_1h" -> (tumblingBatch _),
-    "events_sliding_1h_30m" -> (slidingBatch _))
+    "events_sliding_1h_30m" -> (slidingBatch _),
+    "events_purchase_click_join" -> (purchaseClickJoinBatch _))
 
   val oracles: Map[String, String] = Map(
+    "events_purchase_click_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'""".stripMargin,
     "events_tumbling_1h" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  count(*) AS n,

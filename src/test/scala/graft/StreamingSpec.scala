@@ -99,6 +99,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark covers the batch-distinct key set") {
+    val q = EventStreams.dedupStream(EventStreams.readEventsStream(spark, eventsDir))
+      .select($"user_id", $"event_type")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = Tables.events(spark, sf)
+        .select($"user_id", $"event_type").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // single-batch drain => exact dedup: one emitted row per distinct key
+      assert(got === want)
+      assert(spark.table("dedup_out").count() == want.size)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join == batch twin pair set") {
+    val stream = EventStreams.readEventsStream(spark, eventsDir)
+    val q = EventStreams.purchaseClickJoinStream(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = EventStreams.purchaseClickJoinBatch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("checkpointed file sink is exactly-once across restart (O11 analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graftck")
     val out = s"$dir/out"
