@@ -51,6 +51,36 @@ class RelationalSpec extends SparkSpec {
     assert(inter.distinct.length == inter.length)
   }
 
+  test("ngram top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("text_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to full sort:\n" + p)
+  }
+
+  test("gossip health table runs window + merge aggregate on ONE shuffle") {
+    val p = plan("gossip_health")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected a single workerId exchange reused by window and aggregate, got $exchanges:\n$p")
+  }
+
+  test("range-frame window reuses one user_id exchange") {
+    val p = plan("window_range_frame")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("subqueries compile to semi/anti hash joins, not nested loops") {
+    val p = plan("subquery_in_exists")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "correlated subquery fell back to a nested loop join:\n" + p)
+  }
+
+  test("minhash signatures share one doc_id shuffle between window and aggregate") {
+    val p = text.Dedup.signatures(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 doc_id exchange, got $exchanges:\n$p")
+  }
+
   test("all registered queries return non-negative row counts at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
