@@ -171,6 +171,32 @@ object RelExtras {
       $"c_name".like("Customer%").as("is_customer"))
   }
 
+  /** percent_rank / cume_dist (both are exact integer-count ratios, so
+    * the doubles are bit-identical across engines — no rounding needed).
+    */
+  def windowPct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, d).select(
+      $"o_orderkey", $"o_orderstatus",
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  /** Conditional/boolean aggregates per event type. */
+  def aggConditional(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy($"event_type")
+      .agg(
+        count_if($"value" > 100).as("n_big"),
+        bool_or($"value" > 500).as("any_huge"),
+        bool_and($"value" >= 0).as("all_nonneg"),
+        max_by($"event_id", struct($"value", $"event_id")).as("argmax_value"),
+        min_by($"event_id", struct($"value", $"event_id")).as("argmin_value"))
+  }
+
   /** Date/interval arithmetic surface. */
   def dateFuncs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -232,6 +258,8 @@ object RelExtras {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_pct" -> (windowPct _),
+    "agg_conditional" -> (aggConditional _),
     "agg_approx_percentiles" -> (aggApproxPercentiles _),
     "orders_hash_sample" -> (ordersHashSample _),
     "agg_stats" -> (aggStats _),
@@ -246,6 +274,34 @@ object RelExtras {
     "array_funcs" -> (arrayFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "window_pct" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "agg_conditional" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value ASC, event_id ASC) AS rmin
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type,
+        |    CAST(count(*) FILTER (value > 100) AS BIGINT) AS n_big,
+        |    bool_or(value > 500) AS any_huge,
+        |    bool_and(value >= 0) AS all_nonneg
+        |  FROM events GROUP BY event_type)
+        |SELECT b.event_type, b.n_big, b.any_huge, b.all_nonneg,
+        |       mx.event_id AS argmax_value, mn.event_id AS argmin_value
+        |FROM base b
+        |JOIN (SELECT event_type, event_id FROM ranked WHERE rmax = 1) mx
+        |  USING (event_type)
+        |JOIN (SELECT event_type, event_id FROM ranked WHERE rmin = 1) mn
+        |  USING (event_type)""".stripMargin,
     "agg_approx_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_disc(l_quantity, 0.25) AS ap25_qty,
