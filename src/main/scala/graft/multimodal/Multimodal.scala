@@ -20,6 +20,15 @@ final case class ImageMeta(
 /** One sampled frame of a (fake) video payload. */
 final case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long)
 
+/** Output of the (stubbed) resize + feature-extract stage. */
+final case class ResizedImage(
+    doc_id: Long,
+    width: Long,
+    height: Long,
+    rs_width: Long,
+    rs_height: Long,
+    feat: Double)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns processed by partition-wise decoder functions.
   *
@@ -95,15 +104,40 @@ object Multimodal {
     }
   }
 
+  val TargetWidth = 224L
+
+  /** STUB resize + feature extraction, chained after decode in the same
+    * partition-wise pass (decode → resize → featurize without a shuffle,
+    * the shape a real preprocessing stage keeps at 100 TB). Resize
+    * clamps width to TargetWidth preserving aspect (floor arithmetic —
+    * integer-exact on both engines); the "feature" is a deterministic
+    * scalar a real model head would replace.
+    */
+  def resizeStub(m: ImageMeta): ResizedImage = {
+    val rw = math.min(m.width, TargetWidth)
+    val rh = math.max(1L, m.height * rw / m.width)
+    val feat = ((m.byte_len * 2654435761L + m.doc_id) % 1000L).toDouble / 1000.0
+    ResizedImage(m.doc_id, m.width, m.height, rw, rh, feat)
+  }
+
+  def resized(files: Dataset[MediaFile]): Dataset[ResizedImage] = {
+    import files.sparkSession.implicits._
+    decodeMeta(files).mapPartitions(_.map(resizeStub))
+  }
+
   def metaQuery(spark: SparkSession, d: String): DataFrame =
     decodeMeta(mediaFiles(spark, d)).toDF()
+
+  def resizeQuery(spark: SparkSession, d: String): DataFrame =
+    resized(mediaFiles(spark, d)).toDF()
 
   def framesQuery(spark: SparkSession, d: String): DataFrame =
     sampleFrames(mediaFiles(spark, d)).toDF()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (metaQuery _),
-    "multimodal_frames" -> (framesQuery _))
+    "multimodal_frames" -> (framesQuery _),
+    "multimodal_resize" -> (resizeQuery _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -114,6 +148,18 @@ object Multimodal {
         |  CASE CAST(octet_length(encode(text)) AS BIGINT) % 3
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
         |FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+        |    64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
+        |    64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 480 AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  least(width, 224) AS rs_width,
+        |  greatest(1, height * least(width, 224) // width) AS rs_height,
+        |  CAST((len * 2654435761 + doc_id) % 1000 AS DOUBLE) / 1000.0 AS feat
+        |FROM m""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |  CAST(f AS BIGINT) AS frame_idx,
