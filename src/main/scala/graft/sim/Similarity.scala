@@ -74,28 +74,27 @@ object Similarity {
     Seq.fill(NumPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** (vec_id, v, norm, tbl, bucket) rows for every vector. Each plane is
-    * a CONSTANT array literal, so the 96 plane dots are 96 codegen'd
-    * dot_f64 calls against folded literals in one narrow projection — no
-    * explode, no join, no aggregate. (The previous formulation exploded
-    * 64 dims x N rows through a broadcast join into 96 sum aggregates;
-    * measured ~2x slower, and it re-ran per self-join branch.)
+  /** Register the native all-tables bucket hasher (idempotent). */
+  def registerLsh(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_buckets64",
+      exprs => graft.functions.LshBuckets(
+        exprs.head, planes.map(_.toArray).toArray, PlanesPerTable),
+      "built-in")
+
+  /** (vec_id, v, norm, tbl, bucket) rows for every vector. All 96 plane
+    * dots and the L bucket ids come from ONE native expression
+    * ([[graft.functions.LshBuckets]]) holding the plane matrix as a
+    * referenced object — the per-plane dot_f64-against-literal-array
+    * formulation generated thousands of lines of projection code
+    * (~2 s cold codegen per query); this is a single fused loop with
+    * identical bit-for-bit bucket ids.
     */
   private def bucketRows(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
-    val dotCols = (0 until NumPlanes).map { i =>
-      // SQL double literals parse as DECIMAL; the cast is constant-folded
-      expr(s"dot_f64(v, cast(array(${planes(i).mkString(",")}) as array<double>))")
-        .as(s"dot$i")
-    }
-    val dots = df.select(($"vec_id" +: $"v" +: $"norm" +: dotCols): _*)
-    val bucketCols = (0 until LshTables).map { t =>
-      (0 until PlanesPerTable).map { i =>
-        when(col(s"dot${t * PlanesPerTable + i}") >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    dots.select($"vec_id", $"v", $"norm",
-      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+    registerLsh(df.sparkSession)
+    df.select($"vec_id", $"v", $"norm",
+      posexplode(expr("lsh_buckets64(v)")).as(Seq("tbl", "bucket")))
   }
 
   /** ANN top-K: probes compare only against candidates sharing a bucket

@@ -8,6 +8,37 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native lsh_buckets64 == per-plane dot-sign recompute (bit-for-bit)") {
+    Similarity.registerLsh(spark)
+    graft.functions.DotProduct.register(spark)
+    val rows = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"), expr("lsh_buckets64(v)").as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.take(200).foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val got = r.getSeq[Long](2)
+      assert(got.length == Similarity.LshTables)
+      val want = (0 until Similarity.LshTables).map { t =>
+        (0 until Similarity.PlanesPerTable).map { i =>
+          val p = planesOf(t * Similarity.PlanesPerTable + i)
+          val dot = p.zip(v).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+          if (dot >= 0) 1L << i else 0L
+        }.sum
+      }
+      assert(got == want, s"bucket mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
+  // plane matrix re-derived with the same seed (private in Similarity)
+  private lazy val planesOf: Int => Seq[Double] = {
+    val rnd = new scala.util.Random(7)
+    val m = Seq.fill(Similarity.NumPlanes)(
+      Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    m
+  }
+
   test("exact knn returns K ranked neighbors per probe, no self-match") {
     val rows = Similarity.knnExact(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
