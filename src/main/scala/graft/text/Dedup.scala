@@ -163,26 +163,21 @@ object Dedup {
 
   /** 64-bit simhash over distinct tokens: bit b is the sign of the sum of
     * ±1 contributions from each token's hash bit b. Tokens are exploded
-    * and the 64 bit balances run as codegen'd aggregate columns (same
-    * rationale as [[signatures]]); one shuffle on doc_id.
+    * and the 64 balances accumulate in ONE native
+    * [[graft.functions.SimHashAgg]] buffer (a long[64] per group with
+    * map-side combine) instead of 64 separate sum columns — same result
+    * bit for bit, one shuffle on doc_id.
     */
   def simhashDocs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val exploded = Tables.documents(spark, d)
+    graft.functions.SimHashAgg.register(spark)
+    Tables.documents(spark, d)
       .withColumn("t", TextAnalysis.toks($"text"))
       .filter(size($"t") >= 1)
       .select($"doc_id", explode(array_distinct($"t")).as("tok"))
       .withColumn("h", xxhash64($"tok"))
-    val balCols = (0 until 64).map { b =>
-      sum(shiftright($"h", b).bitwiseAND(1L) * 2 - 1).as(s"bal$b")
-    }
-    exploded
       .groupBy($"doc_id")
-      .agg(balCols.head, balCols.tail: _*)
-      .select($"doc_id",
-        (0 until 64).map(b =>
-          when(col(s"bal$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-          .as("simhash"))
+      .agg(expr("simhash_agg(h)").as("simhash"))
   }
 
   /** Candidate threshold. With 4 chunks of 16 bits, the pigeonhole

@@ -46,6 +46,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("native simhash_agg == local bit-balance recompute") {
+    val docs = Dedup.simhashDocs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, sf)
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .filter(size($"t") >= 1)
+      .select($"doc_id", array_distinct($"t").as("dt"))
+      .withColumn("hs", transform($"dt", x => xxhash64(x)))
+      .select($"doc_id", $"hs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(toks.nonEmpty)
+    toks.take(50).foreach { case (id, hs) =>
+      val bal = new Array[Long](64)
+      hs.foreach { h =>
+        (0 until 64).foreach(b => bal(b) += ((h >>> b) & 1L) * 2L - 1L)
+      }
+      val want = (0 until 64).map(b => if (bal(b) > 0) 1L << b else 0L).sum
+      assert(docs(id) == want, s"simhash mismatch for doc $id")
+    }
+  }
+
   test("simhash: identical docs collide, near-dup within small hamming") {
     val tmp = java.nio.file.Files.createTempDirectory("graftsim")
     docsWithDup
