@@ -95,9 +95,11 @@ object Dedup {
     * array-lambda formulation (`transform(sequence(...), slice+concat)`)
     * is interpreted per element and was the measured hotspot (~2s of a
     * ~3s query at sf0.1); explode+window+hash+agg all run in
-    * codegen/unsafe-row paths. The window and the 64-min aggregate both
-    * partition on doc_id, so the whole signature computation is ONE
-    * shuffle. Shingles are deliberately NOT deduplicated per document:
+    * codegen/unsafe-row paths; the 64 permutation minima accumulate in
+    * ONE native [[graft.functions.MinHashAgg]] long[64] buffer (map-side
+    * combined). The window and the aggregate both partition on doc_id,
+    * so the whole signature computation is ONE shuffle. Shingles are
+    * deliberately NOT deduplicated per document:
     * a permutation minimum is identical over a multiset and its set, so
     * dedup would cost work and change nothing.
     */
@@ -114,13 +116,14 @@ object Dedup {
       .filter($"t2".isNotNull) // drop the two incomplete trailing shingles
       .withColumn("s", concat_ws(" ", $"tok", $"t1", $"t2"))
       .withColumn("h", xxhash64($"s").bitwiseAND(0xFFFFFFFFL))
-    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(($"h" * a + b) % MinhashPrime).as(s"m$i")
-    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_agg",
+      exprs => graft.functions.MinHashAgg(
+        exprs.head, perms.map(_._1).toArray, perms.map(_._2).toArray, MinhashPrime),
+      "built-in")
     exploded
       .groupBy($"doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select($"doc_id", array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(expr("minhash_agg(h)").as("sig"))
   }
 
   /** Candidate pairs via banded LSH + signature-estimated Jaccard.
