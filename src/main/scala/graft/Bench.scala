@@ -31,9 +31,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    spark.stop()
-    // Printed LAST, after shutdown, so no executor log line can interleave
-    // with the one machine-readable JSON line the driver parses.
+    // Stop BEFORE printing so no executor log line can interleave with
+    // the one machine-readable JSON line — but never let a shutdown
+    // exception eat that line.
+    try spark.stop() catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -116,39 +116,41 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
-  /** Stream-stream join: each purchase joined to the same user's clicks
-    * in the preceding hour. Both sides are watermarked and the join
-    * condition is time-bounded, so Spark can evict join state — the
-    * unbounded-stream form of the as-of/window join family.
+  /** The purchase/click interval-join shape, shared verbatim by the
+    * streaming operator and its batch twin so the two cannot drift
+    * (the StreamingSpec convergence test compares them).
     */
-  def purchaseClickJoinStream(events: DataFrame): DataFrame = {
-    val p = events.filter(col("event_type") === "purchase")
+  private def purchaseSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
         col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val c = events.filter(col("event_type") === "click")
+
+  private def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
         col("ts").as("c_ts"))
-      .withWatermark("c_ts", "2 hours")
+
+  private def intervalJoin(p: DataFrame, c: DataFrame): DataFrame =
     p.join(c,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL '1' HOUR"))
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
-  }
+
+  /** Stream-stream join: each purchase joined to the same user's clicks
+    * in the preceding hour. Both sides are watermarked and the join
+    * condition is time-bounded, so Spark can evict join state — the
+    * unbounded-stream form of the as-of/window join family.
+    */
+  def purchaseClickJoinStream(events: DataFrame): DataFrame =
+    intervalJoin(
+      purchaseSide(events).withWatermark("p_ts", "1 hour"),
+      clickSide(events).withWatermark("c_ts", "2 hours"))
 
   /** Batch twin of [[purchaseClickJoinStream]] (same pair set). */
   def purchaseClickJoinBatch(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
     val e = Tables.events(spark, d)
-    val p = e.filter($"event_type" === "purchase")
-      .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
-    val c = e.filter($"event_type" === "click")
-      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
-    p.join(c,
-      $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
-        $"c_ts" >= $"p_ts" - expr("INTERVAL '1' HOUR"))
-      .select($"p_id", $"c_id", $"p_user".as("user_id"))
+    intervalJoin(purchaseSide(e), clickSide(e))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

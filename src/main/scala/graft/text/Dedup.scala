@@ -81,6 +81,9 @@ object Dedup {
       ((rnd.nextInt(1 << 29).toLong << 1) | 1L, rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  /** Exposed for the bit-for-bit parity test. */
+  def permConstants: Seq[(Long, Long)] = perms
+
   /** 3-token shingles of a token-array column (retained as the
     * reference formulation; [[signatures]] builds the same shingles via
     * posexplode+lead, which stays in codegen).

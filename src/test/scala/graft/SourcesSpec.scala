@@ -91,6 +91,7 @@ class SourcesSpec extends SparkSpec {
         "no runtime bloom filter injected on the fact scan:\n" + plan)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
       spark.conf.unset("spark.sql.optimizer.runtimeFilter.number.threshold")

@@ -46,6 +46,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("native minhash_agg == local (a*h+b) mod P recompute (bit-for-bit)") {
+    val sigs = Dedup.signatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent shingle-hash recompute via the retained array formulation
+    val hashes = Tables.documents(spark, sf)
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id",
+        transform(Dedup.shingles($"t"),
+          s => xxhash64(s).bitwiseAND(0xFFFFFFFFL)).as("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(hashes.nonEmpty)
+    hashes.take(50).foreach { case (id, hs) =>
+      val want = Dedup.permConstants.map { case (a, b) =>
+        hs.map(h => (h * a + b) % Dedup.MinhashPrime).min
+      }
+      assert(sigs(id) == want, s"minhash signature mismatch for doc $id")
+    }
+  }
+
   test("native simhash_agg == local bit-balance recompute") {
     val docs = Dedup.simhashDocs(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
