@@ -98,6 +98,21 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("dot_f64 yields null (not a truncated dot) on mismatched-length vectors") {
+    graft.functions.DotProduct.register(spark)
+    val rows = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)), // equal length
+      (2L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)),      // mismatch -> null
+      (3L, Seq.empty[Double], Seq.empty[Double]))   // empty == empty -> 0.0
+      .toDF("id", "a", "b")
+      .selectExpr("id", "dot_f64(a, b) AS d")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows(1L) === Some(32.0))
+    assert(rows(2L) === None, "mismatched lengths must be null, not a silent min-length dot")
+    assert(rows(3L) === Some(0.0))
+  }
+
   test("salted aggregation equals plain groupBy (plan differs, result not)") {
     val salted = graft.relational.Skew.skewSaltedAgg(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
