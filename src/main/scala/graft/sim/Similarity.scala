@@ -148,6 +148,15 @@ object Similarity {
   /** Max vectors the quantizer trains on (driver-side sample). */
   val TrainCap = 16384
 
+  /** Bounded driver-side training sample, sorted by vec_id so the probe
+    * vectors (vec_id < NumQueries) are always present.
+    */
+  private def trainSample(e: DataFrame): Array[(Long, Array[Double])] =
+    e.select(col("vec_id"), col("v"))
+      .sort(col("vec_id")).limit(TrainCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
   /** Deterministic Lloyd k-means coarse quantizer trained on a bounded
     * driver-side sample — the standard IVF recipe (FAISS trains its
     * quantizer on a sample too): collecting TrainCap 64-dim vectors is
@@ -157,11 +166,7 @@ object Similarity {
     * microseconds and exactly reproducible (seeded init, fixed
     * iteration count, ties to the lowest cell index).
     */
-  private def centroids(e: DataFrame): Array[Array[Double]] = {
-    val sample = e.select(col("vec_id"), col("v"))
-      .sort(col("vec_id")).limit(TrainCap)
-      .collect()
-      .map(r => r.getSeq[Double](1).toArray)
+  private def centroids(sample: Array[Array[Double]]): Array[Array[Double]] = {
     val k = IvfCells
     val rnd = new scala.util.Random(42)
     val cents = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
@@ -202,42 +207,60 @@ object Similarity {
     cents
   }
 
-  /** IVF ANN top-K: vectors are assigned to their nearest KMeans
-    * centroid (the inverted file's cell); probes search their IvfProbes
-    * nearest cells. The centroid table is tiny and broadcast — at scale
-    * the train step runs on a sample and the assignment is a narrow
-    * codegen'd pass, so the only join is probe-cell x candidate-cell.
-    * Rows-only driver check; recall measured in SimilaritySpec.
+  /** Squared L2 to each centroid via -2·v·c + |c|² (the |v|² term is
+    * constant per vector), left-to-right dot — shared by the local probe
+    * ranking and [[graft.functions.NearestCell]] so driver and executor
+    * agree bit for bit.
+    */
+  private def cellScores(v: Array[Double], cents: Array[Array[Double]]): Array[Double] =
+    cents.map { c =>
+      var acc = 0.0
+      var j = 0
+      while (j < c.length) { acc += v(j) * c(j); j += 1 }
+      -2.0 * acc + c.foldLeft(0.0)((a, x) => a + x * x)
+    }
+
+  /** IVF ANN top-K: candidates are assigned to their nearest centroid by
+    * the native [[graft.functions.NearestCell]] expression — a narrow
+    * codegen'd pass with NO join, window, or shuffle (the previous
+    * 16-way cross join + rank window ran twice, once per consumer). The
+    * probe side (NumQueries vectors) ranks its IvfProbes cells on the
+    * driver, next to the quantizer fit, and broadcasts ~40 rows. The
+    * only shuffles left are the narrow cross-table distinct and the
+    * final per-query top-k. Rows-only driver check; recall measured in
+    * SimilaritySpec.
     */
   def annIvf(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = withVec(Tables.embeddings(spark, d))
-    val cents = centroids(e)
-    val centDf = broadcast(
-      cents.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
-        .toDF("cell", "cv0", "cn2"))
-    // nearest cell per vector: cross join the 16 centroids, rank by
-    // ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; the ||v||^2 term is constant
-    // per vector so ranking on (-2 v.c + ||c||^2) is equivalent — and
-    // dot_f64 keeps the whole scoring pass inside codegen (an
-    // aggregate(zip_with(...)) here is interpreted and ~10x slower).
-    val wCell = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
-    val assigned = e.crossJoin(centDf)
-      .withColumn("d2", expr("-2 * dot_f64(v, cv0)") + $"cn2")
-      .withColumn("cr", row_number().over(wCell))
-    val cand = assigned.filter($"cr" === 1)
+    val sample = trainSample(e)
+    val cents = centroids(sample.map(_._2))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell",
+      exprs => graft.functions.NearestCell(exprs.head, cents),
+      "built-in")
+    val cand = e
+      .withColumn("cell", expr("nearest_cell(v)"))
       .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"), $"cell")
-    val probes = assigned.filter($"vec_id" < NumQueries && $"cr" <= IvfProbes)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"), $"cell")
+    // probe cells ranked locally: (d2 asc, cell asc), top IvfProbes
+    val probeRows = sample.filter(_._1 < NumQueries).flatMap { case (id, v) =>
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) { acc += v(j) * v(j); j += 1 }
+      val qnorm = math.sqrt(acc)
+      cellScores(v, cents).zipWithIndex
+        .sortBy { case (d2, c) => (d2, c) }
+        .take(IvfProbes)
+        .map { case (_, c) => (id, c, v.toSeq, qnorm) }
+    }.toSeq
+    val probes = broadcast(probeRows.toDF("query_id", "cell", "qv", "qnorm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
-    cand.join(broadcast(probes), "cell")
+    cand.join(probes, "cell")
       .filter($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id", $"qv", $"cv", $"qnorm", $"cnorm")
-      .distinct()
       .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .select($"query_id", $"neighbor_id", $"sim")
+      .distinct()
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= K)
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
