@@ -70,6 +70,39 @@ object EventStreams {
       .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
   }
 
+  /** Gap-based session aggregation via session_window (the engine-native
+    * form of the lag/cumsum sessionize query — same 30 min gap rule):
+    * one row per (user, session) with the event count and session start.
+    * Works identically over a stream with a watermark (see spec).
+    */
+  def sessionAggBatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+      .select($"user_id", $"sw.start".as("s_start"), $"n", $"sum_value")
+  }
+
+  /** Streaming variant of [[sessionAggBatch]] with a 1h watermark. */
+  def sessionAggStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+      .select($"user_id", $"sw.start".as("s_start"), $"n", $"sum_value")
+  }
+
+  /** Streaming variant of [[slidingBatch]] (1h windows every 30m). */
+  def slidingStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
+  }
+
   /** Streaming variant of [[tumblingBatch]] with a 1h watermark. */
   def tumblingStream(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
@@ -156,9 +189,29 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_1h" -> (tumblingBatch _),
     "events_sliding_1h_30m" -> (slidingBatch _),
+    "events_session_agg" -> (sessionAggBatch _),
     "events_purchase_click_join" -> (purchaseClickJoinBatch _))
 
   val oracles: Map[String, String] = Map(
+    // session_window semantics are half-open [start, last+gap): an event
+    // exactly gap after its predecessor starts a NEW session, hence >=
+    "events_session_agg" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+        |              >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, t, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s)
+        |SELECT user_id, min(t) AS s_start, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "events_purchase_click_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

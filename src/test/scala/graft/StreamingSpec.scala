@@ -99,6 +99,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows (complete mode) == batch twin") {
+    val q = EventStreams.sessionAggStream(EventStreams.readEventsStream(spark, eventsDir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))
+      val got = spark.table("sess_out").collect().map(key).toSet
+      val want = EventStreams.sessionAggBatch(spark, sf).collect().map(key).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming sliding windows (complete mode) == batch twin") {
+    val q = EventStreams.slidingStream(EventStreams.readEventsStream(spark, eventsDir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val got = spark.table("slide_out").collect().map(key).toSet
+      val want = EventStreams.slidingBatch(spark, sf).collect().map(key).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark covers the batch-distinct key set") {
     val q = EventStreams.dedupStream(EventStreams.readEventsStream(spark, eventsDir))
       .select($"user_id", $"event_type")
