@@ -212,6 +212,27 @@ object RelExtras {
       date_format($"o_orderdate", "yyyy-MM").as("ym"))
   }
 
+  /** Map function surface: build a per-user event_type→count map with
+    * map_from_entries, then probe it (element_at / size /
+    * map_contains_key / map_keys). Scalar outputs only; the oracle
+    * recomputes the same values with conditional aggregation — the map
+    * machinery under test is Spark's.
+    */
+  def mapFuncs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"n"))).as("m"))
+      .select(
+        $"user_id",
+        coalesce(element_at($"m", "click"), lit(0L)).as("n_click"),
+        size($"m").cast("long").as("n_types"),
+        map_contains_key($"m", "error").as("has_error"),
+        array_join(sort_array(map_keys($"m")), ",").as("types"))
+  }
+
   /** Array function surface (scalar outputs only — list columns don't
     * canonicalize identically across parquet readers).
     */
@@ -260,6 +281,7 @@ object RelExtras {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_pct" -> (windowPct _),
     "agg_conditional" -> (aggConditional _),
+    "map_funcs" -> (mapFuncs _),
     "agg_approx_percentiles" -> (aggApproxPercentiles _),
     "orders_hash_sample" -> (ordersHashSample _),
     "agg_stats" -> (aggStats _),
@@ -274,6 +296,13 @@ object RelExtras {
     "array_funcs" -> (arrayFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "map_funcs" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  bool_or(event_type = 'error') AS has_error,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id""".stripMargin,
     "window_pct" ->
       """SELECT o_orderkey, o_orderstatus,
         |  percent_rank() OVER w AS pct_rank,
