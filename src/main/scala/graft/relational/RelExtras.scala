@@ -212,6 +212,37 @@ object RelExtras {
       date_format($"o_orderdate", "yyyy-MM").as("ym"))
   }
 
+  /** UNPIVOT (wide→long, the inverse of pivot_events): three lineitem
+    * measures melted into (measure, val) rows.
+    */
+  def unpivotLineitem(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .filter($"l_orderkey" % 100 === 0) // keep the long table bounded
+      .select($"l_orderkey", $"l_linenumber".cast("long").as("line"),
+        $"l_quantity", $"l_discount", $"l_tax")
+      .unpivot(
+        Array($"l_orderkey", $"line"),
+        Array($"l_quantity", $"l_discount", $"l_tax"),
+        "measure", "val")
+  }
+
+  /** Date-spine densification: every (order, month) pair for the three
+    * months starting at the order month — the calendar-fill pattern for
+    * gap-free time series (explode of a generated sequence; no join
+    * against a materialized calendar table needed).
+    */
+  def dateSpine(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey",
+        explode(sequence(
+          date_trunc("month", $"o_orderdate"),
+          date_trunc("month", $"o_orderdate") + expr("INTERVAL '2' MONTH"),
+          expr("INTERVAL '1' MONTH"))).as("month"))
+  }
+
   /** Map function surface: build a per-user event_type→count map with
     * map_from_entries, then probe it (element_at / size /
     * map_contains_key / map_keys). Scalar outputs only; the oracle
@@ -282,6 +313,8 @@ object RelExtras {
     "window_pct" -> (windowPct _),
     "agg_conditional" -> (aggConditional _),
     "map_funcs" -> (mapFuncs _),
+    "unpivot_lineitem" -> (unpivotLineitem _),
+    "date_spine" -> (dateSpine _),
     "agg_approx_percentiles" -> (aggApproxPercentiles _),
     "orders_hash_sample" -> (ordersHashSample _),
     "agg_stats" -> (aggStats _),
@@ -296,6 +329,24 @@ object RelExtras {
     "array_funcs" -> (arrayFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "unpivot_lineitem" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
+        |       'l_quantity' AS measure, l_quantity AS val
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax', l_tax
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+    "date_spine" ->
+      """SELECT o_orderkey, CAST(m AS TIMESTAMP) AS month
+        |FROM (SELECT o_orderkey,
+        |        unnest(generate_series(date_trunc('month', o_orderdate),
+        |                               date_trunc('month', o_orderdate)
+        |                                 + INTERVAL '2 months',
+        |                               INTERVAL '1 month')) AS m
+        |      FROM orders WHERE o_orderkey % 100 = 0) t""".stripMargin,
     "map_funcs" ->
       """SELECT user_id,
         |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
