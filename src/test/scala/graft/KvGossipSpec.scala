@@ -69,6 +69,23 @@ class KvGossipSpec extends SparkSpec {
     assert(cell.version == 1 && cell.n_errversion == 1)
   }
 
+  test("lock via CAS cell: contended acquires admit exactly one holder per epoch (srv/lock/lock.go:32-70 analog)") {
+    // The reference lock spins on a CAS cell: acquire = Put(owner, v)
+    // where v is the version observed while the cell reads "free";
+    // release = Put("free", v'). Model one contended epoch as an op-log:
+    // both clients observed version 1 ("free" at v1) and race their Put.
+    val ops = List(
+      KvOp("lock", "free", 0, 0), // init: cell created -> version 1
+      KvOp("lock", "A", 1, 1),    // A acquires (saw v1) -> OK, version 2
+      KvOp("lock", "B", 1, 2),    // B raced with stale v1 -> ErrVersion
+      KvOp("lock", "free", 2, 3), // A releases (saw v2) -> version 3
+      KvOp("lock", "B", 3, 4))    // B retries with fresh v3 -> OK
+    val cell = KVStore.replayKey("lock", ops.iterator)
+    // exactly one acquire succeeded per epoch: init + A + release + B = 4 OKs
+    assert(cell.n_ok == 4 && cell.n_errversion == 1)
+    assert(cell.value == "B" && cell.version == 4, "final holder must be the retrying client")
+  }
+
   test("kv_cas_replay over events is deterministic across runs") {
     val a = KVStore.casReplay(spark, sf).collect().toSet
     val b = KVStore.casReplay(spark, sf).collect().toSet
