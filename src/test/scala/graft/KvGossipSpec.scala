@@ -148,6 +148,17 @@ class KvGossipSpec extends SparkSpec {
     }
   }
 
+  test("reference TestGossipMerge mirror: newer Suspect entry replaces Alive (tests/test_gossip.go:31-57)") {
+    val alive = HealthObs(1, 0, 0, 1000) // entry1: Alive, susp 0
+    val suspect = HealthObs(1, 1, 2, 1001) // entry2: Suspect, susp 2, later update
+    assert(reduceAll(List(alive, suspect)).status == 1, "merge must adopt the newer Suspect entry")
+    assert(reduceAll(List(suspect, alive)).status == 1, "in either delivery order")
+    // and the recovery direction the reference merge also allows
+    // (mr/gossip.go:90-96): a newer Alive observation de-escalates
+    val aliveLater = HealthObs(1, 0, 2, 1002)
+    assert(reduceAll(List(suspect, aliveLater)).status == 0)
+  }
+
   test("gossip_health query matches a local recompute at sf0.001") {
     val got = HealthMerge.healthTable(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
