@@ -98,6 +98,37 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions installs native functions at session build (spark.sql.extensions path)") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate would hand back the suite session (ignoring the
+    // extensions); clear active/default to force a NEW SparkSession on
+    // the same SparkContext, then restore.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne spark, "expected a fresh session carrying the extensions")
+      // a session built with the extension resolves the natives in SQL
+      // text with NO imperative register call
+      val d = s2.sql(
+        "SELECT dot_f64(cast(array(1.0,2.0) as array<double>), " +
+          "cast(array(3.0,4.0) as array<double>)) AS d").collect().head.getDouble(0)
+      assert(d == 11.0)
+      val sh = s2.sql(
+        "SELECT simhash_agg(h) AS s FROM VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT)) t(h)")
+        .collect().head.getLong(0)
+      assert(sh == 1L, s"bits 0 (+2) and 1 (0, tie->0) expected, got $sh")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("dot_f64 yields null (not a truncated dot) on mismatched-length vectors") {
     graft.functions.DotProduct.register(spark)
     val rows = Seq(
