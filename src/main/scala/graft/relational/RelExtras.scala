@@ -212,6 +212,25 @@ object RelExtras {
       date_format($"o_orderdate", "yyyy-MM").as("ym"))
   }
 
+  /** Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg):
+    * per-group sketches unioned into a global estimate WITHOUT rescanning
+    * — the property that makes distinct-count cheap at 100 TB (partial
+    * sketches merge associatively across partitions, days, or tables).
+    * Engine-specific binary sketch → rows-only driver check; the
+    * estimate-vs-exact bound is pinned in RelationalSpec.
+    */
+  def hllPartsSketch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val perFlag = Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+    val global = perFlag
+      .agg(hll_union_agg($"sk").as("sk"))
+      .select(lit("ALL").as("l_returnflag"), hll_sketch_estimate($"sk").as("est_parts"))
+    perFlag.select($"l_returnflag", hll_sketch_estimate($"sk").as("est_parts"))
+      .unionByName(global)
+  }
+
   /** UNPIVOT (wide→long, the inverse of pivot_events): three lineitem
     * measures melted into (measure, val) rows.
     */
@@ -315,6 +334,7 @@ object RelExtras {
     "map_funcs" -> (mapFuncs _),
     "unpivot_lineitem" -> (unpivotLineitem _),
     "date_spine" -> (dateSpine _),
+    "hll_parts_sketch" -> (hllPartsSketch _),
     "agg_approx_percentiles" -> (aggApproxPercentiles _),
     "orders_hash_sample" -> (ordersHashSample _),
     "agg_stats" -> (aggStats _),

@@ -81,6 +81,21 @@ class RelationalSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 doc_id exchange, got $exchanges:\n$p")
   }
 
+  test("hll sketch union estimate tracks exact distinct (within 5%)") {
+    val est = SparkEntry.queries("hll_parts_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+    val exactAll = li.select("l_partkey").distinct().count()
+    assert(math.abs(est("ALL") - exactAll).toDouble / exactAll < 0.05,
+      s"global sketch estimate ${est("ALL")} vs exact $exactAll")
+    val exactFlag = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_partkey")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactFlag.foreach { case (f, n) =>
+      assert(math.abs(est(f) - n).toDouble / n < 0.05, s"flag $f: ${est(f)} vs $n")
+    }
+  }
+
   test("all registered queries return non-negative row counts at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
