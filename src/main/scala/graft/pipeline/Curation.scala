@@ -70,10 +70,44 @@ object Curation {
         ($"stop_hits".cast("double") / $"n_tokens").as("stop_ratio"))
   }
 
+  /** The whole training-data preparation chain in one query — what "a
+    * user of the reference switching to this library" actually runs:
+    * language gate (en) → quality gates (length, repetition) → exact
+    * dedup (lowest doc_id per normalized text) → near-dup removal
+    * (blocked token-set Jaccard >= 0.8 drops the higher doc_id) →
+    * per-source corpus summary. Narrow until the dedup shuffle; the
+    * near-dup stage reuses the bucket-capped pair generator (never a
+    * raw self-join); the final aggregate is partial+final on source.
+    */
+  def trainingMix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val lang = TextAnalysis.langId(spark, d).select($"doc_id", $"pred_lang")
+    val docs = Tables.documents(spark, d)
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .withColumn("n_tokens", size($"t").cast("long"))
+      .withColumn("n_distinct", size(array_distinct($"t")).cast("long"))
+      .withColumn("norm", TextAnalysis.normText($"text"))
+    val gated = docs.join(lang, "doc_id")
+      .filter($"pred_lang" === "en" && $"n_tokens" >= 30 &&
+        $"n_distinct".cast("double") / $"n_tokens" >= 0.2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"norm").orderBy($"doc_id")
+    val exactKept = gated.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val nearDupLosers = graft.text.Dedup.jaccardPairs(spark, d)
+      .filter($"jacc" >= 0.8).select($"doc_b".as("doc_id")).distinct()
+    exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        min($"doc_id").as("first_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join_tiers" -> (rangeJoinTiers _),
     "sql_orders_above_avg" -> (sqlOrdersAboveAvg _),
-    "corpus_curation" -> (corpusCuration _))
+    "corpus_curation" -> (corpusCuration _),
+    "training_mix" -> (trainingMix _))
 
   val oracles: Map[String, String] = Map(
     "range_join_tiers" ->
@@ -90,6 +124,50 @@ object Curation {
         |WHERE o_totalprice > (
         |  SELECT CAST(sum(CAST(round(i.o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100/count(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+    "training_mix" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, source, t, norm,
+        |    CAST(len(t) AS BIGINT) AS n_tokens
+        |  FROM base
+        |  WHERE len(list_filter(t, x -> x = 'the' OR x = 'a'))
+        |          >= len(list_filter(t, x -> x = 'der' OR x = 'und' OR x = 'data' OR x = 'batch'))
+        |    AND len(list_filter(t, x -> x = 'the' OR x = 'a'))
+        |          >= len(list_filter(t, x -> x = 'le' OR x = 'et' OR x = 'stream' OR x = 'query'))
+        |    AND len(list_filter(t, x -> x = 'the' OR x = 'a'))
+        |          >= len(list_filter(t, x -> x = 'el' OR x = 'y' OR x = 'table' OR x = 'row'))
+        |    AND len(t) >= 30
+        |    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.2),
+        |exact_kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |    FROM gated) x WHERE rn = 1),
+        |jd0 AS (
+        |  SELECT doc_id, list_distinct(t) AS dt, t[1] AS b1,
+        |         CAST(floor(len(t) / 10) AS BIGINT) AS b2
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |        FROM documents) x),
+        |jd AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY b1, b2) AS bsz FROM jd0) y
+        |  WHERE bsz <= 50),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM jd a JOIN jd b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_filter(a.dt, x -> list_contains(b.dt, x))) AS DOUBLE) /
+        |        (len(a.dt) + len(b.dt)
+        |          - len(list_filter(a.dt, x -> list_contains(b.dt, x)))) >= 0.8)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       min(doc_id) AS first_doc
+        |FROM exact_kept k
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)
+        |GROUP BY source""".stripMargin,
     "corpus_curation" ->
       """SELECT doc_id, n_tokens,
         |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
