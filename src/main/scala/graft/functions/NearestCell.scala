@@ -21,7 +21,7 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression {
 
   private val dim = if (cents.nonEmpty) cents(0).length else 0
-  private val cn2: Array[Double] = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
+  private val cn2: Array[Double] = NearestCell.cn2Of(cents)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -33,16 +33,11 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
 
   def compute(v: ArrayData): Any = {
     if (v.numElements() != dim) return null
+    val scores = NearestCell.scores(v.toDoubleArray(), cents, cn2)
     var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < cents.length) {
-      val p = cents(c)
-      var acc = 0.0
-      var j = 0
-      while (j < dim) { acc += v.getDouble(j) * p(j); j += 1 }
-      val d2 = -2.0 * acc + cn2(c)
-      if (d2 < bestD) { bestD = d2; best = c }
+    var c = 1
+    while (c < scores.length) {
+      if (scores(c) < scores(best)) { best = c }
       c += 1
     }
     best
@@ -65,4 +60,28 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object NearestCell {
+  /** The ONE scoring loop (-2·v·c + |c|², left-to-right dot) — used by
+    * the expression's per-row argmin AND by the driver-side probe-cell
+    * ranking in Similarity, so both sides agree bit for bit by
+    * construction.
+    */
+  def scores(v: Array[Double], cents: Array[Array[Double]], cn2: Array[Double]): Array[Double] = {
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val p = cents(c)
+      var acc = 0.0
+      var j = 0
+      while (j < p.length) { acc += v(j) * p(j); j += 1 }
+      out(c) = -2.0 * acc + cn2(c)
+      c += 1
+    }
+    out
+  }
+
+  def cn2Of(cents: Array[Array[Double]]): Array[Double] =
+    cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
 }

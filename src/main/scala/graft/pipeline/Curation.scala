@@ -81,14 +81,22 @@ object Curation {
     */
   def trainingMix(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val lang = TextAnalysis.langId(spark, d).select($"doc_id", $"pred_lang")
+    // the language gate is computed INLINE from the token column (the
+    // same profile hits langId uses) — no second documents scan, no
+    // doc_id join; "pred_lang == en" is exactly en_hits >= every other
+    // profile's hits (en wins ties in langId's cascade)
+    val langProfile = TextAnalysis.LangProfiles.toMap
     val docs = Tables.documents(spark, d)
       .withColumn("t", TextAnalysis.toks($"text"))
       .withColumn("n_tokens", size($"t").cast("long"))
       .withColumn("n_distinct", size(array_distinct($"t")).cast("long"))
       .withColumn("norm", TextAnalysis.normText($"text"))
-    val gated = docs.join(lang, "doc_id")
-      .filter($"pred_lang" === "en" && $"n_tokens" >= 30 &&
+      .withColumn("en_hits", TextAnalysis.hits($"t", langProfile("en")))
+    val gated = Seq("de", "fr", "es")
+      .foldLeft(docs) { (df, l) =>
+        df.filter($"en_hits" >= TextAnalysis.hits($"t", langProfile(l)))
+      }
+      .filter($"n_tokens" >= 30 &&
         $"n_distinct".cast("double") / $"n_tokens" >= 0.2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"norm").orderBy($"doc_id")

@@ -224,11 +224,17 @@ object RelExtras {
     val perFlag = Tables.lineitem(spark, d)
       .groupBy($"l_returnflag")
       .agg(hll_sketch_agg($"l_partkey").as("sk"))
-    val global = perFlag
-      .agg(hll_union_agg($"sk").as("sk"))
-      .select(lit("ALL").as("l_returnflag"), hll_sketch_estimate($"sk").as("est_parts"))
-    perFlag.select($"l_returnflag", hll_sketch_estimate($"sk").as("est_parts"))
-      .unionByName(global)
+    // Materialize the sketch table (one row per group — bounded and
+    // tiny; this is the artifact a 100 TB pipeline would persist) so
+    // the per-flag estimates AND their union read it without
+    // recomputing the lineitem scan per union branch.
+    val skDf = spark.createDataFrame(
+      java.util.Arrays.asList(perFlag.collect(): _*), perFlag.schema)
+    skDf.select($"l_returnflag", hll_sketch_estimate($"sk").as("est_parts"))
+      .unionByName(
+        skDf.agg(hll_union_agg($"sk").as("sk"))
+          .select(lit("ALL").as("l_returnflag"),
+            hll_sketch_estimate($"sk").as("est_parts")))
   }
 
   /** UNPIVOT (wide→long, the inverse of pivot_events): three lineitem

@@ -208,17 +208,19 @@ object Similarity {
   }
 
   /** Squared L2 to each centroid via -2·v·c + |c|² (the |v|² term is
-    * constant per vector), left-to-right dot — shared by the local probe
-    * ranking and [[graft.functions.NearestCell]] so driver and executor
-    * agree bit for bit.
+    * constant per vector): DELEGATES to NearestCell.scores — the same
+    * function object the expression's per-row argmin calls — so the
+    * driver-side probe ranking and the executor-side assignment agree
+    * bit for bit by construction (also pinned by the parity test).
     */
   private def cellScores(v: Array[Double], cents: Array[Array[Double]]): Array[Double] =
-    cents.map { c =>
-      var acc = 0.0
-      var j = 0
-      while (j < c.length) { acc += v(j) * c(j); j += 1 }
-      -2.0 * acc + c.foldLeft(0.0)((a, x) => a + x * x)
-    }
+    graft.functions.NearestCell.scores(v, cents, graft.functions.NearestCell.cn2Of(cents))
+
+  /** The fitted quantizer for a dataset (exposed for the parity test —
+    * same deterministic sample + Lloyd fit annIvf uses).
+    */
+  def fitCentroids(spark: SparkSession, d: String): Array[Array[Double]] =
+    centroids(trainSample(withVec(Tables.embeddings(spark, d))).map(_._2))
 
   /** IVF ANN top-K: candidates are assigned to their nearest centroid by
     * the native [[graft.functions.NearestCell]] expression — a narrow
@@ -256,11 +258,13 @@ object Similarity {
     val probes = broadcast(probeRows.toDF("query_id", "cell", "qv", "qnorm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    // no distinct needed: each candidate has exactly ONE cell and a
+    // probe's IvfProbes cells are distinct, so a (query, neighbor) pair
+    // joins at most once — unlike the LSH path where a pair can collide
+    // in several tables
     cand.join(probes, "cell")
       .filter($"neighbor_id" =!= $"query_id")
       .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
-      .select($"query_id", $"neighbor_id", $"sim")
-      .distinct()
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= K)
       .select($"query_id", $"neighbor_id", $"rk", $"sim")

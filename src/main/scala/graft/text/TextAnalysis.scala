@@ -45,7 +45,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "et", "stream", "query"),
     "es" -> Seq("el", "y", "table", "row"))
 
-  private def hits(t: Column, words: Seq[String]): Column =
+  def hits(t: Column, words: Seq[String]): Column =
     size(filter(t, x => words.map(x === _).reduce(_ || _))).cast("long")
 
   /** N-gram/stopword language ID: count profile hits per language, pick

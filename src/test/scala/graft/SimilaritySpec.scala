@@ -39,6 +39,25 @@ class SimilaritySpec extends SparkSpec {
     m
   }
 
+  test("native nearest_cell == shared-scoring argmin recompute (bit-for-bit)") {
+    import graft.functions.NearestCell
+    val cents = Similarity.fitCentroids(spark, sf)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell_t", exprs => NearestCell(exprs.head, cents), "built-in")
+    val rows = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"), expr("nearest_cell_t(v)").as("cell"))
+      .collect()
+    assert(rows.nonEmpty)
+    val cn2 = NearestCell.cn2Of(cents)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val scores = NearestCell.scores(v, cents, cn2)
+      val want = scores.zipWithIndex.minBy { case (s, i) => (s, i) }._2
+      assert(r.getInt(2) == want, s"cell mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
   test("exact knn returns K ranked neighbors per probe, no self-match") {
     val rows = Similarity.knnExact(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
