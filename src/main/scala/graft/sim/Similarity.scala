@@ -276,7 +276,39 @@ object Similarity {
     "embed_ann_ivf" -> (annIvf _),
     "dedup_embed_pairs" -> (embedDupPairs _))
 
+  /** The LSH ANN query IS DuckDB-expressible because the hyperplanes are
+    * compile-time constants: the oracle embeds all 96 planes as list
+    * literals and replicates bucket assignment, candidate generation,
+    * and ranking. Generated programmatically (≈50 KB of SQL).
+    */
+  private def annLshOracle: String = {
+    def bucketExpr(t: Int): String =
+      (0 until PlanesPerTable).map { i =>
+        val plane = "[" + planes(t * PlanesPerTable + i).mkString(",") + "]"
+        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val branches = (0 until LshTables).map { t =>
+      s"SELECT vec_id, v, norm, $t AS tbl, ${bucketExpr(t)} AS bucket FROM n"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |b AS (
+       |$branches),
+       |pairs AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS sim
+       |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, rk, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM pairs) t
+       |WHERE rk <= $K""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "embed_ann_lsh" -> annLshOracle,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

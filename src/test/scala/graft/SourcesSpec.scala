@@ -29,6 +29,16 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSet === src.collect().toSet)
   }
 
+  test("orc sink/source round-trips orders projection") {
+    val dir = tmp("graftorc")
+    val src = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("reference text sink writes sorted 'key value' lines (O7)") {
     val dir = tmp("grafttext")
     val kvs = graft.mr.MapReduce.run(
