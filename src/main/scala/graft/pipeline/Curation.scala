@@ -101,7 +101,8 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"norm").orderBy($"doc_id")
     val exactKept = gated.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-    val nearDupLosers = graft.text.Dedup.jaccardPairs(spark, d)
+    // near-dup pairs reuse the tokenized frame — no second corpus scan
+    val nearDupLosers = graft.text.Dedup.jaccardPairsOf(docs.select($"doc_id", $"t"))
       .filter($"jacc" >= 0.8).select($"doc_b".as("doc_id")).distinct()
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
       .groupBy($"source")

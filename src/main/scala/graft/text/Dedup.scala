@@ -38,9 +38,18 @@ object Dedup {
     */
   def jaccardPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    jaccardPairsOf(
+      Tables.documents(spark, d).withColumn("t", TextAnalysis.toks($"text")))
+  }
+
+  /** Same, over an already-tokenized frame (doc_id + `t` token array) —
+    * composite pipelines (training_mix) pass their frame in so the
+    * corpus isn't scanned and tokenized a second time.
+    */
+  def jaccardPairsOf(tokenized: DataFrame): DataFrame = {
+    import tokenized.sparkSession.implicits._
     val wBlock = org.apache.spark.sql.expressions.Window.partitionBy($"b1", $"b2")
-    val docs = Tables.documents(spark, d)
-      .withColumn("t", TextAnalysis.toks($"text"))
+    val docs = tokenized
       .select(
         $"doc_id",
         array_distinct($"t").as("dt"),
