@@ -127,7 +127,11 @@ object Dedup {
       .withColumn("t2", lead($"tok", 2).over(wd))
       .filter($"t2".isNotNull) // drop the two incomplete trailing shingles
       .withColumn("s", concat_ws(" ", $"tok", $"t1", $"t2"))
-      .withColumn("h", xxhash64($"s").bitwiseAND(0xFFFFFFFFL))
+      // 32-bit base hash from the md5 hex prefix: identical in every
+      // engine (DuckDB: CAST('0x'||substring(md5(s),1,8) AS BIGINT)),
+      // which is what makes the whole MinHash pipeline ORACLE-able —
+      // xxhash64 had no cross-engine twin
+      .withColumn("h", expr("conv(substring(md5(s), 1, 8), 16, 10)").cast("long"))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_agg",
       exprs => graft.functions.MinHashAgg(
@@ -139,8 +143,10 @@ object Dedup {
   }
 
   /** Candidate pairs via banded LSH + signature-estimated Jaccard.
-    * No DuckDB oracle (xxhash64 has no DuckDB equivalent); semantics are
-    * pinned by DedupSpec against exact Jaccard.
+    * DuckDB-oracled (see [[minhashOracle]]): the base hash is an md5
+    * prefix and the band bucket key is the raw 4-minimum slice itself
+    * (arrays group/join fine on both engines) — no engine-private hash
+    * anywhere in the pipeline.
     */
   def minhashPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -153,11 +159,11 @@ object Dedup {
       struct($"doc_id", $"sig").as("ds"),
       posexplode(transform(
         sequence(lit(0), lit(Bands - 1)),
-        bnd => xxhash64(slice($"sig", bnd * Rows + 1, lit(Rows))))))
+        bnd => slice($"sig", bnd * Rows + 1, lit(Rows)))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("col", "band_key")
     bands
-      .groupBy($"band", $"band_hash")
+      .groupBy($"band", $"band_key")
       .agg(collect_list($"ds").as("ds"))
       .filter(size($"ds") > 1 && size($"ds") <= MaxBucket)
       .select(explode(expr(
@@ -176,12 +182,15 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit simhash over distinct tokens: bit b is the sign of the sum of
-    * ±1 contributions from each token's hash bit b. Tokens are exploded
-    * and the 64 balances accumulate in ONE native
-    * [[graft.functions.SimHashAgg]] buffer (a long[64] per group with
-    * map-side combine) instead of 64 separate sum columns — same result
-    * bit for bit, one shuffle on doc_id.
+  /** 64-bit simhash over distinct tokens, carried as TWO 32-bit halves
+    * (`sim_lo` = bits 0-31, `sim_hi` = bits 32-63): bit b is the sign of
+    * the sum of ±1 contributions from each token's hash bit b. The
+    * token hash is the md5 hex prefix split into two 32-bit words —
+    * cross-engine computable, which makes the whole pipeline oracle-able
+    * (and the halves keep every value below 2^32, so no engine's signed
+    * BIGINT semantics are ever in play). Balances accumulate in native
+    * [[graft.functions.SimHashAgg]] buffers (map-side combined); one
+    * shuffle on doc_id.
     */
   def simhashDocs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -190,9 +199,12 @@ object Dedup {
       .withColumn("t", TextAnalysis.toks($"text"))
       .filter(size($"t") >= 1)
       .select($"doc_id", explode(array_distinct($"t")).as("tok"))
-      .withColumn("h", xxhash64($"tok"))
+      .withColumn("m", md5($"tok"))
+      .withColumn("h_lo", conv(substring($"m", 1, 8), 16, 10).cast("long"))
+      .withColumn("h_hi", conv(substring($"m", 9, 8), 16, 10).cast("long"))
       .groupBy($"doc_id")
-      .agg(expr("simhash_agg(h)").as("simhash"))
+      .agg(expr("simhash_agg(h_lo)").as("sim_lo"),
+        expr("simhash_agg(h_hi)").as("sim_hi"))
   }
 
   /** Candidate threshold. With 4 chunks of 16 bits, the pigeonhole
@@ -210,9 +222,12 @@ object Dedup {
     // (low-entropy chunks would otherwise explode quadratically).
     val docs = simhashDocs(spark, d)
     val chunked = docs.select(
-      struct($"doc_id", $"simhash").as("ds"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright($"simhash", c * 16).bitwiseAND(0xFFFFL)): _*)))
+      struct($"doc_id", $"sim_lo", $"sim_hi").as("ds"),
+      posexplode(array(
+        $"sim_lo".bitwiseAND(0xFFFFL),
+        shiftright($"sim_lo", 16).bitwiseAND(0xFFFFL),
+        $"sim_hi".bitwiseAND(0xFFFFL),
+        shiftright($"sim_hi", 16).bitwiseAND(0xFFFFL))))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
     chunked
@@ -224,12 +239,115 @@ object Dedup {
           |  transform(filter(ds, (y, j) -> j > i), y -> named_struct(
           |    'a', least(x.doc_id, y.doc_id),
           |    'b', greatest(x.doc_id, y.doc_id),
-          |    'h', bit_count(x.simhash ^ y.simhash)))))""".stripMargin))
+          |    'h', bit_count(x.sim_lo ^ y.sim_lo) + bit_count(x.sim_hi ^ y.sim_hi)))))""".stripMargin))
         .as("p"))
       .select($"p.a".as("doc_a"), $"p.b".as("doc_b"),
         $"p.h".cast("long").as("hamming"))
       .filter($"hamming" <= MaxHamming)
       .distinct()
+  }
+
+  /** Generated DuckDB oracle for the FULL minhash pipeline: md5-prefix
+    * base hash, the same 64 (a·h+b) mod P permutation minima, band keys
+    * as raw signature slices, bucket caps, and the estimated Jaccard —
+    * every constant embedded from [[perms]].
+    */
+  private def minhashOracle: String = {
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $MinhashPrime) AS m$i"
+    }.mkString(",\n    ")
+    val sigList = (0 until NumHashes).map(i => s"m$i").mkString("[", ",", "]")
+    val bandBranches = (0 until Bands).map { t =>
+      val key = (0 until Rows).map(i => s"m${t * Rows + i}").mkString("[", ",", "]")
+      s"SELECT doc_id, $sigList AS sig, $t AS band, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(len(t) - 2),
+       |                               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |$bandBranches),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, sig, band, band_key,
+       |           count(*) OVER (PARTITION BY band, band_key) AS bsz
+       |    FROM bands) x
+       |  WHERE bsz > 1 AND bsz <= $MaxBucket)
+       |SELECT DISTINCT
+       |  least(a.doc_id, b.doc_id) AS doc_a,
+       |  greatest(a.doc_id, b.doc_id) AS doc_b,
+       |  CAST(len(list_filter(range($NumHashes),
+       |                       i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE)
+       |    / $NumHashes AS est_jaccard
+       |FROM cand a JOIN cand b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for the full simhash pipeline: md5-split
+    * token hashes, 64 bit-balance sums, sign-packed 32-bit halves,
+    * 16-bit chunk blocking with bucket caps, and hamming filtering.
+    */
+  private def simhashOracle: String = {
+    def balCols(half: String): String = (0 until 32).map { b =>
+      s"sum(CASE WHEN ($half >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS ${half}_b$b"
+    }.mkString(",\n    ")
+    def packed(half: String): String = (0 until 32).map { b =>
+      s"(CASE WHEN ${half}_b$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val chunkBranches = Seq(
+      "sim_lo & 65535", "(sim_lo >> 16) & 65535",
+      "sim_hi & 65535", "(sim_hi >> 16) & 65535").zipWithIndex.map {
+      case (e, i) =>
+        s"SELECT doc_id, sim_lo, sim_hi, $i AS chunk, $e AS chunk_val FROM sim"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(
+       |           list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS h_lo,
+       |         CAST('0x' || substring(md5(t), 9, 8) AS BIGINT) AS h_hi
+       |  FROM tok),
+       |bal AS (
+       |  SELECT doc_id,
+       |    ${balCols("h_lo")},
+       |    ${balCols("h_hi")}
+       |  FROM h GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id,
+       |    ${packed("h_lo")} AS sim_lo,
+       |    ${packed("h_hi")} AS sim_hi
+       |  FROM bal),
+       |chunks AS (
+       |$chunkBranches),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, sim_lo, sim_hi, chunk, chunk_val,
+       |           count(*) OVER (PARTITION BY chunk, chunk_val) AS bsz
+       |    FROM chunks) x
+       |  WHERE bsz > 1 AND bsz <= $MaxBucket)
+       |SELECT DISTINCT
+       |  least(a.doc_id, b.doc_id) AS doc_a,
+       |  greatest(a.doc_id, b.doc_id) AS doc_b,
+       |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+       |       + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+       |FROM cand a JOIN cand b
+       |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+       |      + bit_count(xor(a.sim_hi, b.sim_hi)) <= $MaxHamming""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -239,6 +357,8 @@ object Dedup {
     "dedup_simhash_pairs" -> (simhashPairs _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_pairs" -> minhashOracle,
+    "dedup_simhash_pairs" -> simhashOracle,
     "dedup_exact" ->
       """SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

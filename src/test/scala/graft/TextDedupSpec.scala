@@ -55,7 +55,7 @@ class TextDedupSpec extends SparkSpec {
       .filter(size($"t") >= 3)
       .select($"doc_id",
         transform(Dedup.shingles($"t"),
-          s => xxhash64(s).bitwiseAND(0xFFFFFFFFL)).as("hs"))
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("hs"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
     assert(hashes.nonEmpty)
@@ -69,22 +69,27 @@ class TextDedupSpec extends SparkSpec {
 
   test("native simhash_agg == local bit-balance recompute") {
     val docs = Dedup.simhashDocs(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val toks = Tables.documents(spark, sf)
       .withColumn("t", TextAnalysis.toks($"text"))
       .filter(size($"t") >= 1)
       .select($"doc_id", array_distinct($"t").as("dt"))
-      .withColumn("hs", transform($"dt", x => xxhash64(x)))
-      .select($"doc_id", $"hs").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .withColumn("lo", transform($"dt",
+        x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
+      .withColumn("hi", transform($"dt",
+        x => conv(substring(md5(x), 9, 8), 16, 10).cast("long")))
+      .select($"doc_id", $"lo", $"hi").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
     assert(toks.nonEmpty)
-    toks.take(50).foreach { case (id, hs) =>
-      val bal = new Array[Long](64)
+    def pack(hs: Seq[Long]): Long = {
+      val bal = new Array[Long](32)
       hs.foreach { h =>
-        (0 until 64).foreach(b => bal(b) += ((h >>> b) & 1L) * 2L - 1L)
+        (0 until 32).foreach(b => bal(b) += ((h >>> b) & 1L) * 2L - 1L)
       }
-      val want = (0 until 64).map(b => if (bal(b) > 0) 1L << b else 0L).sum
-      assert(docs(id) == want, s"simhash mismatch for doc $id")
+      (0 until 32).map(b => if (bal(b) > 0) 1L << b else 0L).sum
+    }
+    toks.take(50).foreach { case (id, lo, hi) =>
+      assert(docs(id) == ((pack(lo), pack(hi))), s"simhash mismatch for doc $id")
     }
   }
 
@@ -95,9 +100,10 @@ class TextDedupSpec extends SparkSpec {
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val sims = Dedup.simhashDocs(spark, tmp.toString)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(sims(0L) == sims(100001L), "identical docs must have identical simhash")
-    val hamNear = java.lang.Long.bitCount(sims(0L) ^ sims(100002L))
+    val hamNear = java.lang.Long.bitCount(sims(0L)._1 ^ sims(100002L)._1) +
+      java.lang.Long.bitCount(sims(0L)._2 ^ sims(100002L)._2)
     assert(hamNear <= 16, s"near-dup hamming unexpectedly large: $hamNear")
   }
 
