@@ -41,7 +41,15 @@ case class LshBuckets(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  /** Shared by eval and the generated code via addReferenceObj. */
+  /** Shared by eval and the generated code via addReferenceObj.
+    *
+    * The sign test quantizes the dot to 4 decimals first (HALF_UP, the
+    * semantics of SQL round() on both engines) — the repo's
+    * round-before-compare discipline: a dot within 5e-5 of zero
+    * collapses to ±0.0 identically everywhere, so a future change in
+    * either engine's summation order (last-ulp noise) cannot flip a
+    * bucket bit. The DuckDB oracle applies round(dot, 4) >= 0.
+    */
   def compute(v: ArrayData): ArrayData = {
     if (v.numElements() != dim) return null
     val out = new Array[Long](numTables)
@@ -54,7 +62,9 @@ case class LshBuckets(
         var acc = 0.0
         var j = 0
         while (j < dim) { acc += v.getDouble(j) * p(j); j += 1 }
-        if (acc >= 0) bucket |= (1L << i)
+        val rounded = java.math.BigDecimal.valueOf(acc)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+        if (rounded.signum() >= 0) bucket |= (1L << i)
         i += 1
       }
       out(t) = bucket

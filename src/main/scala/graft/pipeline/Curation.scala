@@ -101,7 +101,10 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"norm").orderBy($"doc_id")
     val exactKept = gated.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-    // near-dup pairs reuse the tokenized frame — no second corpus scan
+    // near-dup pairs share the tokenization DEFINITION (one place to
+    // edit); note Catalyst still plans a scan per branch — the frames
+    // are lazy, so this is about drift-proofing, not scan elision (a
+    // production run would persist the tokenized frame first)
     val nearDupLosers = graft.text.Dedup.jaccardPairsOf(docs.select($"doc_id", $"t"))
       .filter($"jacc" >= 0.8).select($"doc_b".as("doc_id")).distinct()
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")

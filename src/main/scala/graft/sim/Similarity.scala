@@ -285,7 +285,8 @@ object Similarity {
     def bucketExpr(t: Int): String =
       (0 until PlanesPerTable).map { i =>
         val plane = "[" + planes(t * PlanesPerTable + i).mkString(",") + "]"
-        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << i} ELSE 0 END)"
+        // round-before-sign matches LshBuckets.compute's 4dp quantization
+        s"(CASE WHEN round(list_dot_product(v, $plane), 4) >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
     val branches = (0 until LshTables).map { t =>
       s"SELECT vec_id, v, norm, $t AS tbl, ${bucketExpr(t)} AS bucket FROM n"

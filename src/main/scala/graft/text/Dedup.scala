@@ -24,6 +24,16 @@ object Dedup {
   /** Buckets larger than this are dropped from pair generation. */
   val MaxBucket = 50
 
+  /** THE cross-engine base hash: a 32-bit word from 8 hex chars of
+    * md5, starting at `offset` (1-based). One definition on the Spark
+    * side; the generated oracles embed the literal DuckDB twin
+    * `CAST('0x' || substring(md5(x), offset, 8) AS BIGINT)`. This pair
+    * is the load-bearing invariant of every sketch oracle — change both
+    * or neither.
+    */
+  def md5Prefix32(c: Column, offset: Int): Column =
+    conv(substring(md5(c), offset, 8), 16, 10).cast("long")
+
   /** Exact dedup: normalized-text sha256, keeper = min doc_id. */
   def exact(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -44,7 +54,9 @@ object Dedup {
 
   /** Same, over an already-tokenized frame (doc_id + `t` token array) —
     * composite pipelines (training_mix) pass their frame in so the
-    * corpus isn't scanned and tokenized a second time.
+    * tokenization definition lives in one place (the frame is lazy, so
+    * this shares the DEFINITION, not the physical scan; persist the
+    * frame to also share the work).
     */
   def jaccardPairsOf(tokenized: DataFrame): DataFrame = {
     import tokenized.sparkSession.implicits._
@@ -127,11 +139,9 @@ object Dedup {
       .withColumn("t2", lead($"tok", 2).over(wd))
       .filter($"t2".isNotNull) // drop the two incomplete trailing shingles
       .withColumn("s", concat_ws(" ", $"tok", $"t1", $"t2"))
-      // 32-bit base hash from the md5 hex prefix: identical in every
-      // engine (DuckDB: CAST('0x'||substring(md5(s),1,8) AS BIGINT)),
-      // which is what makes the whole MinHash pipeline ORACLE-able —
-      // xxhash64 had no cross-engine twin
-      .withColumn("h", expr("conv(substring(md5(s), 1, 8), 16, 10)").cast("long"))
+      // cross-engine base hash ([[md5Prefix32]]) is what makes the whole
+      // MinHash pipeline ORACLE-able — xxhash64 had no DuckDB twin
+      .withColumn("h", md5Prefix32($"s", 1))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_agg",
       exprs => graft.functions.MinHashAgg(
@@ -199,12 +209,18 @@ object Dedup {
       .withColumn("t", TextAnalysis.toks($"text"))
       .filter(size($"t") >= 1)
       .select($"doc_id", explode(array_distinct($"t")).as("tok"))
-      .withColumn("m", md5($"tok"))
-      .withColumn("h_lo", conv(substring($"m", 1, 8), 16, 10).cast("long"))
-      .withColumn("h_hi", conv(substring($"m", 9, 8), 16, 10).cast("long"))
+      // both 32-bit words packed into ONE long so a single SimHashAgg
+      // pass (64 balance updates, one 512 B buffer) covers all 64 bits —
+      // two half-aggregates would double the per-token work for bits
+      // that are provably zero. hi may set the sign bit; SimHashAgg
+      // extracts bits with >>> so that is harmless.
+      .withColumn("h",
+        shiftleft(md5Prefix32($"tok", 9), 32).bitwiseOR(md5Prefix32($"tok", 1)))
       .groupBy($"doc_id")
-      .agg(expr("simhash_agg(h_lo)").as("sim_lo"),
-        expr("simhash_agg(h_hi)").as("sim_hi"))
+      .agg(expr("simhash_agg(h)").as("sim"))
+      .select($"doc_id",
+        $"sim".bitwiseAND(0xFFFFFFFFL).as("sim_lo"),
+        shiftrightunsigned($"sim", 32).as("sim_hi"))
   }
 
   /** Candidate threshold. With 4 chunks of 16 bits, the pigeonhole

@@ -24,7 +24,9 @@ class SimilaritySpec extends SparkSpec {
         (0 until Similarity.PlanesPerTable).map { i =>
           val p = planesOf(t * Similarity.PlanesPerTable + i)
           val dot = p.zip(v).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
-          if (dot >= 0) 1L << i else 0L
+          val rounded = java.math.BigDecimal.valueOf(dot)
+            .setScale(4, java.math.RoundingMode.HALF_UP)
+          if (rounded.signum() >= 0) 1L << i else 0L
         }.sum
       }
       assert(got == want, s"bucket mismatch for vec ${r.getLong(0)}")

@@ -4,8 +4,11 @@ import graft.text.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the text-analysis and dedup operators. The oracled
-  * queries are value-checked by check_oracle.py; these tests pin the
-  * sketch tiers (minhash/simhash) that DuckDB cannot express.
+  * queries — since round 2 INCLUDING the minhash/simhash pair
+  * pipelines, whose md5-based hashes replay in DuckDB — are
+  * value-checked by check_oracle.py; these tests additionally pin the
+  * sketch MATH (signature/est-Jaccard/hamming behavior, native-agg
+  * parity) independent of any oracle.
   */
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
