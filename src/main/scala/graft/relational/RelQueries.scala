@@ -92,6 +92,51 @@ object RelQueries {
       .agg(exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L).as("revenue"))
   }
 
+  /** TPC-H Q6 analog: pure scan-aggregate whose filters ALL push to the
+    * parquet reader — the pushdown showcase (one output row).
+    */
+  def q6Forecast(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01") &&
+        $"l_discount" >= 0.02 && $"l_discount" <= 0.04 && $"l_quantity" < 24)
+      .agg(exactSum($"l_extendedprice" * $"l_discount", 10000L).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q10 analog: top-20 customers by revenue from returned items —
+    * fact-fact join + broadcast dims + deterministic TakeOrdered cut.
+    */
+  def q10Returns(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, d).filter($"l_returnflag" === "R")
+    val o = Tables.orders(spark, d)
+      .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1996-07-01"))
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** TPC-H Q18 analog: large-volume orders (HAVING over a fact aggregate,
+    * then a semi-join back to enrich) — the aggregate-filter-join shape.
+    */
+  def q18LargeOrders(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, d)
+      .groupBy($"l_orderkey")
+      .agg(exactSum($"l_quantity", 100L).as("total_qty"))
+      .filter($"total_qty" > 300) // HAVING
+    Tables.orders(spark, d)
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice", $"total_qty")
+  }
+
   /** Left-semi join: customers with at least one order (EXISTS). */
   def joinSemi(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -297,6 +342,9 @@ object RelQueries {
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q6_forecast" -> (q6Forecast _),
+    "q10_returns" -> (q10Returns _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "topk_orders" -> (topkOrders _),
@@ -373,6 +421,33 @@ object RelQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice*l_discount*10000,0) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name, revenue FROM (
+        |  SELECT c_custkey, c_name, n_name,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS DOUBLE)/10000 AS revenue
+        |  FROM lineitem, orders, customer, nation
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  GROUP BY c_custkey, c_name, n_name) t
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100 AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100 > 300) b
+        |  ON o_orderkey = b.l_orderkey""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
