@@ -60,6 +60,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native expressions yield null (not garbage) on wrong-dimension vectors") {
+    import graft.functions.{LshBuckets, NearestCell}
+    Similarity.registerLsh(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell_n",
+      exprs => NearestCell(exprs.head, Array(Array.fill(64)(0.5))), "built-in")
+    val row = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v") // 3-dim, not 64
+      .selectExpr("lsh_buckets64(v) AS b", "nearest_cell_n(v) AS c")
+      .collect().head
+    assert(row.isNullAt(0), "lsh_buckets64 must be null on dim mismatch")
+    assert(row.isNullAt(1), "nearest_cell must be null on dim mismatch")
+  }
+
   test("exact knn returns K ranked neighbors per probe, no self-match") {
     val rows = Similarity.knnExact(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -163,6 +163,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful KV replay across MULTIPLE micro-batches == batch replay") {
+    // split the raw events into two files and force one file per
+    // trigger, so mapGroupsWithState must carry per-key state across
+    // micro-batches (the single-batch drain in the other tests never
+    // exercises that path)
+    val landing = java.nio.file.Files.createTempDirectory("graftmb").toString
+    val raw = spark.read.schema(EventStreams.eventsRawSchema)
+      .parquet(s"$sf/events.parquet")
+    val mid = raw.agg(org.apache.spark.sql.functions.expr("percentile(event_id, 0.5)"))
+      .collect().head.getDouble(0).toLong
+    raw.filter($"event_id" <= mid).coalesce(1).write.parquet(s"$landing/a")
+    raw.filter($"event_id" > mid).coalesce(1).write.parquet(s"$landing/b")
+    val stream = spark.readStream.schema(EventStreams.eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", true)
+      .parquet(landing)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.kvStream(stream)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("kv_mb_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected the two files to arrive in separate micro-batches")
+      // Update mode re-emits a key's cell each batch it changes in; the
+      // LAST emission per key must equal the batch replay. The memory
+      // sink appends in batch order, so rows from the later batch win.
+      val got = spark.table("kv_mb_out").collect()
+        .map(r => r.getString(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap // later duplicates of a key overwrite earlier ones
+      val want = graft.kv.KVStore.casReplay(spark, sf).collect()
+        .map(r => r.getString(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("checkpointed file sink is exactly-once across restart (O11 analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graftck")
     val out = s"$dir/out"
