@@ -137,6 +137,37 @@ object RelQueries {
       .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice", $"total_qty")
   }
 
+  /** TPC-H Q12 analog: per-priority-class line counts by ship mode —
+    * fact-fact join + conditional aggregation.
+    */
+  def q12Shipmode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01"))
+    Tables.orders(spark, d)
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        count_if($"o_orderpriority".isin("1-URGENT", "2-HIGH")).as("high_line_count"),
+        count_if(!$"o_orderpriority".isin("1-URGENT", "2-HIGH")).as("low_line_count"))
+  }
+
+  /** TPC-H Q14 analog: promo revenue share — a ratio of two exact
+    * grid sums over one filtered scan joined to a broadcast dimension.
+    */
+  def q14Promo(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= ts("1996-03-01") && $"l_shipdate" < ts("1996-04-01"))
+    val p = Tables.part(spark, d)
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .agg(
+        (exactSum(when($"p_type".startsWith("PROMO"),
+          $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(0.0), 10000L) * 100 /
+          exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L))
+          .as("promo_pct"))
+  }
+
   /** Left-semi join: customers with at least one order (EXISTS). */
   def joinSemi(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -344,6 +375,8 @@ object RelQueries {
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q6_forecast" -> (q6Forecast _),
     "q10_returns" -> (q10Returns _),
+    "q12_shipmode" -> (q12Shipmode _),
+    "q14_promo" -> (q14Promo _),
     "q18_large_orders" -> (q18LargeOrders _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
@@ -440,6 +473,28 @@ object RelQueries {
         |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |  GROUP BY c_custkey, c_name, n_name) t
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(count(*) FILTER (o_orderpriority IN ('1-URGENT','2-HIGH')) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(count(*) FILTER (o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS BIGINT)
+        |    AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        |  CAST(sum(CAST(round(CASE WHEN p_type LIKE 'PROMO%'
+        |        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END*10000,0) AS BIGINT))
+        |    AS DOUBLE)/10000 * 100 /
+        |  (CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT))
+        |    AS DOUBLE)/10000) AS promo_pct
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
     "q18_large_orders" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
         |FROM orders JOIN (
