@@ -29,10 +29,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     apps.MrApps.queries ++ relational.RelQueries.queries ++
-      relational.RelExtras.queries ++
+      relational.RelExtras.queries ++ relational.Analytics.queries ++
       kv.KVStore.queries ++ gossip.HealthMerge.queries ++
       text.TextAnalysis.queries ++ text.TextExtras.queries ++
-      text.Dedup.queries ++
+      text.Dedup.queries ++ text.DedupCluster.queries ++
+      text.Retrieval.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ relational.Skew.queries ++
       pipeline.Curation.queries
@@ -42,10 +43,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     apps.MrApps.oracles ++ relational.RelQueries.oracles ++
-      relational.RelExtras.oracles ++
+      relational.RelExtras.oracles ++ relational.Analytics.oracles ++
       kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
       text.TextAnalysis.oracles ++ text.TextExtras.oracles ++
-      text.Dedup.oracles ++
+      text.Dedup.oracles ++ text.DedupCluster.oracles ++
+      text.Retrieval.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ relational.Skew.oracles ++
       pipeline.Curation.oracles

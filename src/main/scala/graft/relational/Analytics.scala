@@ -1,0 +1,424 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import RelQueries.{exactSum, gridScale}
+
+/** Pipeline-analytics catalog: the event/order analyses a production
+  * data platform layers on top of the relational core — ordered funnels,
+  * cohort retention, interval-overlap concurrency, change-data
+  * compaction (SCD2), outlier detection, histograms, stratified
+  * sampling, and full-frame window functions. The reference engine has
+  * none of these (SURVEY.md §2.3 — its only analytics are the eight
+  * mrapps); each is built Spark-first and DuckDB-oracled.
+  *
+  * Scale notes follow each operator; the common theme is that every
+  * query shuffles on a high-cardinality key (user_id / custkey) once,
+  * and anything global is either constant-size (funnel counters, daily
+  * aggregates) or explodes linearly (session→hour coverage).
+  */
+object Analytics {
+
+  /** Ordered conversion funnel view → click → purchase per user, with
+    * strict event-order semantics: a click counts only if a view
+    * happened strictly earlier, a purchase only after such a click.
+    * Both qualification windows partition on user_id with the same
+    * ordering, so the whole funnel is ONE shuffle; the final stage
+    * counters are constant-size partial aggregates.
+    */
+  def funnelStages(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly-before frame
+    val qualified = Tables.events(spark, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("seen_view", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("qclick_ts",
+        when($"event_type" === "click" && $"seen_view".isNotNull, $"ts"))
+      .withColumn("seen_qclick", min($"qclick_ts").over(w))
+    val perUser = qualified.groupBy($"user_id").agg(
+      max(when($"event_type" === "view", 1L).otherwise(0L)).as("s1"),
+      max(when($"qclick_ts".isNotNull, 1L).otherwise(0L)).as("s2"),
+      max(when($"event_type" === "purchase" && $"seen_qclick".isNotNull, 1L)
+        .otherwise(0L)).as("s3"))
+    perUser.agg(
+      sum($"s1").as("view"), sum($"s2").as("click"), sum($"s3").as("purchase"))
+      .select(expr(
+        "stack(3, 'view', view, 'view>click', click, 'view>click>purchase', purchase) AS (stage, n_users)"))
+  }
+
+  /** Cohort retention: customers cohorted by first-order month; for
+    * each (cohort, months-since) cell, distinct active customers.
+    * Months are the integer grid year*12+month — no engine-private
+    * month arithmetic. The first-order aggregate and the join back both
+    * key on o_custkey (one shuffle, partitioning reused); the retention
+    * cell grid is bounded (months × 13) regardless of data size.
+    */
+  def cohortRetention(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val om = Tables.orders(spark, d)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long").as("m"))
+    val first = om.groupBy($"o_custkey").agg(min($"m").as("m0"))
+    om.join(first, "o_custkey")
+      .filter($"m" - $"m0" <= 12)
+      .groupBy($"m0", ($"m" - $"m0").as("months_since"))
+      .agg(countDistinct($"o_custkey").as("n_active"))
+      .select(
+        // floor() not int-cast: Spark casts double→int by truncation but
+        // DuckDB rounds, so both sides floor explicitly before the cast
+        make_date(floor(($"m0" - 1) / 12).cast("int"),
+          (($"m0" - 1) % 12 + 1).cast("int"), lit(1)).as("cohort_month"),
+        $"months_since", $"n_active")
+  }
+
+  /** Hourly concurrent-session counts: sessionize events per user
+    * (30-min inactivity gap, same lag/cumsum shape as `sessionize`),
+    * then EXPLODE each session into the hours it covers and count per
+    * hour. The explode is linear in total session duration — the
+    * classic interval-overlap rewrite that replaces a range join
+    * against an hour spine (which would be a nested-loop at scale).
+    * Shuffles: one on user_id (window + session agg reuse it), one
+    * final on the bounded hour key.
+    */
+  def sessionsConcurrency(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag($"ts", 1).over(w)
+    Tables.events(spark, d)
+      .withColumn("new_sess",
+        when(prev.isNull || ($"ts" - prev > expr("INTERVAL '30' MINUTE")), 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum($"new_sess").over(cum))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"ts").as("st"), max($"ts").as("en"))
+      .select(explode(sequence(
+        date_trunc("hour", $"st"), date_trunc("hour", $"en"),
+        expr("INTERVAL '1' HOUR"))).as("hour"))
+      .groupBy($"hour")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** SCD2 / change-data compaction: per customer, consecutive orders
+    * with the same o_orderstatus compress into one validity interval
+    * [valid_from, valid_to) where valid_to is the next interval's start
+    * (NULL = current). Gaps-and-islands via lag + cumsum; the island
+    * window, the interval aggregate, and the lead() all partition on
+    * o_custkey — ONE shuffle end to end.
+    */
+  def scd2Compaction(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wi = Window.partitionBy($"o_custkey").orderBy($"grp")
+    Tables.orders(spark, d)
+      .withColumn("chg",
+        when(lag($"o_orderstatus", 1).over(w).isNull ||
+          $"o_orderstatus" =!= lag($"o_orderstatus", 1).over(w), 1L).otherwise(0L))
+      .withColumn("grp", sum($"chg").over(cum))
+      .groupBy($"o_custkey", $"grp", $"o_orderstatus")
+      .agg(min($"o_orderdate").as("vf"), count(lit(1)).as("n_orders"))
+      .select($"o_custkey", $"o_orderstatus",
+        $"vf".cast("date").as("valid_from"),
+        lead($"vf", 1).over(wi).cast("date").as("valid_to"),
+        $"n_orders")
+  }
+
+  /** Daily-revenue outliers: z-score of each day's exact-grid revenue
+    * against the all-days mean/stddev, flagging |z| > 2. The daily
+    * aggregate is the only data-scale pass; the stats join is a
+    * broadcast of ONE row. (Day count is bounded by the calendar, so
+    * the second aggregate is constant-size at any data scale.)
+    */
+  def anomalyZscore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(exactSum($"o_totalprice", 100L).as("revenue"))
+    val stats = daily.agg(
+      avg($"revenue").as("mu"), stddev_samp($"revenue").as("sd"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("z", ($"revenue" - $"mu") / $"sd")
+      .filter(abs($"z") > 2)
+      .select($"day", $"revenue", round($"z", 4).as("z"))
+  }
+
+  /** Fixed-width price histogram over lineitem. The bucket is computed
+    * on the exact cents grid with BIGINT floor-division (no FP
+    * boundaries), clamped to a final catch-all bucket — fully
+    * deterministic on both engines and one partial+final aggregate.
+    */
+  def histogramPrices(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .select(least(floor(gridScale($"l_extendedprice", 100L) / 500000L).cast("long"),
+        lit(20L)).as("bucket"),
+        $"l_extendedprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), exactSum($"l_extendedprice", 100L).as("sum_price"))
+  }
+
+  /** Per-stratum deterministic sampling: each order keeps/drops by
+    * comparing a 32-bit md5 prefix of its key against a per-priority
+    * threshold — content-hash sampling (engine- and partitioning-
+    * independent, rerun-stable), stratified by o_orderpriority. The
+    * rate map is a broadcast literal; output is the per-stratum sample
+    * summary. One scan, one bounded aggregate.
+    */
+  val SampleRates: Seq[(String, Double)] = Seq(
+    "1-URGENT" -> 0.5, "2-HIGH" -> 0.2, "3-MEDIUM" -> 0.1,
+    "4-NOT SPECIFIED" -> 0.05, "5-LOW" -> 0.02)
+
+  /** Thresholds on the 32-bit hash grid, fixed as integer literals so
+    * the Spark filter and the generated oracle compare identical
+    * constants.
+    */
+  def sampleThresholds: Seq[(String, Long)] =
+    SampleRates.map { case (p, r) => p -> (r * 4294967296L).toLong }
+
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val thr = sampleThresholds.foldLeft(lit(-1L)) { case (acc, (p, t)) =>
+      when($"o_orderpriority" === p, lit(t)).otherwise(acc)
+    }
+    Tables.orders(spark, d)
+      .filter(graft.text.Dedup.md5Prefix32($"o_orderkey".cast("string"), 1) < thr)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"),
+        exactSum($"o_totalprice", 100L).as("sum_price"),
+        min($"o_orderkey").as("min_key"))
+  }
+
+  /** Full-frame window functions: first/last/nth value of the shipdate
+    * within each order's lines. The explicit ROWS UNBOUNDED..UNBOUNDED
+    * frame is the point (default frames differ between engines and stop
+    * at CURRENT ROW). Keyed on l_orderkey: bounded per-group state, one
+    * shuffle; the key filter is pushed to the parquet scan.
+    */
+  def windowFirstLast(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val full = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, d)
+      .filter($"l_orderkey" % 7 === 0)
+      .select($"l_orderkey", $"l_linenumber",
+        first($"l_shipdate").over(full).cast("date").as("first_ship"),
+        last($"l_shipdate").over(full).cast("date").as("last_ship"),
+        nth_value($"l_shipdate", 2).over(full).cast("date").as("second_ship"),
+        count(lit(1)).over(full).as("n_lines"))
+  }
+
+  /** Data-quality audit: the dbt-test-style checks a pipeline runs
+    * before promoting a batch — row counts, null keys, duplicate
+    * primary keys, referential orphans, and domain violations — as one
+    * unioned (check, n) summary. Each per-table block is a single scan
+    * with conditional aggregates; the orphan checks are anti-joins that
+    * Spark plans as broadcast/shuffled hash anti joins. All counts are
+    * BIGINT on both engines.
+    */
+  def dataQualityAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, d)
+    val lineitem = Tables.lineitem(spark, d)
+    val customer = Tables.customer(spark, d)
+    val documents = Tables.documents(spark, d)
+
+    val ordersChecks = orders.agg(
+      count(lit(1)).as("c0"),
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("c1"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("c2"),
+      sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("c3"))
+      .select(expr("stack(4, 'orders_rows', c0, 'orders_null_custkey', c1, " +
+        "'orders_dup_orderkey', c2, 'orders_nonpositive_price', c3) AS (check_name, n)"))
+    val lineitemChecks = lineitem.agg(
+      count(lit(1)).as("c0"),
+      sum(when($"l_discount" < 0 || $"l_discount" > 1, 1L).otherwise(0L)).as("c1"),
+      sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("c2"))
+      .select(expr("stack(3, 'lineitem_rows', c0, 'lineitem_bad_discount', c1, " +
+        "'lineitem_nonpositive_qty', c2) AS (check_name, n)"))
+    val docChecks = documents.agg(
+      count(lit(1)).as("c0"),
+      (count(lit(1)) - countDistinct($"doc_id")).as("c1"),
+      sum(when($"text".isNull || length(trim($"text")) === 0, 1L).otherwise(0L)).as("c2"))
+      .select(expr("stack(3, 'documents_rows', c0, 'documents_dup_id', c1, " +
+        "'documents_empty_text', c2) AS (check_name, n)"))
+    val orphanOrders = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("orders_orphan_custkey").as("check"), $"n")
+    val orphanLines = lineitem.join(orders,
+      lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("lineitem_orphan_orderkey").as("check"), $"n")
+
+    ordersChecks.union(lineitemChecks).union(docChecks)
+      .union(orphanOrders).union(orphanLines)
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  private def stratifiedOracle: String = {
+    val cases = sampleThresholds
+      .map { case (p, t) => s"WHEN o_orderpriority = '$p' THEN $t" }
+      .mkString("\n           ")
+    s"""SELECT o_orderpriority,
+       |       count(*) AS n_sampled,
+       |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
+       |       min(o_orderkey) AS min_key
+       |FROM orders
+       |WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+       |      < CASE $cases ELSE -1 END
+       |GROUP BY o_orderpriority""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_stages" -> (funnelStages _),
+    "cohort_retention" -> (cohortRetention _),
+    "sessions_concurrency" -> (sessionsConcurrency _),
+    "scd2_compaction" -> (scd2Compaction _),
+    "anomaly_zscore" -> (anomalyZscore _),
+    "histogram_prices" -> (histogramPrices _),
+    "stratified_sample" -> (stratifiedSample _),
+    "window_first_last" -> (windowFirstLast _),
+    "data_quality_audit" -> (dataQualityAudit _))
+
+  val oracles: Map[String, String] = Map(
+    "funnel_stages" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_view
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *,
+        |         CASE WHEN event_type = 'click' AND seen_view IS NOT NULL THEN ts END AS qclick_ts,
+        |         min(CASE WHEN event_type = 'click' AND seen_view IS NOT NULL THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_qclick
+        |  FROM w1),
+        |u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+        |         max(CASE WHEN qclick_ts IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+        |         max(CASE WHEN event_type = 'purchase' AND seen_qclick IS NOT NULL
+        |                  THEN 1 ELSE 0 END) AS s3
+        |  FROM w2 GROUP BY user_id)
+        |SELECT 'view' AS stage, CAST(sum(s1) AS BIGINT) AS n_users FROM u
+        |UNION ALL
+        |SELECT 'view>click', CAST(sum(s2) AS BIGINT) FROM u
+        |UNION ALL
+        |SELECT 'view>click>purchase', CAST(sum(s3) AS BIGINT) FROM u""".stripMargin,
+    "cohort_retention" ->
+      """WITH om AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY o_custkey)
+        |SELECT make_date(CAST(floor((m0 - 1) / 12) AS INT),
+        |                 CAST((m0 - 1) % 12 + 1 AS INT), 1) AS cohort_month,
+        |       om.m - f.m0 AS months_since,
+        |       count(DISTINCT om.o_custkey) AS n_active
+        |FROM om JOIN f ON om.o_custkey = f.o_custkey
+        |WHERE om.m - f.m0 <= 12
+        |GROUP BY m0, om.m - f.m0""".stripMargin,
+    "sessions_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess,
+        |         event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM x),
+        |iv AS (
+        |  SELECT user_id, sess, min(ts) AS st, max(ts) AS en
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT CAST(h AS TIMESTAMP) AS hour, count(*) AS n_active
+        |FROM (SELECT unnest(generate_series(date_trunc('hour', st),
+        |                                    date_trunc('hour', en),
+        |                                    INTERVAL 1 HOUR)) AS h
+        |      FROM iv) t
+        |GROUP BY h""".stripMargin,
+    "scd2_compaction" ->
+      """WITH x AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |                OR o_orderstatus <> lag(o_orderstatus) OVER w
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |g AS (
+        |  SELECT *,
+        |         sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM x),
+        |iv AS (
+        |  SELECT o_custkey, grp, o_orderstatus,
+        |         min(o_orderdate) AS vf, count(*) AS n_orders
+        |  FROM g GROUP BY o_custkey, grp, o_orderstatus)
+        |SELECT o_custkey, o_orderstatus,
+        |       CAST(vf AS DATE) AS valid_from,
+        |       CAST(lead(vf) OVER (PARTITION BY o_custkey ORDER BY grp) AS DATE) AS valid_to,
+        |       n_orders
+        |FROM iv""".stripMargin,
+    "anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |st AS (SELECT avg(revenue) AS mu, stddev_samp(revenue) AS sd FROM daily)
+        |SELECT day, revenue, round((revenue - mu) / sd, 4) AS z
+        |FROM daily, st
+        |WHERE abs((revenue - mu) / sd) > 2""".stripMargin,
+    "histogram_prices" ->
+      """SELECT least(CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 500000,
+        |             20) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
+    "stratified_sample" -> stratifiedOracle,
+    "window_first_last" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(first_value(l_shipdate) OVER w AS DATE) AS first_ship,
+        |       CAST(last_value(l_shipdate) OVER w AS DATE) AS last_ship,
+        |       CAST(nth_value(l_shipdate, 2) OVER w AS DATE) AS second_ship,
+        |       count(*) OVER w AS n_lines
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "data_quality_audit" ->
+      """SELECT 'orders_rows' AS check_name, count(*) AS n FROM orders
+        |UNION ALL SELECT 'orders_null_custkey',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders_dup_orderkey',
+        |  count(*) - count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'orders_nonpositive_price',
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'lineitem_rows', count(*) FROM lineitem
+        |UNION ALL SELECT 'lineitem_bad_discount',
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |UNION ALL SELECT 'lineitem_nonpositive_qty',
+        |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'documents_rows', count(*) FROM documents
+        |UNION ALL SELECT 'documents_dup_id',
+        |  count(*) - count(DISTINCT doc_id) FROM documents
+        |UNION ALL SELECT 'documents_empty_text',
+        |  CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'orders_orphan_custkey',
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL SELECT 'lineitem_orphan_orderkey',
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))""".stripMargin)
+}

@@ -270,10 +270,27 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
   }
 
+  /** Per-label centroids, long form (label, dim, c): one posexplode +
+    * one (label, dim) aggregate — the building block for IVF coarse
+    * quantizers, class prototypes, and drift monitors. Bounded output
+    * (labels × dims) at any scale; floats are cast to double BEFORE
+    * averaging so both engines accumulate in double, and the mean is
+    * rounded to 4dp (order-of-summation ulps).
+    */
+  def labelCentroids(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, d)
+      .select($"label".cast("long").as("label"),
+        posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy($"label", $"dim".cast("long").as("dim"))
+      .agg(round(avg($"v"), 4).as("c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_knn" -> (knnExact _),
     "embed_ann_lsh" -> (annLsh _),
     "embed_ann_ivf" -> (annIvf _),
+    "embed_label_centroids" -> (labelCentroids _),
     "dedup_embed_pairs" -> (embedDupPairs _))
 
   /** The LSH ANN query IS DuckDB-expressible because the hyperplanes are
@@ -309,6 +326,11 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "embed_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, r.range AS dim,
+        |       round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 4) AS c
+        |FROM embeddings, range(64) r
+        |GROUP BY label, r.range""".stripMargin,
     "embed_ann_lsh" -> annLshOracle,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Connected-components clustering over near-duplicate pairs — the
+  * missing end of the dedup story: pair emission ([[Dedup]]) tells you
+  * WHICH documents collide; clustering turns the pair graph into
+  * dedup groups and picks one canonical survivor per group, which is
+  * what a training-data pipeline actually ships.
+  *
+  * Algorithm: iterative hash-min label propagation. Every vertex starts
+  * labeled with its own id; each round every vertex takes the min label
+  * in its closed neighborhood; fixpoint = every vertex holds the min id
+  * of its component (the cluster id). Rounds needed = graph diameter.
+  *
+  * Scale design: near-dup components are intrinsically tiny (a handful
+  * of copies of one document) because [[Dedup]]'s pair generators cap
+  * bucket sizes, so the diameter — and the iteration count — is single
+  * digits. Each round is ONE shuffle of (id, label) pairs keyed by
+  * vertex id. Lineage is cut every round with localCheckpoint so the
+  * plan does not grow with iterations (at cluster scale, swap for
+  * reliable `checkpoint` on HDFS). For graphs with large components
+  * (social graphs, not dedup graphs) the alternating large-star/
+  * small-star variant (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond") converges in O(log n) rounds — same
+  * per-round shuffle shape, so the swap is local to the loop body.
+  *
+  * Reference had no graph/closure operator of any kind (SURVEY.md §2.3;
+  * its only keyed binary op is the gossip health merge,
+  * mr/gossip.go:81-104).
+  */
+object DedupCluster {
+
+  /** Near-dup edge threshold on exact token-set Jaccard. */
+  val JaccThreshold = 0.6
+
+  /** Safety bound on propagation rounds; the fixpoint check exits
+    * earlier. Hitting the bound throws rather than silently emitting a
+    * non-converged clustering.
+    */
+  val MaxRounds = 20
+
+  /** (doc_id, cluster_id, is_keeper) for every document that has at
+    * least one near-duplicate (cluster size >= 2; singletons are not
+    * emitted — they need no dedup decision). cluster_id = min doc_id of
+    * the component; the keeper is that minimum (deterministic
+    * tie-break, same convention as [[Dedup.exact]]'s keep_id).
+    */
+  def clusters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val edges = Dedup.jaccardPairsOf(
+      Tables.documents(spark, d).withColumn("t", TextAnalysis.toks($"text")))
+      .filter($"jacc" >= JaccThreshold)
+      .select($"doc_a", $"doc_b")
+    clustersOfEdges(edges).withColumn(
+      "is_keeper", ($"doc_id" === $"cluster_id").cast("long"))
+  }
+
+  /** Core propagation over an undirected edge list (doc_a, doc_b).
+    * Exposed separately so specs can drive it with synthetic graphs.
+    */
+  def clustersOfEdges(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    // Undirected: propagate both ways. The edge list is iterated every
+    // round — persist it once instead of re-deriving pairs each round.
+    val und = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist()
+    var labels = und.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxRounds) {
+      // min over the closed neighborhood: own label ∪ neighbors' labels
+      val next = und.join(labels, und("src") === labels("id"))
+        .select($"dst".as("id"), $"label")
+        .union(labels)
+        .groupBy($"id")
+        .agg(min($"label").as("label"))
+        .localCheckpoint() // cut lineage; also materializes for the check
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    und.unpersist()
+    require(converged, s"label propagation did not converge in $MaxRounds rounds")
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  /** DuckDB oracle: transitive closure by recursive CTE (UNION dedups,
+    * so the recursion terminates at the fixpoint), then min reachable
+    * id per vertex. Feasible because dedup components are tiny; the
+    * Spark side is the formulation that scales.
+    */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  WITH d0 AS (
+       |    SELECT doc_id, list_distinct(t) AS dt, t[1] AS b1,
+       |           CAST(floor(len(t) / 10) AS BIGINT) AS b2
+       |    FROM (SELECT doc_id,
+       |            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |          FROM documents) x),
+       |  dd AS (
+       |    SELECT * FROM (
+       |      SELECT *, count(*) OVER (PARTITION BY b1, b2) AS bsz FROM d0) y
+       |    WHERE bsz <= ${Dedup.MaxBucket})
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM dd a JOIN dd b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_filter(a.dt, x -> list_contains(b.dt, x))) AS DOUBLE) /
+       |        (len(a.dt) + len(b.dt) - len(list_filter(a.dt, x -> list_contains(b.dt, x))))
+       |        >= $JaccThreshold),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach (id, r) AS (
+       |  SELECT DISTINCT src, src FROM und
+       |  UNION
+       |  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id,
+       |       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+       |FROM reach GROUP BY id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (clusters _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersOracle)
+}
