@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.relational.Analytics
+import graft.text.DedupCluster
+
+/** Semantics + plan assertions for the analytics catalog and the
+  * connected-components dedup clustering. Value-level parity is the
+  * DuckDB oracle's job; these pin the invariants the oracle can't see
+  * (convergence, plan shape, determinism under re-partitioning).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup cluster labels equal brute-force transitive closure on a synthetic graph") {
+    // two chains, one triangle-with-tail, two isolated edges; ids chosen
+    // so min-label must travel multiple hops (worst case for propagation)
+    val edges = Seq(
+      (9L, 8L), (8L, 7L), (7L, 6L), // chain: min 6 must reach 9, 3 hops
+      (1L, 5L), (5L, 4L), (4L, 1L), (4L, 12L), // triangle + tail
+      (20L, 21L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val got = DedupCluster.clustersOfEdges(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      9L -> 6L, 8L -> 6L, 7L -> 6L, 6L -> 6L,
+      1L -> 1L, 5L -> 1L, 4L -> 1L, 12L -> 1L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L)
+    assert(got == want)
+  }
+
+  test("dedup clusters: every member maps to the component min; keepers are the minima") {
+    val rows = DedupCluster.clusters(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid, s"cluster $cid id is not its min member")
+      assert(members.count(_.getLong(2) == 1L) == 1, s"cluster $cid keeper count != 1")
+      assert(members.find(_.getLong(2) == 1L).get.getLong(0) == cid)
+      assert(members.length >= 2, s"singleton cluster $cid emitted")
+    }
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val m = Analytics.funnelStages(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("view") >= m("view>click"))
+    assert(m("view>click") >= m("view>click>purchase"))
+    assert(m("view") > 0)
+  }
+
+  test("cohort retention months_since=0 matches cohort sizes and bounds cells") {
+    val rows = Analytics.cohortRetention(spark, sf).collect()
+    val zero = rows.filter(_.getLong(1) == 0L)
+    // every cohort has a months_since=0 cell, and no later cell exceeds it
+    rows.groupBy(_.getDate(0)).foreach { case (cm, cells) =>
+      val base = cells.find(_.getLong(1) == 0L)
+      assert(base.isDefined, s"cohort $cm missing its base cell")
+      assert(cells.forall(_.getLong(2) <= base.get.getLong(2)),
+        s"cohort $cm has a retention cell above its base size")
+    }
+    assert(zero.nonEmpty)
+  }
+
+  test("sessions concurrency conserves session-hours") {
+    // sum over hours of active counts == sum over sessions of hours covered
+    val hourly = Analytics.sessionsConcurrency(spark, sf)
+      .agg(sum($"n_active")).as[Long].head()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val direct = Tables.events(spark, sf)
+      .withColumn("new_sess",
+        when(lag($"ts", 1).over(w).isNull ||
+          ($"ts" - lag($"ts", 1).over(w) > expr("INTERVAL '30' MINUTE")), 1L).otherwise(0L))
+      .withColumn("sess", sum($"new_sess").over(cum))
+      .groupBy($"user_id", $"sess")
+      .agg((floor(unix_timestamp(date_trunc("hour", max($"ts"))) / 3600) -
+        floor(unix_timestamp(date_trunc("hour", min($"ts"))) / 3600) + 1).as("hrs"))
+      .agg(sum($"hrs")).as[Long].head()
+    assert(hourly == direct)
+  }
+
+  test("scd2 intervals chain: valid_to equals the next interval's valid_from") {
+    val rows = Analytics.scd2Compaction(spark, sf)
+      .orderBy($"o_custkey", $"valid_from").collect()
+    rows.groupBy(_.getLong(0)).values.foreach { ivs =>
+      ivs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDate(3) == b.getDate(2),
+            s"interval chain broken for customer ${a.getLong(0)}")
+          assert(a.getString(1) != b.getString(1),
+            "adjacent intervals share a status — compaction failed")
+        case _ =>
+      }
+      assert(ivs.last.isNullAt(3), "open interval must have NULL valid_to")
+    }
+  }
+
+  test("histogram buckets partition the row count exactly") {
+    val rows = Analytics.histogramPrices(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val n = Tables.lineitem(spark, sf).count()
+    assert(total == n)
+    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 20))
+  }
+
+  test("stratified sample rates land near targets and are rerun-stable") {
+    val once = Analytics.stratifiedSample(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val again = Analytics.stratifiedSample(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once == again, "content-hash sample must be deterministic")
+    val totals = Tables.orders(spark, sf).groupBy($"o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Analytics.SampleRates.foreach { case (p, rate) =>
+      val got = once.getOrElse(p, 0L).toDouble / totals(p)
+      assert(math.abs(got - rate) < 0.08,
+        s"stratum $p sampled at $got, target $rate")
+    }
+  }
+
+  test("data quality audit is all-green on the generated data") {
+    val m = Analytics.dataQualityAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("orders_rows") > 0 && m("lineitem_rows") > 0 && m("documents_rows") > 0)
+    Seq("orders_null_custkey", "orders_dup_orderkey", "orders_nonpositive_price",
+      "lineitem_bad_discount", "lineitem_nonpositive_qty", "documents_dup_id",
+      "documents_empty_text", "orders_orphan_custkey", "lineitem_orphan_orderkey")
+      .foreach(k => assert(m(k) == 0L, s"check $k flagged ${m(k)} rows"))
+  }
+
+  test("funnel runs on ONE data-scale shuffle; zscore stats join broadcasts") {
+    // funnel: both qualification windows and the per-user aggregate share
+    // the user_id partitioning — exactly one hash exchange (the remaining
+    // SinglePartition exchange carries 3 constant-size counters)
+    val fp = Analytics.funnelStages(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(fp).length == 1,
+      "funnel should shuffle once on user_id:\n" + fp)
+    val zp = Analytics.anomalyZscore(spark, sf).queryExecution.executedPlan.toString
+    assert(zp.contains("BroadcastNestedLoopJoin") || zp.contains("BroadcastExchange"),
+      "one-row stats join should broadcast:\n" + zp)
+  }
+
+  test("bm25 and tfidf scores are positive and ranked") {
+    val bm = graft.text.Retrieval.bm25Search(spark, sf).collect()
+    assert(bm.length <= graft.text.Retrieval.TopDocs && bm.nonEmpty)
+    val scores = bm.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "bm25 output not rank-ordered")
+    val tf = graft.text.Retrieval.tfidfTopk(spark, sf)
+      .groupBy($"doc_id").count().collect()
+    assert(tf.forall(_.getLong(1) <= graft.text.Retrieval.TopTerms))
+  }
+
+  test("label centroids cover every (label, dim) cell exactly once") {
+    val rows = graft.sim.Similarity.labelCentroids(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).select($"label").distinct().count()
+    assert(rows.length == labels * 64)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+}
