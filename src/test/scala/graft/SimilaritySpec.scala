@@ -137,4 +137,23 @@ class SimilaritySpec extends SparkSpec {
     assert(frames.map(_.getLong(0)).distinct.length ==
       Tables.documents(spark, sf).count())
   }
+
+  test("quantized knn: integer scores, full result shape, nontrivial recall vs exact") {
+    val q = Similarity.knnQuantized(spark, sf).collect()
+    assert(q.length == Similarity.NumQueries * Similarity.K)
+    // centered codes are ±(B-1): |score| <= (B-1)^2 * dims; a top-5
+    // neighbor of a real cluster should correlate positively
+    val bound = (Similarity.QuantBuckets - 1).toLong * (Similarity.QuantBuckets - 1) * 64
+    assert(q.forall(r => math.abs(r.getLong(3)) <= bound))
+    assert(q.count(_.getLong(3) > 0) > q.length / 2)
+    val exact = Similarity.knnExact(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val quant = q.groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recall = quant.map { case (k, ids) =>
+      ids.intersect(exact(k)).size.toDouble / Similarity.K
+    }.sum / quant.size
+    // 4-bit codes keep most of the cosine ordering on this corpus; the
+    // bound is deliberately loose (quantization is lossy by design)
+    assert(recall >= 0.4, s"quantized recall@${Similarity.K} = $recall")
+  }
 }
