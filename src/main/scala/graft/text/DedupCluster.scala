@@ -109,12 +109,28 @@ object DedupCluster {
     labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
   }
 
-  /** DuckDB oracle: transitive closure by recursive CTE (UNION dedups,
-    * so the recursion terminates at the fixpoint), then min reachable
-    * id per vertex. Feasible because dedup components are tiny; the
-    * Spark side is the formulation that scales.
+  /** The corpus after clustering: drop every non-keeper, keep keepers
+    * and singletons, summarize per source — the composite that turns the
+    * pair graph into the actual deduplicated training corpus. The drop
+    * set is cluster-sized (tiny); the anti-join shuffles on doc_id once
+    * (or broadcasts the drop set, as AQE chooses here).
     */
-  private def clustersOracle: String =
+  def survivors(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val drop = clusters(spark, d).filter($"is_keeper" === 0).select($"doc_id")
+    Tables.documents(spark, d)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+  }
+
+  /** Shared oracle CTE: blocked-Jaccard edges (same formulation as the
+    * dedup_jaccard_pairs oracle) + recursive-CTE transitive closure
+    * (UNION dedups, so the recursion terminates at the fixpoint) + min
+    * reachable id per vertex. Feasible because dedup components are
+    * tiny; the Spark side is the formulation that scales.
+    */
+  private def closureCte: String =
     s"""WITH RECURSIVE pairs AS (
        |  WITH d0 AS (
        |    SELECT doc_id, list_distinct(t) AS dt, t[1] AS b1,
@@ -137,14 +153,27 @@ object DedupCluster {
        |reach (id, r) AS (
        |  SELECT DISTINCT src, src FROM und
        |  UNION
-       |  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)
-       |SELECT id AS doc_id, min(r) AS cluster_id,
-       |       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-       |FROM reach GROUP BY id""".stripMargin
+       |  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private def clustersOracle: String =
+    s"""$closureCte
+       |SELECT id AS doc_id, cluster_id,
+       |       CAST(CASE WHEN cluster_id = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+       |FROM lab""".stripMargin
+
+  private def survivorsOracle: String =
+    s"""$closureCte
+       |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster_id <> id)
+       |GROUP BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> (clusters _))
+    "dedup_clusters" -> (clusters _),
+    "dedup_survivors" -> (survivors _))
 
   val oracles: Map[String, String] = Map(
-    "dedup_clusters" -> clustersOracle)
+    "dedup_clusters" -> clustersOracle,
+    "dedup_survivors" -> survivorsOracle)
 }

@@ -28,6 +28,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("CC labels match a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = touched.map { v =>
+        val comp = touched.filter(u => find(u.toInt) == find(v.toInt))
+        v -> comp.min
+      }.toMap
+      val got = DedupCluster.clustersOfEdges(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+  }
+
+  test("survivors = documents minus non-keepers, per source") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val nonKeepers = DedupCluster.clusters(spark, sf)
+      .filter($"is_keeper" === 0).count()
+    val total = Tables.documents(spark, sf).count()
+    val surv = DedupCluster.survivors(spark, sf)
+      .agg(sum($"n_docs")).first().getLong(0)
+    assert(surv == total - nonKeepers)
+  }
+
   test("dedup clusters: every member maps to the component min; keepers are the minima") {
     val rows = DedupCluster.clusters(spark, sf).collect()
     val byCluster = rows.groupBy(_.getLong(1))
