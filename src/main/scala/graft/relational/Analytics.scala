@@ -256,6 +256,89 @@ object Analytics {
       .union(orphanOrders).union(orphanLines)
   }
 
+  /** Event-transition matrix (first-order Markov): for each observed
+    * (event_type → next event_type) pair per user timeline, the count
+    * and the per-source-type transition probability. The lead() window
+    * partitions on user_id (one data-scale shuffle); the transition
+    * grid is |types|² — constant — so the probability window runs on a
+    * bounded frame. The probability is a ratio of exact BIGINTs, so 4dp
+    * rounding is engine-stable.
+    */
+  def eventTransitions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = Window.partitionBy($"from_type")
+    Tables.events(spark, d)
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        round($"n".cast("double") / sum($"n").over(wf), 4))
+  }
+
+  /** Gap-fill / forward-fill: error events carry no usable value, so
+    * each user timeline fills them with the last non-null reading —
+    * `last_value ... IGNORE NULLS` over the running frame, the idiom
+    * sensor/metric pipelines run constantly. One user_id-partitioned
+    * window, no extra state.
+    */
+  def windowGapFill(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .withColumn("v", when($"event_type" === "error", lit(null)).otherwise($"value"))
+      .select($"event_id", $"user_id",
+        last($"v", ignoreNulls = true).over(w).as("filled"))
+  }
+
+  /** Entity-resolution fuzzy join over the part-name dictionary:
+    * distinct names, blocked on the final token (the head noun), pairs
+    * within a block at levenshtein distance <= [[MaxEditDistance]].
+    * The classic blocked fuzzy-match shape: the quadratic step runs on
+    * the DICTIONARY (distinct names — vocabulary-sized at any data
+    * scale), never on the base table, and only inside blocks.
+    */
+  val MaxEditDistance = 3
+
+  def fuzzyPartNames(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, d)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split($"p_name", " "), -1))
+    val a = names.select($"p_name".as("name_a"), $"n_parts".as("n_a"), $"blk")
+    val b = names.select($"p_name".as("name_b"), $"n_parts".as("n_b"), $"blk")
+    a.join(b, Seq("blk"))
+      .filter($"name_a" < $"name_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"dist" <= MaxEditDistance)
+      .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each order draws an exponential key -ln(u)/w from a content-hash
+    * uniform u and its price as weight w; the global bottom-
+    * [[WeightedSampleK]] keys are the sample. Keys are scaled and
+    * rounded to 4dp before ranking (tie-break o_orderkey) so the
+    * selection cannot depend on last-ulp ln() differences between
+    * engines. Compiles to TakeOrderedAndProject: per-partition heaps +
+    * driver merge, no global sort, rerun-stable at any partitioning.
+    */
+  val WeightedSampleK = 200
+
+  def weightedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .withColumn("u",
+        (graft.text.Dedup.md5Prefix32($"o_orderkey".cast("string"), 1)
+          .cast("double") + 0.5) / 4294967296.0)
+      .withColumn("skey", round(-log($"u") * 100000.0 / $"o_totalprice", 4))
+      .orderBy($"skey".asc, $"o_orderkey".asc)
+      .limit(WeightedSampleK)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice", $"skey")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private def stratifiedOracle: String = {
@@ -281,7 +364,11 @@ object Analytics {
     "histogram_prices" -> (histogramPrices _),
     "stratified_sample" -> (stratifiedSample _),
     "window_first_last" -> (windowFirstLast _),
-    "data_quality_audit" -> (dataQualityAudit _))
+    "data_quality_audit" -> (dataQualityAudit _),
+    "event_transitions" -> (eventTransitions _),
+    "window_gap_fill" -> (windowGapFill _),
+    "fuzzy_part_names" -> (fuzzyPartNames _),
+    "weighted_sample" -> (weightedSample _))
 
   val oracles: Map[String, String] = Map(
     "funnel_stages" ->
@@ -385,6 +472,42 @@ object Analytics {
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
     "stratified_sample" -> stratifiedOracle,
+    "event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |g AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM t WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS prob
+        |FROM g""".stripMargin,
+    "window_gap_fill" ->
+      """SELECT event_id, user_id,
+        |       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events""".stripMargin,
+    "fuzzy_part_names" ->
+      s"""WITH names AS (
+         |  SELECT p_name, count(*) AS n_parts,
+         |         string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS blk
+         |  FROM part GROUP BY p_name)
+         |SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         |       a.n_parts AS n_a, b.n_parts AS n_b
+         |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+         |WHERE levenshtein(a.p_name, b.p_name) <= $MaxEditDistance""".stripMargin,
+    "weighted_sample" ->
+      s"""SELECT o_orderkey, o_orderpriority, o_totalprice, skey FROM (
+         |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         |         round(-ln((CAST(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+         |                   / 4294967296.0) * 100000.0 / o_totalprice, 4) AS skey
+         |  FROM orders) t
+         |ORDER BY skey ASC, o_orderkey ASC
+         |LIMIT $WeightedSampleK""".stripMargin,
     "window_first_last" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(first_value(l_shipdate) OVER w AS DATE) AS first_ship,

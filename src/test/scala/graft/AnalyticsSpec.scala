@@ -182,6 +182,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(tf.forall(_.getLong(1) <= graft.text.Retrieval.TopTerms))
   }
 
+  test("event transition probabilities sum to 1 per source type") {
+    val rows = Analytics.eventTransitions(spark, sf).collect()
+    rows.groupBy(_.getString(0)).values.foreach { ts =>
+      val s = ts.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 0.01, s"probs sum to $s")
+    }
+  }
+
+  test("gap fill: null only before the first reading, never after") {
+    val rows = Analytics.windowGapFill(spark, sf)
+      .orderBy($"user_id", $"event_id").collect()
+    rows.groupBy(_.getLong(1)).values.foreach { evs =>
+      val filled = evs.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      val firstVal = filled.indexWhere(_.isDefined)
+      if (firstVal >= 0)
+        assert(filled.drop(firstVal).forall(_.isDefined),
+          "null after a non-null reading — forward fill broken")
+    }
+  }
+
+  test("fuzzy name pairs stay within blocks and the edit bound") {
+    val rows = Analytics.fuzzyPartNames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= Analytics.MaxEditDistance)
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getString(0).split(" ").last == r.getString(1).split(" ").last)
+    }
+  }
+
+  test("weighted sample plans TakeOrderedAndProject and favors heavy orders") {
+    val df = Analytics.weightedSample(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "weighted sample fell back to global sort:\n" + p)
+    val sampleAvg = df.agg(avg($"o_totalprice")).first().getDouble(0)
+    val popAvg = Tables.orders(spark, sf).agg(avg($"o_totalprice")).first().getDouble(0)
+    assert(sampleAvg > popAvg, "price-weighted sample should skew above the population mean")
+  }
+
   test("label centroids cover every (label, dim) cell exactly once") {
     val rows = graft.sim.Similarity.labelCentroids(spark, sf).collect()
     val labels = Tables.embeddings(spark, sf).select($"label").distinct().count()
