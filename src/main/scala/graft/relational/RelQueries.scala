@@ -168,6 +168,24 @@ object RelQueries {
           .as("promo_pct"))
   }
 
+  /** TPC-H Q15 analog: the supplier(s) achieving the maximum quarterly
+    * revenue — argmax over an aggregate via a one-row broadcast of
+    * max(revenue) joined back on EQUALITY. Safe only because revenue is
+    * an exact-grid sum (doubles on the cents grid compare exactly);
+    * with FP sums this pattern needs an epsilon or a rank instead.
+    */
+  def q15TopSupplier(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1996-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L).as("total_rev"))
+    val maxRev = rev.agg(max($"total_rev").as("mr"))
+    rev.join(broadcast(maxRev), $"total_rev" === $"mr")
+      .join(broadcast(Tables.supplier(spark, d)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev")
+  }
+
   /** Left-semi join: customers with at least one order (EXISTS). */
   def joinSemi(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -377,6 +395,7 @@ object RelQueries {
     "q10_returns" -> (q10Returns _),
     "q12_shipmode" -> (q12Shipmode _),
     "q14_promo" -> (q14Promo _),
+    "q15_top_supplier" -> (q15TopSupplier _),
     "q18_large_orders" -> (q18LargeOrders _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
@@ -484,6 +503,18 @@ object RelQueries {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_linestatus""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |           / 10000 AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
     "q14_promo" ->
       """SELECT
         |  CAST(sum(CAST(round(CASE WHEN p_type LIKE 'PROMO%'
