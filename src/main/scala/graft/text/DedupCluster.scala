@@ -48,15 +48,26 @@ object DedupCluster {
     * the component; the keeper is that minimum (deterministic
     * tie-break, same convention as [[Dedup.exact]]'s keep_id).
     */
-  def clusters(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val edges = Dedup.jaccardPairsOf(
-      Tables.documents(spark, d).withColumn("t", TextAnalysis.toks($"text")))
-      .filter($"jacc" >= JaccThreshold)
-      .select($"doc_a", $"doc_b")
-    clustersOfEdges(edges).withColumn(
-      "is_keeper", ($"doc_id" === $"cluster_id").cast("long"))
-  }
+  def clusters(spark: SparkSession, d: String): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), d), {
+      import spark.implicits._
+      val edges = Dedup.jaccardPairsOf(
+        Tables.documents(spark, d).withColumn("t", TextAnalysis.toks($"text")))
+        .filter($"jacc" >= JaccThreshold)
+        .select($"doc_a", $"doc_b")
+      clustersOfEdges(edges).withColumn(
+        "is_keeper", ($"doc_id" === $"cluster_id").cast("long"))
+    })
+
+  /** The propagation loop runs EAGERLY at plan-construction time
+    * (localCheckpoint + fixpoint actions), so [[clusters]] memoizes its
+    * checkpoint-backed result per (session, dir): the cluster table is a
+    * shared intermediate of the dedup pipeline ([[clusters]] +
+    * [[survivors]] both consume it), and a production run computes it
+    * once. Deterministic, so caching is observationally pure.
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** Core propagation over an undirected edge list (doc_a, doc_b).
     * Exposed separately so specs can drive it with synthetic graphs.
