@@ -57,32 +57,41 @@ object Retrieval {
   val B = 0.75
   val TopDocs = 20
 
+  /** The query terms are compile-time constants, so every per-term
+    * statistic is a CONDITIONAL aggregate of one doc_id-keyed pass: no
+    * (doc, term) shuffle, no df join — ONE data-scale exchange plus a
+    * one-row corpus broadcast (plan-audited; the general-query
+    * formulation would pay 4+ exchanges). Per-term contributions sum in
+    * explicit written order, not an agg, so the score is
+    * order-of-evaluation deterministic on both engines.
+    */
   def bm25Search(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, d)
-    val terms = docs
+    val terms = Tables.documents(spark, d)
       .select($"doc_id", explode(TextAnalysis.toks($"text")).as("term"))
-    val dl = terms.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
-    val tf = terms
-      .filter($"term".isin(Query: _*)) // pushed below the (doc,term) shuffle
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
-      .withColumn("idf", log(lit(1) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)))
-      .withColumn("contrib",
-        $"idf" * $"tf" * (lit(K1) + 1) /
-          ($"tf" + lit(K1) * (lit(1) - lit(B) + lit(B) * $"dl" / $"avgdl")))
-      .groupBy($"doc_id")
-      .agg(round(sum($"contrib"), 4).as("score"))
+    val tfCols = Query.zipWithIndex.map { case (t, i) =>
+      count(when($"term" === t, 1)).as(s"tf$i")
+    }
+    val perDoc = terms.groupBy($"doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = Query.indices.flatMap { i =>
+      Seq(sum(($"tf$i" > 0).cast("long")).as(s"df$i"))
+    }
+    val corpusCols = avg($"dl").as("avgdl") +: dfCols
+    val corpus = perDoc.agg(count(lit(1)).as("n"), corpusCols: _*)
+    val contribs = Query.indices.map { i =>
+      when($"tf$i" > 0,
+        log(lit(1) + ($"n" - $"df$i" + 0.5) / ($"df$i" + 0.5)) *
+          $"tf$i" * (lit(K1) + 1) /
+          ($"tf$i" + lit(K1) * (lit(1) - lit(B) + lit(B) * $"dl" / $"avgdl")))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(corpus))
+      .filter(Query.indices.map(i => $"tf$i" > 0).reduce(_ || _))
+      .select($"doc_id", round(contribs.reduce(_ + _), 4).as("score"))
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(TopDocs)
   }
-
-  private def queryList = Query.map(t => s"'$t'").mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_topk" -> (tfidfTopk _),
@@ -107,26 +116,39 @@ object Retrieval {
          |                               ORDER BY score DESC, term ASC) AS rk
          |  FROM scored)
          |SELECT doc_id, term, score FROM rk WHERE rk <= $TopTerms""".stripMargin,
-    "bm25_search" ->
-      s"""WITH terms AS (
-         |  SELECT doc_id,
-         |         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
-         |  FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
-         |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM terms
-         |  WHERE term IN ($queryList)
-         |  GROUP BY doc_id, term),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-         |SELECT tf.doc_id,
-         |       round(sum(
-         |         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
-         |         * tf.tf * ($K1 + 1)
-         |         / (tf.tf + $K1 * (1 - $B + $B * dl.dl / corpus.avgdl))), 4) AS score
-         |FROM tf JOIN df ON tf.term = df.term
-         |        JOIN dl ON tf.doc_id = dl.doc_id, corpus
-         |GROUP BY tf.doc_id
-         |ORDER BY score DESC, tf.doc_id ASC
-         |LIMIT $TopDocs""".stripMargin)
+    "bm25_search" -> bm25Oracle)
+
+  private def bm25Oracle: String = {
+    val tfCols = Query.zipWithIndex.map { case (t, i) =>
+      s"count(CASE WHEN term = '$t' THEN 1 END) AS tf$i"
+    }.mkString(",\n         ")
+    val dfCols = Query.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n         ")
+    val contribs = Query.indices.map { i =>
+      s"""CASE WHEN tf$i > 0
+         |  THEN ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ($K1 + 1)
+         |       / (tf$i + $K1 * (1 - $B + $B * dl / avgdl))
+         |  ELSE 0.0 END""".stripMargin
+    }.mkString("\n+ ")
+    val anyTf = Query.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH terms AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS dl,
+       |         $tfCols
+       |  FROM terms GROUP BY doc_id),
+       |corpus AS (
+       |  SELECT count(*) AS n, avg(dl) AS avgdl,
+       |         $dfCols
+       |  FROM perdoc)
+       |SELECT doc_id,
+       |       round($contribs, 4) AS score
+       |FROM perdoc, corpus
+       |WHERE $anyTf
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT $TopDocs""".stripMargin
+  }
 }
