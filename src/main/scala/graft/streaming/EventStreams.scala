@@ -139,6 +139,71 @@ object EventStreams {
       }
   }
 
+  /** Open-session accumulator held in GroupState: one cell per ACTIVE
+    * user.
+    */
+  final case class SessAcc(n_events: Long, startMs: Long, endMs: Long)
+
+  /** A session emitted on close. */
+  final case class SessionClosed(
+      user_id: Long, n_events: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp)
+
+  /** Custom sessionization with BOUNDED custom state — the
+    * flatMapGroupsWithState + EventTimeTimeout pattern the engine-native
+    * session_window can't replace when you need emit-on-close-only
+    * semantics or custom accumulators. One open session per user lives
+    * in the state store; sessions that close WITHIN a micro-batch emit
+    * immediately; the open tail gets an event-time timeout at
+    * last-event + gap, fires once the watermark passes it, emits, and
+    * `state.remove()` evicts the cell. State footprint = active users,
+    * not users-ever-seen — the difference between a bounded and an
+    * unbounded state store on a 100 TB stream.
+    *
+    * Gap rule matches session_window's half-open [start, last + gap):
+    * an event at exactly last+gap starts a NEW session.
+    */
+  def sessionCloseStream(events: DataFrame): Dataset[SessionClosed] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessAcc]) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator(SessionClosed(uid, a.n_events,
+              new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.endMs)))
+          } else {
+            val pts = it.map(_._2.getTime).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionClosed]
+            var acc = state.getOption
+            pts.foreach { t =>
+              acc match {
+                case Some(a) if t - a.endMs < gapMs =>
+                  acc = Some(SessAcc(a.n_events + 1, a.startMs, math.max(a.endMs, t)))
+                case Some(a) =>
+                  out += SessionClosed(uid, a.n_events,
+                    new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.endMs))
+                  acc = Some(SessAcc(1L, t, t))
+                case None =>
+                  acc = Some(SessAcc(1L, t, t))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.endMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), with state
     * bounded by a 1h watermark (`dropDuplicatesWithinWatermark` evicts
     * keys once the watermark passes them — the 100 TB-safe form; a plain

@@ -202,6 +202,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions: emit on close, state evicted by event-time timeout") {
+    // feed in two time-ordered files so sessions span micro-batches and
+    // the open tail only closes once later events advance the watermark
+    val landing = java.nio.file.Files.createTempDirectory("graftsess").toString
+    val raw = spark.read.schema(EventStreams.eventsRawSchema)
+      .parquet(s"$sf/events.parquet")
+    val midNs = raw.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
+      .collect().head.getDouble(0).toLong
+    raw.filter($"ts" <= midNs).coalesce(1).write.parquet(s"$landing/a")
+    raw.filter($"ts" > midNs).coalesce(1).write.parquet(s"$landing/b")
+    val stream = spark.readStream.schema(EventStreams.eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", true)
+      .parquet(landing)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.sessionCloseStream(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_close_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_close_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+      // driver-side ground truth: sessionize with the same half-open gap
+      // rule; only sessions whose timeout (end + gap) precedes the final
+      // watermark (max ts - 1h) can have closed
+      val gapMs = 30L * 60 * 1000
+      val evs = Tables.events(spark, sf)
+        .select($"user_id", $"ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      val maxTs = evs.map(_._2).max
+      val watermark = maxTs - 3600L * 1000
+      val want = evs.groupBy(_._1).flatMap { case (uid, rows) =>
+        val ts = rows.map(_._2).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = ts.head; var end = ts.head; var n = 1L
+        ts.tail.foreach { t =>
+          if (t - end < gapMs) { end = t; n += 1 }
+          else { sessions += ((uid, n, start, end)); start = t; end = t; n = 1L }
+        }
+        sessions += ((uid, n, start, end))
+        sessions
+      }.filter { case (_, _, _, end) => end + gapMs < watermark }.toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("checkpointed file sink is exactly-once across restart (O11 analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graftck")
     val out = s"$dir/out"
