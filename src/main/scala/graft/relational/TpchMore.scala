@@ -1,0 +1,329 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import RelQueries.{exactSum, gridScale}
+
+/** Second TPC-H analog wave — the remaining canonical query shapes,
+  * adapted to the driver testdata schema (no partsupp/commitdate/phone
+  * columns, so each keeps the SHAPE of its namesake over the columns
+  * that exist). Together with [[RelQueries]] this covers the classic
+  * decision-support patterns: correlated EXISTS aggregation (q4),
+  * nation-pair volume (q7), market-share ratio (q8), multi-dimension
+  * profit rollup (q9), group-share threshold vs a global aggregate
+  * (q11), outer-join histogram (q13), correlated per-group average
+  * (q17), disjunctive multi-predicate join (q19), and anti-join +
+  * scalar-subquery filter (q22).
+  *
+  * Scale notes follow the house rules: dimensions broadcast, facts
+  * shuffle at most once on their join key, global scalars (total
+  * revenue, average balance) are one-row broadcasts, and every money
+  * aggregate is an exact-grid sum ([[RelQueries.exactSum]]) so
+  * cross-engine comparison — and the q11/q17/q22 threshold comparisons
+  * AGAINST those aggregates — are bit-exact.
+  *
+  * Reference basis: the reference engine has no join/agg surface at all
+  * (SURVEY.md §2.3; mr/worker.go:128-148 is a per-key fold) — this file
+  * is part of the §2.3 relational-breadth mandate.
+  */
+object TpchMore {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** TPC-H Q4 analog: order-priority checking. Count 1996-H1 orders per
+    * priority that had at least one LATE line (shipped after the order
+    * date + 60 days) — correlated EXISTS compiled to a left-semi join
+    * with a non-equi conjunct; the fact-fact semi join shuffles both
+    * sides once on orderkey.
+    */
+  def q4PriorityLate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+      .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1996-07-01"))
+    val l = Tables.lineitem(spark, d)
+    o.join(l,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL '60' DAY"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q7 analog: volume shipping between a nation pair (supplier
+    * nation ↔ customer nation, both directions), by ship year. Both
+    * nation sides resolve through broadcast dims; lineitem and orders
+    * shuffle once on orderkey.
+    */
+  def q7NationVolume(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.nation(spark, d)
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, d)
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1998-01-01"))
+      .join(Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .filter(
+        ($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L).as("revenue"))
+  }
+
+  /** TPC-H Q8 analog: national market share — the fraction of ASIA-region
+    * ECONOMY-part revenue supplied by NATION_3, per order year. The share
+    * is a ratio of two conditional exact-grid sums out of ONE aggregate
+    * pass (no self-join of the aggregate).
+    */
+  def q8MarketShare(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val asiaNations = Tables.nation(spark, d)
+      .join(broadcast(Tables.region(spark, d).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("c_nk"))
+    val suppNation = Tables.nation(spark, d)
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d).filter($"p_type" === "ECONOMY")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(asiaNations), $"c_nationkey" === $"c_nk")
+      .join(broadcast(Tables.supplier(spark, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(suppNation), $"s_nationkey" === $"s_nk")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        (exactSum(when($"supp_nation" === "NATION_3",
+          $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(0.0), 10000L) /
+          exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L))
+          .as("mkt_share"))
+  }
+
+  /** TPC-H Q9 analog: product-type profit by supplier nation and order
+    * year. Profit = revenue − retail cost of the quantity; both terms
+    * live on the same 1e-4 grid, so the difference sums exactly.
+    */
+  def q9Profit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.nation(spark, d)
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("nation"))
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d).filter($"p_type" === "STANDARD")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"s_nk")
+      .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(exactSum(
+        $"l_extendedprice" * (lit(1) - $"l_discount") -
+          $"p_retailprice" * $"l_quantity", 10000L).as("profit"))
+  }
+
+  /** TPC-H Q11 analog: parts whose revenue exceeds a fixed fraction of
+    * TOTAL revenue. The global total is a one-row broadcast joined back
+    * with a cross join — the aggregate-vs-its-own-total shape. The
+    * threshold compare is exact: both sides divide the same grid sums.
+    */
+  def q11ImportantParts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, d)
+      .groupBy($"l_partkey")
+      .agg(exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L).as("part_rev"))
+    val total = rev.agg(exactSum($"part_rev", 10000L).as("total_rev"))
+    rev.join(broadcast(total))
+      .filter($"part_rev" > $"total_rev" * 0.0008)
+      .select($"l_partkey", $"part_rev")
+  }
+
+  /** TPC-H Q13 analog: distribution of customers by order count — the
+    * outer-join histogram (two stacked aggregates; the first shuffles on
+    * custkey, the second on the tiny count domain).
+    */
+  def q13OrderCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.customer(spark, d)
+      .join(Tables.orders(spark, d)
+          .filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count")) // count skips outer-null keys
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 analog: small-quantity-order revenue — lineitems of
+    * Brand#13 parts whose quantity is below HALF the part's average
+    * quantity. The per-part average is an exact ratio (grid sum / count),
+    * computed in one aggregate and broadcast back to the brand-filtered
+    * fact slice; the final scalar is the canonical sum/7.
+    */
+  def q17SmallQty(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val brandLines = Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d).filter($"p_brand" === "Brand#13")),
+        $"l_partkey" === $"p_partkey")
+    val avgQty = brandLines
+      .groupBy($"l_partkey".as("ap_partkey"))
+      .agg((exactSum($"l_quantity", 100L) / count(lit(1))).as("avg_qty"))
+    brandLines
+      .join(broadcast(avgQty), $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < $"avg_qty" * 0.5)
+      .agg((exactSum($"l_extendedprice", 100L) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 analog: disjunctive multi-predicate join (three
+    * brand/size/quantity bands OR-ed together). Catalyst pushes the
+    * disjunction's part-side conjuncts into the broadcast build side and
+    * the lineitem-side bands into the parquet scan.
+    */
+  def q19Disjunctive(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d)), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#18" && $"p_size".between(1, 25) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 35) &&
+            $"l_quantity".between(20, 30)))
+      .agg(
+        exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q22 analog: wealthy inactive customers — balance above the
+    * average positive balance (scalar subquery, one-row broadcast) and no
+    * order above 250k (anti join), grouped by nation. Every customer here
+    * HAS orders, so inactivity is "no large order" — same anti-join
+    * shape as the original's "no order at all".
+    */
+  def q22WealthyInactive(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d)
+    val avgBal = c.filter($"c_acctbal" > 0)
+      .agg((exactSum($"c_acctbal", 100L) / count(lit(1))).as("avg_bal"))
+    val bigOrders = Tables.orders(spark, d).filter($"o_totalprice" > 250000)
+    c.join(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"), exactSum($"c_acctbal", 100L).as("totacctbal"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_late" -> (q4PriorityLate _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_profit" -> (q9Profit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q13_order_counts" -> (q13OrderCounts _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q22_wealthy_inactive" -> (q22WealthyInactive _))
+
+  private val revGrid =
+    "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS DOUBLE)/10000"
+
+  val oracles: Map[String, String] = Map(
+    "q4_priority_late" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  $revGrid AS revenue
+         |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey
+         |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(CASE WHEN n1.n_name = 'NATION_3'
+        |        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END*10000,0) AS BIGINT))
+        |    AS DOUBLE)/10000 /
+        |  (CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT))
+        |    AS DOUBLE)/10000) AS mkt_share
+        |FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
+        |WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND p_type = 'ECONOMY'
+        |GROUP BY year(o_orderdate)""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round((l_extendedprice*(1-l_discount)
+        |    - p_retailprice*l_quantity)*10000,0) AS BIGINT)) AS DOUBLE)/10000 AS profit
+        |FROM lineitem, part, orders, supplier, nation
+        |WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND p_type = 'STANDARD'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q11_important_parts" ->
+      s"""WITH rev AS (
+         |  SELECT l_partkey, $revGrid AS part_rev
+         |  FROM lineitem GROUP BY l_partkey),
+         |tot AS (
+         |  SELECT CAST(sum(CAST(round(part_rev*10000,0) AS BIGINT)) AS DOUBLE)/10000
+         |    AS total_rev FROM rev)
+         |SELECT l_partkey, part_rev FROM rev, tot
+         |WHERE part_rev > total_rev * 0.0008""".stripMargin,
+    "q13_order_counts" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q17_small_qty" ->
+      """WITH bl AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |aq AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |    CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100/count(*)
+        |      AS avg_qty
+        |  FROM bl GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100/7.0
+        |  AS avg_yearly
+        |FROM bl JOIN aq ON l_partkey = ap_partkey
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT $revGrid AS revenue, count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_wealthy_inactive" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS DOUBLE)/100 AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS DOUBLE)/100/count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |GROUP BY c_nationkey""".stripMargin)
+}
