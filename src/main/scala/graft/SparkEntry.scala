@@ -30,7 +30,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     apps.MrApps.queries ++ relational.RelQueries.queries ++
       relational.RelExtras.queries ++ relational.Analytics.queries ++
-      relational.TpchMore.queries ++
+      relational.TpchMore.queries ++ relational.TimeSeries.queries ++
+      relational.Graph.queries ++
       kv.KVStore.queries ++ gossip.HealthMerge.queries ++
       text.TextAnalysis.queries ++ text.TextExtras.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
@@ -45,7 +46,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     apps.MrApps.oracles ++ relational.RelQueries.oracles ++
       relational.RelExtras.oracles ++ relational.Analytics.oracles ++
-      relational.TpchMore.oracles ++
+      relational.TpchMore.oracles ++ relational.TimeSeries.oracles ++
+      relational.Graph.oracles ++
       kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
       text.TextAnalysis.oracles ++ text.TextExtras.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++

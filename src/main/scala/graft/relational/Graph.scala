@@ -1,0 +1,206 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over data-derived graphs, in the iterative-dataframe
+  * style of [[graft.text.DedupCluster]]: no graph library, just keyed
+  * shuffles — the shape that scales to edge lists that do not fit one
+  * machine.
+  *
+  * Reference basis: the reference has no graph operator of any kind
+  * (SURVEY.md §2.3); its gossip topology is a control-plane ring, not a
+  * data-plane graph (mr/gossip.go:165-177).
+  */
+object Graph {
+
+  /** Triangles in the near-duplicate similarity graph (duplicate
+    * clusters are near-cliques, so triangle density is a cluster-quality
+    * signal). Edges: blocked token-Jaccard pairs at >= 0.5, canonical
+    * a < b orientation.
+    *
+    * Algorithm: oriented two-path join — edges (a,b) and (b,c) share the
+    * middle vertex, then a hash join against the edge set closes (a,c).
+    * Orienting every edge low→high id means each triangle is generated
+    * exactly once (a < b < c) and the join fan-out per vertex is its
+    * OUT-degree only. At scale, orient by (degree, id) instead of raw id
+    * — every vertex's out-degree is then O(sqrt(edges)) (the standard
+    * bound), which caps the two-path blow-up on skewed hub vertices; id
+    * orientation is used here because near-dup components are
+    * bucket-capped by construction ([[graft.text.Dedup.MaxBucket]]), so
+    * no hub exists by design.
+    */
+  def triangles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // localCheckpoint: the edge list is referenced three times below;
+    // materializing it once beats recomputing the Jaccard pair pipeline
+    // per reference (and keeps the triple-join plan flat)
+    trianglesOfEdges(
+      graft.text.Dedup.jaccardPairs(spark, d)
+        .filter($"jacc" >= 0.5)
+        .select($"doc_a".as("a"), $"doc_b".as("b")) // already a < b
+        .localCheckpoint())
+  }
+
+  /** Core oriented two-path + closing join over an a < b edge list.
+    * Exposed so specs can drive it with synthetic graphs.
+    */
+  def trianglesOfEdges(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val bc = e.select($"a".as("b2"), $"b".as("c"))
+    val ac = e.select($"a".as("a3"), $"b".as("c3"))
+    e.join(bc, $"b" === $"b2")
+      .join(ac, $"a" === $"a3" && $"c" === $"c3")
+      .select($"a", $"b", $"c")
+  }
+
+  /** PageRank over the nation-level trade graph: an edge
+    * supplier-nation → customer-nation carries the revenue shipped
+    * between them; rank = standard damped PageRank (d=0.85), 5
+    * iterations, uniform init 1/N.
+    *
+    * Two-phase shape: the edge-building phase is a 100 TB fact scan
+    * (lineitem⋈orders, dims broadcast) aggregated to a NATION×NATION
+    * matrix — at most 25×25 rows regardless of input scale. The
+    * iteration phase then runs on the contracted graph: each round is
+    * one broadcast join (ranks are N rows) + one aggregate on dst —
+    * no large shuffle ever repeats. This contract-then-iterate split is
+    * THE scalable design for entity-level centrality: iterate on the
+    * aggregate, never on the raw facts. Edge weights are exact-grid
+    * revenue sums, so transition probabilities are identical doubles
+    * cross-engine; rank sums (<= N terms) are rounded at emission.
+    */
+  /** Damping factor and its complement — written as separate literals on
+    * BOTH engines (never `1 - 0.85` computed in one engine: decimal vs
+    * binary arithmetic yields a 1-ulp different double).
+    */
+  val Damping = 0.85
+  val Teleport = 0.15
+  val PrIters = 5
+
+  def pagerankNations(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sn = Tables.nation(spark, d)
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("src"))
+    val cn = Tables.nation(spark, d)
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("dst"))
+    // contract: nation-pair revenue matrix (<= 625 rows)
+    val edges = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(sn), $"s_nationkey" === $"s_nk")
+      .join(broadcast(cn), $"c_nationkey" === $"c_nk")
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst")
+      .agg(RelQueries.exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L)
+        .as("w"))
+      .localCheckpoint() // the 100 TB scan runs ONCE; everything below is on <= 625 rows
+    // out-weight per source; w and outw are both exact-grid values, so
+    // p = w/outw is the same double on every engine
+    val outw = edges.groupBy($"src").agg(sum(RelQueries.gridScale($"w", 10000L)).as("ow"))
+    val trans = edges.join(outw, "src")
+      .select($"src", $"dst",
+        (RelQueries.gridScale($"w", 10000L).cast("double") / $"ow".cast("double")).as("p"))
+      .localCheckpoint()
+    val nodes = trans.select($"src".as("node")).union(trans.select($"dst")).distinct()
+      .localCheckpoint()
+    val srcNodes = trans.select($"src".as("node")).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to PrIters) {
+      val contrib = trans
+        .join(broadcast(ranks), $"src" === $"node")
+        .groupBy($"dst")
+        .agg(sum($"rank" * $"p").as("in_rank"))
+      // dangling nodes (no out-edges) redistribute their mass uniformly —
+      // without this the walk leaks mass every round. One-row broadcast,
+      // kept IN-plan (no per-iteration driver action).
+      val dangling = ranks.join(srcNodes, Seq("node"), "left_anti")
+        .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
+      ranks = nodes
+        .join(contrib, $"node" === $"dst", "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select($"node",
+          (lit(Teleport) / n +
+            lit(Damping) * (coalesce($"in_rank", lit(0.0)) + $"dm" / n))
+            .as("rank"))
+    }
+    ranks.select($"node", round($"rank", 6).as("rank"))
+  }
+
+  /** DuckDB twin of the loop, iterations UNROLLED as generated CTEs
+    * pr0..pr5 (DuckDB's recursive CTEs cannot reference the recursive
+    * table inside a subquery, so unrolling is the faithful encoding).
+    * Same FP ops per term; the <= 25-term contribution sums may
+    * associate differently, which round(6) absorbs.
+    */
+  private def pagerankOracle: String = {
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""dm$k AS (
+         |  SELECT coalesce(sum(rank), 0.0) AS dm FROM pr${k - 1}
+         |  WHERE node NOT IN (SELECT src FROM trans)),
+         |pr$k AS (
+         |  SELECT nodes.node AS node,
+         |    $Teleport / (SELECT n FROM nn) +
+         |    $Damping * (coalesce(c.in_rank, 0.0)
+         |                + (SELECT dm FROM dm$k) / (SELECT n FROM nn)) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT t.dst AS dst, sum(p.rank * t.p) AS in_rank
+         |    FROM trans t JOIN pr${k - 1} p ON p.node = t.src
+         |    GROUP BY t.dst) c ON c.dst = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT n1.n_name AS src, n2.n_name AS dst,
+       |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS DOUBLE)/10000 AS w
+       |  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+       |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND l_suppkey = s_suppkey
+       |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+       |    AND n1.n_name <> n2.n_name
+       |  GROUP BY n1.n_name, n2.n_name),
+       |ow AS (
+       |  SELECT src, sum(CAST(round(w*10000,0) AS BIGINT)) AS ow
+       |  FROM edges GROUP BY src),
+       |trans AS (
+       |  SELECT edges.src, edges.dst,
+       |    CAST(CAST(round(w*10000,0) AS BIGINT) AS DOUBLE) / CAST(ow AS DOUBLE) AS p
+       |  FROM edges JOIN ow ON edges.src = ow.src),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |pr0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+       |$iterCtes
+       |SELECT node, round(rank, 6) AS rank FROM pr$PrIters""".stripMargin
+  }
+
+  private def trianglesOracle: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, list_distinct(t) AS dt, t[1] AS b1,
+       |         CAST(floor(len(t) / 10) AS BIGINT) AS b2
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |        FROM documents) x),
+       |dd AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY b1, b2) AS bsz FROM d0) y
+       |  WHERE bsz <= ${graft.text.Dedup.MaxBucket}),
+       |e AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM dd a JOIN dd b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_filter(a.dt, x -> list_contains(b.dt, x))) AS DOUBLE) /
+       |        (len(a.dt) + len(b.dt) - len(list_filter(a.dt, x -> list_contains(b.dt, x))))
+       |        >= 0.5)
+       |SELECT ab.a AS a, ab.b AS b, bc.b AS c
+       |FROM e ab JOIN e bc ON ab.b = bc.a
+       |          JOIN e ac ON ac.a = ab.a AND ac.b = bc.b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> (triangles _),
+    "graph_pagerank_nations" -> (pagerankNations _))
+
+  val oracles: Map[String, String] = Map(
+    "graph_triangles" -> trianglesOracle,
+    "graph_pagerank_nations" -> pagerankOracle)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.relational.{Graph, TimeSeries}
+
+/** Invariants the oracle can't see for the graph + time-series wave:
+  * brute-force triangle parity on synthetic graphs, PageRank mass
+  * conservation, EWMA convexity.
+  */
+class GraphTimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangles match brute force on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 25
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val es = edges.toSet
+      val want = (for {
+        (a, b) <- edges
+        c <- (b + 1) to n.toLong
+        if es.contains((b, c)) && es.contains((a, c))
+      } yield (a, b, c)).toSet
+      val got = Graph.trianglesOfEdges(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("each emitted triangle is strictly ordered a < b < c (no duplicates)") {
+    val tri = Graph.triangles(spark, sf).collect()
+    assert(tri.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(1) < r.getLong(2)))
+    assert(tri.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).distinct.length
+      == tri.length)
+  }
+
+  test("pagerank: 25 nodes, positive ranks, total mass ~1") {
+    val ranks = Graph.pagerankNations(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 25)
+    assert(ranks.values.forall(_ > 0))
+    val mass = ranks.values.sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass drifted: $mass")
+  }
+
+  test("EWMA is a convex combination: min(value) <= ewma <= max(value) per user") {
+    val perUser = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    val joined = TimeSeries.ewmaUserValue(spark, sf)
+      .join(perUser, "user_id")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (ewma, lo, hi) =
+        (r.getAs[Double]("ewma"), r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(ewma >= lo - 1e-6 && ewma <= hi + 1e-6)
+    }
+  }
+
+  test("EWMA with one event equals that event's value") {
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
+      .toDF("user_id", "ts", "value")
+      .withColumn("event_id", lit(9L))
+    // reuse the fold shape directly on a single-row frame
+    val got = one.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("evs"))
+      .select(aggregate(
+        expr("slice(evs, 2, size(evs) - 1)"),
+        $"evs"(0)("value"),
+        (acc, e) => acc * (1 - TimeSeries.Alpha) + e("value") * TimeSeries.Alpha))
+      .first().getDouble(0)
+    assert(got == 42.5)
+  }
+}
