@@ -35,7 +35,7 @@ object SparkEntry {
       kv.KVStore.queries ++ gossip.HealthMerge.queries ++
       text.TextAnalysis.queries ++ text.TextExtras.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
-      text.Retrieval.queries ++
+      text.Retrieval.queries ++ text.HeavyHitters.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ relational.Skew.queries ++
       pipeline.Curation.queries
@@ -51,7 +51,7 @@ object SparkEntry {
       kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
       text.TextAnalysis.oracles ++ text.TextExtras.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
-      text.Retrieval.oracles ++
+      text.Retrieval.oracles ++ text.HeavyHitters.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ relational.Skew.oracles ++
       pipeline.Curation.oracles

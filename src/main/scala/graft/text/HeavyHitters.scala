@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Exact frequent-item mining at scale: the two-pass
+  * candidate-then-recount pattern.
+  *
+  * The naive `groupBy(token).count.filter` shuffles EVERY distinct token
+  * — at 100 TB that is a vocabulary-sized shuffle dominated by the
+  * long tail that can never qualify. The production shape prunes the
+  * tail before it ever reaches the shuffle:
+  *
+  *   Pass 1 (narrow): each partition runs a Misra–Gries summary with K
+  *   counters over its tokens and emits only its <= K surviving
+  *   candidates. MG's eviction guarantee makes the union of
+  *   per-partition candidates a PROVABLE superset of every item with
+  *   global frequency > N/K: an item absent from partition p's summary
+  *   has local count <= N_p/K, so an item absent from ALL summaries has
+  *   global count <= Σ N_p/K = N/K (mergeable-summaries argument,
+  *   Agarwal et al., PODS'12).
+  *
+  *   Pass 2 (exact): semi-join the token stream against the broadcast
+  *   candidate set (<= K × partitions rows, vocabulary-independent) and
+  *   recount EXACTLY, filtering by the true threshold. The output is
+  *   therefore exact — identical to the naive plan — not an estimate,
+  *   and partitioning-independent, which is what makes it oracle-able.
+  *
+  * Threshold: count >= Total/1000, compared in pure BIGINT arithmetic
+  * (`cnt * 1000 >= total`) — no FP anywhere. K = 2000 > 1000 gives the
+  * superset guarantee with 2x margin.
+  *
+  * Reference basis: wc (mrapps/wc.go) counts every word exactly with a
+  * full shuffle; this is the scale-aware refinement for "frequent words
+  * only" queries.
+  */
+object HeavyHitters {
+
+  /** Counters per partition summary. Must exceed Total/threshold
+    * (= 1000) for the superset guarantee.
+    */
+  val K = 2000
+
+  /** Misra–Gries over one partition's token iterator: at most K
+    * counters; on overflow every counter decrements (evicting zeros).
+    * Survivors are the partition's candidate set.
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { tok =>
+      counters.get(tok) match {
+        case Some(c) => counters.update(tok, c + 1)
+        case None if counters.size < k => counters.update(tok, 1L)
+        case None =>
+          // decrement-all; drop zeroed counters (amortized O(1)/token)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.mapValuesInPlace((_, c) => c - 1)
+          counters.foreach { case (t, c) => if (c == 0) dead += t }
+          dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** Tokens appearing in at least 1/1000 of all token positions across
+    * the corpus, with EXACT counts: (tok, cnt, total).
+    */
+  def frequentTokens(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select(explode(TextAnalysis.toks($"text")).as("tok"))
+    val candidates = toks.as[String]
+      .mapPartitions(it => misraGries(it, K))
+      .toDF("tok")
+      .distinct()
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter($"cnt" * 1000 >= $"total")
+      .select($"tok", $"cnt", $"total")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitter_tokens" -> (frequentTokens _))
+
+  val oracles: Map[String, String] = Map(
+    "heavy_hitter_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT tok, count(*) AS cnt, (SELECT total FROM tot) AS total
+        |FROM toks GROUP BY tok
+        |HAVING count(*) * 1000 >= (SELECT total FROM tot)""".stripMargin)
+}

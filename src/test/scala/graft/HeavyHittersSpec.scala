@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.HeavyHitters
+
+/** The two properties the oracle can't check: the MG candidate pass is a
+  * superset of every qualifying item REGARDLESS of partitioning, and the
+  * two-pass output equals the naive full-shuffle plan.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Misra-Gries survivors include every item with count > n/k") {
+    val rnd = new scala.util.Random(11)
+    // skewed stream: few heavy items + a long random tail
+    val stream = Seq.fill(5000)(
+      if (rnd.nextInt(10) < 4) s"heavy${rnd.nextInt(3)}"
+      else s"tail${rnd.nextInt(2000)}")
+    val k = 50
+    val survivors = HeavyHitters.misraGries(stream.iterator, k).toSet
+    val counts = stream.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val mustKeep = counts.filter(_._2 > stream.size / k).keySet
+    assert(mustKeep.subsetOf(survivors),
+      s"MG evicted qualifying items: ${mustKeep -- survivors}")
+    assert(survivors.size <= k)
+  }
+
+  test("two-pass heavy hitters equal the naive full-shuffle plan, at any partitioning") {
+    val naive = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = naive.agg(sum($"cnt")).first().getLong(0)
+    val want = naive.filter($"cnt" * 1000 >= total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = HeavyHitters.frequentTokens(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
