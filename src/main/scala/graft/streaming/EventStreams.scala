@@ -204,6 +204,43 @@ object EventStreams {
       }
   }
 
+  /** Running EWMA state: the constant-size cell that replaces the batch
+    * collect_list fold when a key's series is unbounded.
+    */
+  final case class EwmaCell(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming twin of [[graft.relational.TimeSeries.ewmaUserValue]]:
+    * the same recurrence `acc*(1-α) + x*α`, but held as O(1) state per
+    * user in the state store instead of a per-key ordered list — the
+    * unbounded-series form (years of ticks per key never materialize).
+    * Events within a micro-batch are sorted by (ts, event_id); batches
+    * must arrive time-ordered per key (the landing-file contract), which
+    * keeps the fold sequence identical to the batch twin's — so the
+    * drained stream's final cell matches the batch result BIT-exactly.
+    */
+  def ewmaStream(events: DataFrame): Dataset[EwmaCell] = {
+    import events.sparkSession.implicits._
+    val alpha = graft.relational.TimeSeries.Alpha
+    events
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[EwmaCell]) =>
+          val sorted = it.toSeq.sortBy(e => (e._2.getTime, e._3))
+          var cell = state.getOption.getOrElse(EwmaCell(uid, 0L, 0.0))
+          sorted.foreach { e =>
+            val s =
+              if (cell.n_events == 0L) e._4
+              else cell.ewma * (1 - alpha) + e._4 * alpha
+            cell = EwmaCell(uid, cell.n_events + 1, s)
+          }
+          state.update(cell)
+          cell
+      }
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), with state
     * bounded by a 1h watermark (`dropDuplicatesWithinWatermark` evicts
     * keys once the watermark passes them — the 100 TB-safe form; a plain

@@ -250,6 +250,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA drains to the batch fold bit-exactly") {
+    // time-split files so the per-key fold sequence spans micro-batches
+    val landing = java.nio.file.Files.createTempDirectory("graftewma").toString
+    val raw = spark.read.schema(EventStreams.eventsRawSchema)
+      .parquet(s"$sf/events.parquet")
+    val midNs = raw.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
+      .collect().head.getDouble(0).toLong
+    raw.filter($"ts" <= midNs).coalesce(1).write.parquet(s"$landing/a")
+    raw.filter($"ts" > midNs).coalesce(1).write.parquet(s"$landing/b")
+    val stream = spark.readStream.schema(EventStreams.eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", true)
+      .parquet(landing)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.ewmaStream(stream)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ewma_out").start()
+    try {
+      q.processAllAvailable()
+      // latest cell per user = the one with the highest n_events
+      val got = spark.table("ewma_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }
+        .map(t => (t._1, t._2, // same HALF_UP rounding as SQL round(x, 6)
+          BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      val want = graft.relational.TimeSeries.ewmaUserValue(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("ewma"))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("checkpointed file sink is exactly-once across restart (O11 analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graftck")
     val out = s"$dir/out"
