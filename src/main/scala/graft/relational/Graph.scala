@@ -117,15 +117,21 @@ object Graph {
       // dangling nodes (no out-edges) redistribute their mass uniformly —
       // without this the walk leaks mass every round. One-row broadcast,
       // kept IN-plan (no per-iteration driver action).
-      val dangling = ranks.join(srcNodes, Seq("node"), "left_anti")
+      val dangling = ranks.join(broadcast(srcNodes), Seq("node"), "left_anti")
         .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
+      // localCheckpoint per round: `ranks` appears TWICE in the next
+      // round's plan (contrib + dangling), so a lazy chain doubles the
+      // plan tree per iteration (measured: 109 exchanges by round 5);
+      // cutting lineage keeps every round a constant-size plan over
+      // <= 625 rows — same discipline as DedupCluster's loop.
       ranks = nodes
-        .join(contrib, $"node" === $"dst", "left_outer")
+        .join(broadcast(contrib), $"node" === $"dst", "left_outer")
         .crossJoin(broadcast(dangling))
         .select($"node",
           (lit(Teleport) / n +
             lit(Damping) * (coalesce($"in_rank", lit(0.0)) + $"dm" / n))
             .as("rank"))
+        .localCheckpoint()
     }
     ranks.select($"node", round($"rank", 6).as("rank"))
   }
