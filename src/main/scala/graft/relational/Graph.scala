@@ -96,17 +96,23 @@ object Graph {
       .groupBy($"src", $"dst")
       .agg(RelQueries.exactSum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000L)
         .as("w"))
-      .localCheckpoint() // the 100 TB scan runs ONCE; everything below is on <= 625 rows
+      // the 100 TB scan runs ONCE; everything below is on <= 625 rows.
+      // coalesce(1) BEFORE the checkpoint: the contracted frames would
+      // otherwise inherit shuffle.partitions-many partitions, and every
+      // iteration round would spawn that many near-empty tasks (measured
+      // ~4 s of pure task overhead at 32 partitions vs ~1 s at 1).
+      .coalesce(1)
+      .localCheckpoint()
     // out-weight per source; w and outw are both exact-grid values, so
     // p = w/outw is the same double on every engine
     val outw = edges.groupBy($"src").agg(sum(RelQueries.gridScale($"w", 10000L)).as("ow"))
     val trans = edges.join(outw, "src")
       .select($"src", $"dst",
         (RelQueries.gridScale($"w", 10000L).cast("double") / $"ow".cast("double")).as("p"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     val nodes = trans.select($"src".as("node")).union(trans.select($"dst")).distinct()
-      .localCheckpoint()
-    val srcNodes = trans.select($"src".as("node")).distinct().localCheckpoint()
+      .coalesce(1).localCheckpoint()
+    val srcNodes = trans.select($"src".as("node")).distinct().coalesce(1).localCheckpoint()
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to PrIters) {
@@ -131,7 +137,7 @@ object Graph {
           (lit(Teleport) / n +
             lit(Damping) * (coalesce($"in_rank", lit(0.0)) + $"dm" / n))
             .as("rank"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
     ranks.select($"node", round($"rank", 6).as("rank"))
   }

@@ -76,6 +76,10 @@ object DedupCluster {
     import edges.sparkSession.implicits._
     // Undirected: propagate both ways. The edge list is iterated every
     // round — persist it once instead of re-deriving pairs each round.
+    // (Pre-hash-partitioning by src was measured SLOWER here: the extra
+    // upfront shuffle outweighs the per-round exchange it saves at this
+    // edge count; on a cluster-scale edge list, repartition($"src")
+    // before persist is the right call — noted, not applied.)
     val und = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .persist()
