@@ -37,6 +37,32 @@ object Skew {
       .agg(sum(col("pn")).as("n"), sum(col("psum")).as("cents_sum"))
   }
 
+  /** Salted fact-dim JOIN — the join-side counterpart of [[saltedAgg]]
+    * for when the dim is too big to broadcast and one fact key is hot:
+    * the fact side salts each row into one of `salts` sub-keys; the dim
+    * side replicates each row to ALL `salts` sub-keys (an explode, cost
+    * = |dim| × salts); the equi-join then runs on (key, salt), spreading
+    * the hot key's rows over `salts` reducers. Result identical to the
+    * unsalted join — salting changes the plan, never the output. With
+    * AQE's skew-join splitting this is rarely hand-written anymore; it
+    * remains the portable fallback when AQE cannot split (e.g. a
+    * bucketed or already-colocated layout it must preserve).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      factKey: Column,
+      dim: DataFrame,
+      dimKey: Column,
+      salt: Column,
+      salts: Int): DataFrame = {
+    val salted = fact.withColumn("_salt", pmod(salt, lit(salts)))
+    val replicated = dim.withColumn(
+      "_salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated,
+      factKey === dimKey && salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
+
   /** Demo over events with a deliberately hot key (70% of rows): the
     * salted plan's first aggregate fans the hot key over 16 sub-keys.
     * Output equals a plain GROUP BY (the oracle), which is the point —
@@ -54,8 +80,30 @@ object Skew {
         ($"cents_sum".cast("double") / 100).as("sum_value"))
   }
 
+  /** Salted-join demo: orders with 70% of rows re-keyed to one hot
+    * customer, joined to the full customer table (NOT broadcast — the
+    * scenario salting exists for), aggregated per market segment. The
+    * dim side is forced into a shuffle join via hints so the salted
+    * (key, salt) distribution actually drives the exchange.
+    */
+  def skewSaltedJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.orders(spark, d).select(
+      when($"o_orderkey" % 10 < 7, lit(1L)).otherwise($"o_custkey").as("ck"),
+      RelQueries.gridScale($"o_totalprice", 100L).as("cents"),
+      xxhash64($"o_orderkey").as("rsalt"))
+    val dim = Tables.customer(spark, d)
+      .hint("shuffle_hash")
+      .select($"c_custkey", $"c_mktsegment")
+    saltedJoin(fact, $"ck", dim, $"c_custkey", $"rsalt", salts = 16)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        (sum($"cents").cast("double") / 100).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "skew_salted_agg" -> (skewSaltedAgg _))
+    "skew_salted_agg" -> (skewSaltedAgg _),
+    "skew_salted_join" -> (skewSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "skew_salted_agg" ->
@@ -63,5 +111,11 @@ object Skew {
         |            ELSE CAST(user_id AS VARCHAR) END AS skey,
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_value
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_price
+        |FROM orders JOIN customer
+        |  ON c_custkey = CASE WHEN o_orderkey % 10 < 7 THEN 1 ELSE o_custkey END
+        |GROUP BY 1""".stripMargin)
 }

@@ -113,6 +113,37 @@ object EventStreams {
       .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
   }
 
+  /** Stream-static enrich join (batch twin, oracled): events joined to
+    * the STATIC customer dimension on user_id = c_custkey, then a
+    * tumbling-hour aggregate per market segment — the canonical
+    * "enrich on ingest" shape. Unlike a stream-stream join this keeps
+    * ZERO join state: the static side broadcasts (and is re-resolved
+    * per micro-batch if its backing files change); only the window
+    * aggregate holds state, bounded by the watermark.
+    */
+  def segmentEnrichBatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    segmentEnrichOf(
+      Tables.events(spark, d),
+      Tables.customer(spark, d))
+  }
+
+  /** Streaming variant of [[segmentEnrichBatch]]; `events` is a
+    * streaming frame, `customer` a static one.
+    */
+  def segmentEnrichStream(events: DataFrame, customer: DataFrame): DataFrame =
+    segmentEnrichOf(events.withWatermark("ts", "1 hour"), customer)
+
+  private def segmentEnrichOf(events: DataFrame, customer: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .join(broadcast(customer.select($"c_custkey", $"c_mktsegment")),
+        $"user_id" === $"c_custkey")
+      .groupBy(window($"ts", "1 hour"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n"), exactSumCents($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"c_mktsegment", $"n", $"sum_value")
+  }
+
   /** Streaming CAS KV replay (O16 as a stateful stream): per-key state is
     * the live KV cell, updated by each micro-batch's ops in seq order —
     * `mapGroupsWithState` is the unbounded-stream form of
@@ -292,9 +323,16 @@ object EventStreams {
     "events_tumbling_1h" -> (tumblingBatch _),
     "events_sliding_1h_30m" -> (slidingBatch _),
     "events_session_agg" -> (sessionAggBatch _),
-    "events_purchase_click_join" -> (purchaseClickJoinBatch _))
+    "events_purchase_click_join" -> (purchaseClickJoinBatch _),
+    "events_segment_enrich" -> (segmentEnrichBatch _))
 
   val oracles: Map[String, String] = Map(
+    "events_segment_enrich" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, c_mktsegment,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     // session_window semantics are half-open [start, last+gap): an event
     // exactly gap after its predecessor starts a NEW session, hence >=
     "events_session_agg" ->

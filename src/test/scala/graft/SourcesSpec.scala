@@ -171,6 +171,25 @@ class SourcesSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 4)
   }
 
+  test("salted join equals plain join (dim fan-out in plan, result identical)") {
+    val salted = graft.relational.Skew.skewSaltedJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = Tables.orders(spark, sf).select(
+        when($"o_orderkey" % 10 < 7, lit(1L)).otherwise($"o_custkey").as("ck"),
+        (round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+      .join(Tables.customer(spark, sf), $"ck" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), (sum($"cents").cast("double") / 100).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted === plain)
+    // the dim side really is replicated (explode of the salt sequence)
+    val plan = graft.relational.Skew.skewSaltedJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), "expected dim-side salt fan-out")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "salting must drive a shuffled join, not a broadcast")
+  }
+
   test("native dot_f64 == interpreted zip_with dot (and codegen compiles)") {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sf)

@@ -129,6 +129,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrich join (complete mode) == batch twin") {
+    val q = EventStreams.segmentEnrichStream(
+        EventStreams.readEventsStream(spark, eventsDir),
+        Tables.customer(spark, sf))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val got = spark.table("enrich_out").collect().map(key).toSet
+      val want = EventStreams.segmentEnrichBatch(spark, sf).collect().map(key).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark covers the batch-distinct key set") {
     val q = EventStreams.dedupStream(EventStreams.readEventsStream(spark, eventsDir))
       .select($"user_id", $"event_type")
