@@ -339,6 +339,31 @@ object Analytics {
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice", $"skey")
   }
 
+  /** Market-basket co-occurrence: the top 20 part pairs appearing in the
+    * same order, deterministic tie-break (count desc, then pair ids).
+    * The pair generator is a keyed self-join on orderkey — NOT a raw
+    * cross join: fan-out per order is C(items,2) and TPC-H-ish orders
+    * hold <= 7 items, so the blow-up is bounded by the data model. For
+    * baskets with unbounded size (carts, playlists), cap per-basket
+    * items first (the [[graft.text.Dedup.MaxBucket]] discipline) or
+    * switch to frequent-itemset sampling — same trade recorded there.
+    * Top-k compiles to TakeOrderedAndProject (per-partition heaps, no
+    * global sort).
+    */
+  val BasketTopK = 20
+
+  def basketPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val b = items.select($"ok", $"pk".as("pk_b"))
+    items.join(b, items("ok") === b("ok") && $"pk" < $"pk_b")
+      .groupBy($"pk".as("part_a"), $"pk_b".as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a".asc, $"part_b".asc)
+      .limit(BasketTopK)
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private def stratifiedOracle: String = {
@@ -368,9 +393,18 @@ object Analytics {
     "event_transitions" -> (eventTransitions _),
     "window_gap_fill" -> (windowGapFill _),
     "fuzzy_part_names" -> (fuzzyPartNames _),
-    "weighted_sample" -> (weightedSample _))
+    "weighted_sample" -> (weightedSample _),
+    "basket_pairs" -> (basketPairs _))
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+         |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+         |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |GROUP BY 1, 2
+         |ORDER BY n_orders DESC, part_a, part_b
+         |LIMIT $BasketTopK""".stripMargin,
     "funnel_stages" ->
       """WITH w1 AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -221,6 +221,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(sampleAvg > popAvg, "price-weighted sample should skew above the population mean")
   }
 
+  test("basket pairs: per-order fan-out is C(k,2) and top-k avoids a global sort") {
+    import graft.relational.Analytics
+    val items = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val expectedPairs = items.groupBy($"l_orderkey").count()
+      .select(sum($"count" * ($"count" - 1) / 2).cast("long")).as[Long].head()
+    val allPairs = {
+      val a = items.select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      val b = items.select($"l_orderkey".as("ok"), $"l_partkey".as("pk_b"))
+      a.join(b, a("ok") === b("ok") && $"pk" < $"pk_b").count()
+    }
+    assert(allPairs == expectedPairs)
+    val top = Analytics.basketPairs(spark, sf)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    val rows = top.collect()
+    assert(rows.length <= Analytics.BasketTopK && rows.nonEmpty)
+    // ranked: counts non-increasing
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
+  }
+
   test("label centroids cover every (label, dim) cell exactly once") {
     val rows = graft.sim.Similarity.labelCentroids(spark, sf).collect()
     val labels = Tables.embeddings(spark, sf).select($"label").distinct().count()
