@@ -1,0 +1,73 @@
+package graft
+
+/** Catalog-wide physical-plan regression gate — SURVEY §8's audit as an
+  * enforced invariant, not prose. For EVERY query in the catalog:
+  *
+  *   - hash-exchange count stays within a per-query budget (default 2;
+  *     the documented multi-stage pipelines carry explicit, justified
+  *     exceptions). A regression that adds an un-reused shuffle fails
+  *     here before it ships.
+  *   - no nested-loop join appears unless the query is on the explicit
+  *     broadcast-constant/one-row-side whitelist.
+  *   - no query plans a global sort (top-k must compile to
+  *     TakeOrderedAndProject; ordered output without limit is not a
+  *     catalog shape).
+  *
+  * Exchange counts are structural (independent of sf), so sf0.001 plans
+  * stand in for any scale.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  /** Queries allowed MORE than the default 2 exchanges, with why. */
+  private val exchangeBudget: Map[String, Int] = Map(
+    // pair mining: distinct items -> orderkey join -> pair agg
+    "basket_pairs" -> 3,
+    // custkey grid -> (cohort, month) grid -> distinct actives
+    "cohort_retention" -> 3,
+    // sketch pipelines: doc -> band/chunk -> pair
+    "dedup_minhash_pairs" -> 3,
+    "dedup_simhash_pairs" -> 3,
+    // cluster propagation feeds the survivor anti-join
+    "dedup_survivors" -> 3,
+    // user timeline window -> (from, to) grid -> source share
+    "event_transitions" -> 3,
+    // the (key, salt) exchange IS the operator's point
+    "skew_salted_join" -> 3,
+    // oriented two-path join + closing join
+    "graph_triangles" -> 4,
+    // (doc, term) tf -> term df -> per-doc rank
+    "tfidf_topk" -> 4,
+    // quantile codes per dim -> coded vectors -> integer-dot rank
+    "embed_knn_quantized" -> 5,
+    // end-to-end composite: chains five audited operators
+    "training_mix" -> 6)
+
+  /** Queries whose nested-loop join is against a broadcast constant or
+    * one-row aggregate (SURVEY §8: the only sanctioned NLJ shape).
+    */
+  private val nljWhitelist: Set[String] = Set(
+    "anomaly_zscore", // one-row global stats
+    "bm25_search", // one-row corpus stats
+    "embed_knn", // probe-vector constant
+    "embed_knn_quantized", // quantile-boundary constant
+    "heavy_hitter_tokens", // one-row total-count threshold
+    "q11_important_parts", // one-row global total
+    "q22_wealthy_inactive", // one-row avg-balance scalar
+    "range_join_tiers", // 3-row tier table
+    "tfidf_topk") // one-row corpus doc count
+
+  test("every catalog query stays within its exchange budget, NLJ whitelist, no global sort") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val budget = exchangeBudget.getOrElse(name, 2)
+      val nlj = plan.contains("BroadcastNestedLoopJoin")
+      val gsort = "Sort \\[[^\\]]*\\], true".r.findAllIn(plan).nonEmpty
+      Seq(
+        if (nEx > budget) Some(s"$name: $nEx exchanges > budget $budget") else None,
+        if (nlj && !nljWhitelist(name)) Some(s"$name: unsanctioned nested-loop join") else None,
+        if (gsort) Some(s"$name: global sort in plan") else None).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
