@@ -83,8 +83,50 @@ object HeavyHitters {
       .select($"tok", $"cnt", $"total")
   }
 
+  /** CMS accuracy: eps (additive error as a fraction of total count) and
+    * confidence. Fixed seed keeps the sketch — and thus the query
+    * result — fully deterministic.
+    */
+  val CmsEps = 0.001
+  val CmsConf = 0.99
+  val CmsSeed = 42
+
+  /** Approximate tier of frequent-item mining: per-source count-min
+    * sketches (Spark's built-in `count_min_sketch` aggregate — one
+    * partial+final pass; the only shuffle payload is the constant-size
+    * sketch, ~KBs per source regardless of token count), merged into a
+    * corpus sketch, probed for every EXACT heavy hitter's estimate:
+    * (tok, cnt, est) with the CMS guarantee cnt <= est <= cnt + eps·N.
+    *
+    * The merge is the point: sketches are commutative monoids (the same
+    * property as the gossip health table, §2.1-O14), so a 1000-executor
+    * corpus aggregates as cheaply as a laptop's. Sketch bytes and the
+    * probe set are BOUNDED driver artifacts (sources × KB; <= 1000
+    * hitters by the threshold), the sanctioned collect category of
+    * SURVEY §8 — token-scale data never leaves the executors.
+    */
+  def cmsTokenEstimates(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select($"source", explode(TextAnalysis.toks($"text")).as("tok"))
+    val sketchRows = toks
+      .groupBy($"source")
+      .agg(expr(s"count_min_sketch(tok, ${CmsEps}d, ${CmsConf}d, $CmsSeed)")
+        .as("sk"))
+      .select($"sk").as[Array[Byte]].collect()
+    val merged = sketchRows.map(b =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val exact = frequentTokens(spark, d)
+      .select($"tok", $"cnt").as[(String, Long)].collect().sortBy(_._1)
+    exact.map { case (t, c) => (t, c, merged.estimateCount(t)) }
+      .toSeq.toDF("tok", "cnt", "est")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "heavy_hitter_tokens" -> (frequentTokens _))
+    "heavy_hitter_tokens" -> (frequentTokens _),
+    "cms_token_estimates" -> (cmsTokenEstimates _))
 
   val oracles: Map[String, String] = Map(
     "heavy_hitter_tokens" ->

@@ -37,4 +37,30 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("CMS estimates bound exact counts, and per-source merge == one global sketch") {
+    val total = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextAnalysis.toks($"text")).as("tok")).count()
+    val rows = HeavyHitters.cmsTokenEstimates(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, cnt, est) =>
+      assert(est >= cnt, s"$t: CMS underestimated ($est < $cnt)")
+      assert(est <= cnt + (HeavyHitters.CmsEps * total).toLong + 1,
+        s"$t: estimate $est above eps bound for exact $cnt")
+    }
+    // merging per-source sketches must equal sketching the whole corpus
+    // in one aggregate (counter-wise sum with identical seeded hashes)
+    val globalBytes = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
+      .agg(expr(s"count_min_sketch(tok, ${HeavyHitters.CmsEps}d, " +
+        s"${HeavyHitters.CmsConf}d, ${HeavyHitters.CmsSeed})"))
+      .as[Array[Byte]].head()
+    val global = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(globalBytes))
+    rows.foreach { case (t, _, est) =>
+      assert(global.estimateCount(t) == est,
+        s"$t: merged-sketch estimate differs from global sketch")
+    }
+  }
 }
