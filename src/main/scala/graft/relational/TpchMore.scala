@@ -217,7 +217,46 @@ object TpchMore {
       .agg(count(lit(1)).as("numcust"), exactSum($"c_acctbal", 100L).as("totacctbal"))
   }
 
+  /** TPC-H Q21 analog: suppliers who kept waiting — the top 20 suppliers
+    * (by count of late lines, name tie-break) whose late lines sit in
+    * finished multi-supplier orders where THEY were the only late
+    * supplier. "Late" = shipped more than 60 days after the order date
+    * (the q4 convention; this schema has no commit/receipt dates).
+    *
+    * The original's correlated EXISTS + NOT EXISTS self-joins are
+    * re-expressed Spark-first as per-order window sets: after the single
+    * fact-fact join on orderkey, `collect_set(supplier)` and
+    * `collect_set(late supplier)` over the order partition answer both
+    * subqueries with ZERO extra joins — the window reuses the join's
+    * orderkey partitioning (one exchange per fact side, none for the
+    * window), and per-order sets are bounded by lines-per-order. The
+    * blame condition "some other supplier, no other late supplier"
+    * becomes n_suppliers >= 2 && late_set == {me}.
+    */
+  def q21Blame(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val f = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .withColumn("late",
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL '60' DAY"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    f.withColumn("n_supp", size(collect_set($"l_suppkey").over(w)))
+      .withColumn("late_set",
+        collect_set(when($"late", $"l_suppkey")).over(w))
+      .filter($"late" && $"n_supp" >= 2 &&
+        size($"late_set") === 1 && $"late_set"(0) === $"l_suppkey")
+      .join(broadcast(Tables.supplier(spark, d)),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_blame" -> (q21Blame _),
     "q4_priority_late" -> (q4PriorityLate _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
@@ -232,6 +271,22 @@ object TpchMore {
     "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS DOUBLE)/10000"
 
   val oracles: Map[String, String] = Map(
+    "q21_blame" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "q4_priority_late" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
