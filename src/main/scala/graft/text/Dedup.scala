@@ -366,15 +366,96 @@ object Dedup {
        |      + bit_count(xor(a.sim_hi, b.sim_hi)) <= $MaxHamming""".stripMargin
   }
 
+  // ---- Winnowing (rolling-hash fingerprints, MOSS-style) ----
+
+  /** Tokens per k-gram / k-gram hashes per winnowing window / minimum
+    * shared fingerprints for a candidate pair. Guarantee: any token run
+    * of length >= WinnowK + WinnowW - 1 shared by two documents yields
+    * at least one shared fingerprint (the window minimum is position-
+    * independent), so long plagiarized/copied spans CANNOT be missed —
+    * the property MinHash (a whole-document sketch) does not give.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowMinShared = 2
+
+  /** Candidate near-dup pairs by shared winnowing fingerprints:
+    * (doc_a, doc_b, n_shared). Per doc the work is linear (k-gram hash
+    * stream → per-window minima → distinct), all inside one codegen'd
+    * projection; the only shuffles are the fingerprint bucket group
+    * (bucket-capped like every pair generator here) and the pair count.
+    * Hashes are the md5-prefix grid, so DuckDB replays them exactly.
+    */
+  /** (doc_id, fp) fingerprint stream of a (doc_id, t) tokenized frame —
+    * exposed so specs can drive synthetic documents.
+    */
+  def winnowFingerprints(tokenized: DataFrame): DataFrame = {
+    import tokenized.sparkSession.implicits._
+    val kgrams = when(size($"t") >= WinnowK,
+      transform(sequence(lit(0), size($"t") - WinnowK),
+        i => md5Prefix32(array_join(slice($"t", i + 1, lit(WinnowK)), " "), 1)))
+      .otherwise(array().cast("array<bigint>"))
+    val minima = when(size($"kh") >= WinnowW,
+      array_distinct(transform(sequence(lit(0), size($"kh") - WinnowW),
+        j => array_min(slice($"kh", j + 1, lit(WinnowW))))))
+      .otherwise(array().cast("array<bigint>"))
+    tokenized
+      .withColumn("kh", kgrams)
+      .select($"doc_id", explode(minima).as("fp"))
+  }
+
+  def winnowPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    winnowFingerprints(
+      Tables.documents(spark, d)
+        .select($"doc_id", TextAnalysis.toks($"text").as("t")))
+      .groupBy($"fp")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(filter(ids, (y, j) -> j > i), y -> named_struct(
+          |    'a', least(x, y), 'b', greatest(x, y)))))""".stripMargin)).as("p"))
+      .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= WinnowMinShared)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
-    "dedup_simhash_pairs" -> (simhashPairs _))
+    "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_winnow_pairs" -> (winnowPairs _))
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_pairs" -> minhashOracle,
     "dedup_simhash_pairs" -> simhashOracle,
+    "dedup_winnow_pairs" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |kg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= $WinnowK THEN
+         |      list_transform(range(1, len(t) - $WinnowK + 2),
+         |        i -> CAST('0x' || substring(md5(array_to_string(t[i:i+${WinnowK - 1}], ' ')), 1, 8) AS BIGINT))
+         |    ELSE CAST([] AS BIGINT[]) END AS kh
+         |  FROM d0),
+         |wn AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(kh) >= $WinnowW THEN
+         |      list_distinct(list_transform(range(1, len(kh) - $WinnowW + 2),
+         |        j -> list_aggregate(kh[j:j+${WinnowW - 1}], 'min')))
+         |    ELSE CAST([] AS BIGINT[]) END AS fps
+         |  FROM kg),
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+         |capped AS (
+         |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY fp) AS bsz FROM fp) x
+         |  WHERE bsz > 1 AND bsz <= $MaxBucket)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

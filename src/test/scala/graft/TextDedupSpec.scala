@@ -128,6 +128,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: a shared run of k+w-1 tokens always shares a fingerprint") {
+    import graft.text.Dedup
+    val run = (1 to (Dedup.WinnowK + Dedup.WinnowW - 1)).map(i => s"shared$i")
+    // two docs with entirely different surroundings but one common run
+    val docA = (1 to 20).map(i => s"alpha$i") ++ run ++ (1 to 20).map(i => s"omega$i")
+    val docB = (1 to 20).map(i => s"beta$i") ++ run ++ (1 to 20).map(i => s"gamma$i")
+    val docC = (1 to 50).map(i => s"unrelated$i")
+    val toks = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "t")
+    val fps = Dedup.winnowFingerprints(toks)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "shared k+w-1 run must produce a shared fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs must not collide")
+    // fingerprints are content-derived: same tokens => same fingerprint set
+    val again = Dedup.winnowFingerprints(toks.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == fps.toSet)
+  }
+
   test("token stats: ttr in (0,1], bpe count >= whitespace token count") {
     val st = TextAnalysis.textStats(spark, sf).collect()
     st.foreach { r =>
