@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.EventStreams
+import org.apache.spark.sql.functions.{count, expr, lit}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming == batch-twin convergence, stateful KV replay, and
@@ -318,5 +319,59 @@ class StreamingSpec extends SparkSpec {
     val n2 = spark.read.parquet(out).count()
     assert(n1 == Tables.events(spark, sf).count())
     assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
+  }
+
+  test("foreachBatch upsert sink: batchId-keyed overwrite is idempotent (incremental MV)") {
+    // The other canonical sink: maintain a running per-type aggregate
+    // table with foreachBatch. Exactly-once comes from writing each
+    // micro-batch's contribution under a batchId-derived partition and
+    // OVERWRITING it — a replayed batch (post-crash, pre-commit) lands
+    // in the same partition instead of double-counting. The reader then
+    // aggregates partials: a merge-on-read incremental materialized
+    // view, the pattern a real pipeline uses when the store (parquet
+    // here) has no transactional MERGE.
+    val dir = java.nio.file.Files.createTempDirectory("graftfb")
+    val out = s"$dir/agg"
+    val ck = s"$dir/ck"
+    def run(): Unit = {
+      val q = EventStreams.readEventsStream(spark, eventsDir)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(out)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    run() // replay/restart: same batch partitions overwritten, not appended
+    // merge-on-read: latest batch per type wins (update mode re-emits
+    // the running total), so max_by over batch_id reconstructs the MV
+    val mv = spark.read.parquet(out)
+      .groupBy($"event_type").agg(expr("max_by(n, batch_id)").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mv == want)
+  }
+
+  test("parquet schema evolution: mergeSchema unions per-file schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graftse").toString
+    Tables.events(spark, sf).select($"event_id", $"event_type")
+      .write.parquet(s"$dir/v1")
+    Tables.events(spark, sf).select($"event_id", $"event_type", $"value")
+      .write.parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", true)
+      .parquet(s"$dir/v1", s"$dir/v2")
+    assert(merged.columns.toSet == Set("event_id", "event_type", "value"))
+    // old files surface the new column as null, not an error
+    val n = Tables.events(spark, sf).count()
+    assert(merged.filter($"value".isNull).count() == n)
+    assert(merged.count() == 2 * n)
   }
 }
