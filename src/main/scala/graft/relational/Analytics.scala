@@ -364,6 +364,31 @@ object Analytics {
       .limit(BasketTopK)
   }
 
+  /** Sequential-pattern mining (order-3): the top 20 consecutive
+    * event-type trigrams across user timelines — "what do users do in
+    * what order", the path-analysis counterpart of [[eventTransitions]]'
+    * first-order matrix. Two stacked lead()s on ONE user_id shuffle
+    * build the trigram, then a bounded (|types|³) aggregate ranks via
+    * TakeOrderedAndProject. Timeline order is (ts, event_id) — the
+    * catalog-wide total tiebreak, so the trigram stream is deterministic.
+    */
+  val SeqTopK = 20
+
+  def eventSeqTopk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .groupBy($"event_type".as("e1"), $"e2", $"e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"e1".asc, $"e2".asc, $"e3".asc)
+      .limit(SeqTopK)
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private def stratifiedOracle: String = {
@@ -394,9 +419,22 @@ object Analytics {
     "window_gap_fill" -> (windowGapFill _),
     "fuzzy_part_names" -> (fuzzyPartNames _),
     "weighted_sample" -> (weightedSample _),
-    "basket_pairs" -> (basketPairs _))
+    "basket_pairs" -> (basketPairs _),
+    "event_seq_topk" -> (eventSeqTopk _))
 
   val oracles: Map[String, String] = Map(
+    "event_seq_topk" ->
+      s"""WITH t AS (
+         |  SELECT event_type AS e1,
+         |    lead(event_type, 1) OVER w AS e2,
+         |    lead(event_type, 2) OVER w AS e3
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT e1, e2, e3, count(*) AS n
+         |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY n DESC, e1, e2, e3
+         |LIMIT $SeqTopK""".stripMargin,
     "basket_pairs" ->
       s"""WITH items AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
