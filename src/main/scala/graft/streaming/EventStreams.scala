@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.kv.{KvCell, KvOp}
@@ -270,6 +271,50 @@ object EventStreams {
           state.update(cell)
           cell
       }
+  }
+
+  /** [[ewmaStream]] on the arbitrary-stateful-processing v2 API
+    * (`transformWithState`, Spark 4): same recurrence, same O(1)
+    * per-user cell, but held in a named `ValueState` on the RocksDB
+    * state store — the surface that adds state TTL, timers, multiple
+    * state variables per key, and state-schema evolution, i.e. what a
+    * long-lived production pipeline migrates to. Kept semantically
+    * IDENTICAL to the v1 twin so the spec can assert v2 == v1 == batch.
+    */
+  final class EwmaProcessor(alpha: Double)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, Double), EwmaCell] {
+    @transient private var cell: ValueState[EwmaCell] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cell = getHandle.getValueState[EwmaCell]("ewma_cell",
+        org.apache.spark.sql.Encoders.product[EwmaCell], TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+        timerValues: TimerValues): Iterator[EwmaCell] = {
+      val sorted = rows.toSeq.sortBy(e => (e._2.getTime, e._3))
+      var c = if (cell.exists()) cell.get() else EwmaCell(uid, 0L, 0.0)
+      sorted.foreach { e =>
+        val s =
+          if (c.n_events == 0L) e._4
+          else c.ewma * (1 - alpha) + e._4 * alpha
+        c = EwmaCell(uid, c.n_events + 1, s)
+      }
+      cell.update(c)
+      Iterator.single(c)
+    }
+  }
+
+  def ewmaStreamV2(events: DataFrame): Dataset[EwmaCell] = {
+    import events.sparkSession.implicits._
+    events
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new EwmaProcessor(graft.relational.TimeSeries.Alpha),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming dedup: first event per (user_id, event_type), with state

@@ -301,6 +301,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (v2 API, RocksDB store) EWMA == v1 mapGroupsWithState") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.ewmaStreamV2(EventStreams.readEventsStream(spark, eventsDir))
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("ewma2_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("ewma2_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+        // v1 twin over the same single-batch landing dir
+        val q1 = EventStreams.ewmaStream(EventStreams.readEventsStream(spark, eventsDir))
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName("ewma1_out").start()
+        try q1.processAllAvailable() finally q1.stop()
+        val want = spark.table("ewma1_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+        assert(got == want)
+        assert(got.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("checkpointed file sink is exactly-once across restart (O11 analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graftck")
     val out = s"$dir/out"
