@@ -19,7 +19,11 @@ object Bench {
       spark.range(100000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted: Map iteration order shifts as the catalog grows, which
+    // would re-shuffle which queries absorb residual JIT warmup between
+    // rounds; a fixed order keeps per-query times comparable round over
+    // round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every projected expression —
       // a bare .count() lets Catalyst prune unevaluated projections, so
@@ -30,7 +34,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // Stop BEFORE printing so no executor log line can interleave with
     // the one machine-readable JSON line — but never let a shutdown
     // exception eat that line.
