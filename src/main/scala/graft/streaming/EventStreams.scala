@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.kv.{KvCell, KvOp}
@@ -271,6 +272,84 @@ object EventStreams {
           state.update(cell)
           cell
       }
+  }
+
+  /** [[sessionCloseStream]] on the v2 API, exercising its TIMER surface:
+    * the open-session cell is a named `ValueState`, and the
+    * "close when the watermark passes end + gap" rule becomes an
+    * explicit registered event-time timer whose expiry fires
+    * `handleExpiredTimer` — where the session emits and the cell is
+    * cleared. Extending a session deletes the stale timer and registers
+    * the new expiry (v1's single implicit timeout slot, made explicit —
+    * and generalizable to several timers per key, which v1 cannot do).
+    * Same half-open gap semantics as the v1 twin and session_window.
+    */
+  final class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionClosed] {
+    @transient private var acc: ValueState[SessAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SessAcc]("open_session",
+        org.apache.spark.sql.Encoders.product[SessAcc], TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessionClosed] = {
+      val pts = rows.map(_._2.getTime).toArray.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionClosed]
+      var cur = if (acc.exists()) Some(acc.get()) else None
+      val prevExpiry = cur.map(_.endMs + gapMs)
+      pts.foreach { t =>
+        cur match {
+          case Some(a) if t - a.endMs < gapMs =>
+            cur = Some(SessAcc(a.n_events + 1, a.startMs, math.max(a.endMs, t)))
+          case Some(a) =>
+            out += SessionClosed(uid, a.n_events,
+              new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.endMs))
+            cur = Some(SessAcc(1L, t, t))
+          case None =>
+            cur = Some(SessAcc(1L, t, t))
+        }
+      }
+      cur.foreach { a =>
+        acc.update(a)
+        val expiry = a.endMs + gapMs
+        if (!prevExpiry.contains(expiry)) {
+          prevExpiry.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(expiry)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionClosed] = {
+      if (acc.exists()) {
+        val a = acc.get()
+        // a stale timer (session extended after registration) must NOT
+        // close the live session; only the timer matching the current
+        // tail fires it
+        if (a.endMs + gapMs == expiredTimerInfo.getExpiryTimeInMs) {
+          acc.clear()
+          Iterator.single(SessionClosed(uid, a.n_events,
+            new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.endMs)))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  def sessionCloseStreamV2(events: DataFrame): Dataset[SessionClosed] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new SessionCloseProcessor(30L * 60 * 1000),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** [[ewmaStream]] on the arbitrary-stateful-processing v2 API

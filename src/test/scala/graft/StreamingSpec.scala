@@ -301,6 +301,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState timers: v2 session close == v1 flatMapGroupsWithState") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same two-file time-split landing as the v1 test: sessions span
+      // micro-batches, timers fire as the second batch moves the watermark
+      val landing = java.nio.file.Files.createTempDirectory("graftsess2").toString
+      val raw = spark.read.schema(EventStreams.eventsRawSchema)
+        .parquet(s"$sf/events.parquet")
+      val midNs = raw.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
+        .collect().head.getDouble(0).toLong
+      raw.filter($"ts" <= midNs).coalesce(1).write.parquet(s"$landing/a")
+      raw.filter($"ts" > midNs).coalesce(1).write.parquet(s"$landing/b")
+      def stream = spark.readStream.schema(EventStreams.eventsRawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", true)
+        .parquet(landing)
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      def drain(ds: org.apache.spark.sql.Dataset[EventStreams.SessionClosed],
+                name: String): Set[(Long, Long, Long, Long)] = {
+        val q = ds.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getLong(1),
+              r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+        } finally q.stop()
+      }
+      val v2 = drain(EventStreams.sessionCloseStreamV2(stream), "sess2_out")
+      val v1 = drain(EventStreams.sessionCloseStream(stream), "sess1_out")
+      assert(v2 == v1)
+      assert(v2.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState (v2 API, RocksDB store) EWMA == v1 mapGroupsWithState") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
