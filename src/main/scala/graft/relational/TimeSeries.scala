@@ -54,10 +54,91 @@ object TimeSeries {
           6).as("ewma"))
   }
 
+  /** Hourly resampling with LINEAR interpolation — the interior-gap
+    * counterpart of [[graft.relational.Analytics.windowGapFill]]'s
+    * forward fill: per user, an hourly grid spanning their observed
+    * range; observed hours keep max(value); interior gaps interpolate
+    * between the bracketing observations; leading/trailing edges stay
+    * null (no extrapolation). One user_id-keyed shuffle builds the
+    * observed series; the grid explode is narrow; both direction
+    * windows reuse the same (user_id, hour) sort. Cross-engine
+    * exactness: `value` lives on a cents grid, so the interpolation
+    * `(pv*(nt-t) + nv*(t-pt)) / (nt-pt)` is computed ENTIRELY in
+    * BIGINT (cents-seconds numerator, half-up integer division to
+    * micro-units) — FP rounding of an x.xxxxxx5 tie differs between
+    * engines (HALF_UP vs half-even), integer floor-div does not. The
+    * final /1e6 is one deterministic IEEE division of identical
+    * BIGINTs, hence bit-exact on both engines.
+    */
+  def interpolateHourly(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables.events(spark, d)
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+      .agg(max(round($"value" * 100).cast("long")).as("v"))
+    val grid = obs.groupBy($"user_id").agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", expr("INTERVAL '1' HOUR"))).as("h"))
+    val wPrev = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("user_id", "h"), "left_outer")
+      .withColumn("hs", $"h".cast("long"))
+      .withColumn("pv", last($"v", ignoreNulls = true).over(wPrev))
+      .withColumn("pt",
+        last(when($"v".isNotNull, $"hs"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(wNext))
+      .withColumn("nt",
+        first(when($"v".isNotNull, $"hs"), ignoreNulls = true).over(wNext))
+      .withColumn("num", $"pv" * ($"nt" - $"hs") + $"nv" * ($"hs" - $"pt"))
+      .withColumn("den", $"nt" - $"pt")
+      .select(
+        $"user_id", $"h",
+        (when($"v".isNotNull, $"v" * 10000L)
+          .when($"pv".isNotNull && $"nv".isNotNull && $"nt" =!= $"pt",
+            expr("(num * 10000 * 2 + den) div (den * 2)"))
+          / 1000000.0).as("value"),
+        $"v".isNotNull.cast("long").as("is_observed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ewma_user_value" -> (ewmaUserValue _))
+    "ewma_user_value" -> (ewmaUserValue _),
+    "ts_interpolate" -> (interpolateHourly _))
 
   val oracles: Map[String, String] = Map(
+    "ts_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.h, o.v, CAST(epoch(g.h) AS BIGINT) AS hs
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h),
+        |w AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wp AS pt,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wn AS nt
+        |  FROM j
+        |  WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h,
+        |  (CASE WHEN v IS NOT NULL THEN v * 10000
+        |        WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+        |        THEN ((pv * (nt - hs) + nv * (hs - pt)) * 10000 * 2 + (nt - pt))
+        |             // ((nt - pt) * 2)
+        |   END) / 1000000.0 AS value,
+        |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+        |FROM w""".stripMargin,
     "ewma_user_value" ->
       s"""SELECT user_id, count(*) AS n_events,
          |  last(value ORDER BY ts, event_id) AS last_value,

@@ -61,6 +61,39 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_interpolate: observed hours exact, gaps bracketed, edges null") {
+    val out = TimeSeries.interpolateHourly(spark, sf).cache()
+    try {
+      // Every user's grid is dense: rows == span hours + 1, no duplicate hours.
+      val spans = out.groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), countDistinct($"h").as("nh"),
+          ((max($"h".cast("long")) - min($"h".cast("long"))) / 3600 + 1).as("want"))
+        .collect()
+      assert(spans.nonEmpty)
+      spans.foreach { r =>
+        assert(r.getAs[Long]("n") == r.getAs[Double]("want").toLong)
+        assert(r.getAs[Long]("n") == r.getAs[Long]("nh"))
+      }
+      // Interpolated values lie strictly inside their neighbors' range:
+      // every non-observed non-null value is within [user min, user max].
+      val bounds = out.filter($"is_observed" === 1)
+        .groupBy($"user_id").agg(min($"value").as("lo"), max($"value").as("hi"))
+      val bad = out.filter($"is_observed" === 0 && $"value".isNotNull)
+        .join(bounds, "user_id")
+        .filter($"value" < $"lo" - 1e-9 || $"value" > $"hi" + 1e-9)
+        .count()
+      assert(bad == 0)
+      // First and last hour of every user are observed (no extrapolation),
+      // so null values only ever appear strictly between observations.
+      val edges = out.groupBy($"user_id")
+        .agg(min(struct($"h", $"is_observed")).as("f"),
+          max(struct($"h", $"is_observed")).as("l"))
+        .filter($"f.is_observed" === 0 || $"l.is_observed" === 0)
+        .count()
+      assert(edges == 0)
+    } finally out.unpersist()
+  }
+
   test("EWMA with one event equals that event's value") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
       .toDF("user_id", "ts", "value")
