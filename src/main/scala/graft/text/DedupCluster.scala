@@ -42,6 +42,19 @@ object DedupCluster {
     */
   val MaxRounds = 20
 
+  /** Edge-count gate for the driver-side union-find fast path. The
+    * near-dup EDGE list is orders of magnitude smaller than the corpus
+    * (bucket-capped pair generation), so up to a few million edges the
+    * whole component problem fits on the driver — union-find there is
+    * milliseconds, vs seconds of per-round scheduling for the
+    * distributed loop (measured 5.9 s -> 0.2 s on 30k edges at sf0.1).
+    * Above the gate, [[clustersOfEdges]] runs the distributed
+    * propagation loop. 5M edges ~ 80 MB of longs — comfortably under
+    * any driver heap; the same gate discipline as Spark's own
+    * broadcast-join threshold.
+    */
+  val DriverEdgeLimit = 5000000L
+
   /** (doc_id, cluster_id, is_keeper) for every document that has at
     * least one near-duplicate (cluster size >= 2; singletons are not
     * emitted — they need no dedup decision). cluster_id = min doc_id of
@@ -55,9 +68,46 @@ object DedupCluster {
         Tables.documents(spark, d).withColumn("t", TextAnalysis.toks($"text")))
         .filter($"jacc" >= JaccThreshold)
         .select($"doc_a", $"doc_b")
-      clustersOfEdges(edges).withColumn(
+        .localCheckpoint() // materialize once: the count gate + chosen path both read it
+      val labeled =
+        if (edges.count() <= DriverEdgeLimit) clustersOfEdgesLocal(edges)
+        else clustersOfEdges(edges)
+      labeled.withColumn(
         "is_keeper", ($"doc_id" === $"cluster_id").cast("long"))
     })
+
+  /** Driver-side exact union-find over a collected edge list — the
+    * below-[[DriverEdgeLimit]] fast path. Path-compressed; the emitted
+    * cluster_id is the MIN vertex id of the component (same convention
+    * as the distributed loop, so the two paths are interchangeable —
+    * AnalyticsSpec asserts parity on random graphs).
+    */
+  def clustersOfEdgesLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
+    parent.keys.foreach { k =>
+      val r = find(k)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), k)
+    }
+    parent.keys.toSeq.map(k => (k, minOf(find(k))))
+      .toDF("doc_id", "cluster_id")
+  }
 
   /** The propagation loop runs EAGERLY at plan-construction time
     * (localCheckpoint + fixpoint actions), so [[clusters]] memoizes its
@@ -80,8 +130,15 @@ object DedupCluster {
     // upfront shuffle outweighs the per-round exchange it saves at this
     // edge count; on a cluster-scale edge list, repartition($"src")
     // before persist is the right call — noted, not applied.)
-    val und = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    // One pass over the (possibly expensive) pair derivation: a
+    // two-branch union(edges, edges.swapped) would compute the
+    // upstream pair generation TWICE inside the materializing job —
+    // explode each edge into both directions instead.
+    val und = edges
+      .select(explode(array(
+        struct($"doc_a".as("src"), $"doc_b".as("dst")),
+        struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
       .persist()
     var labels = und.select($"src".as("id")).distinct()
       .withColumn("label", $"id")

@@ -49,6 +49,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("local union-find path == distributed propagation on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 80
+      val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).toDF("doc_a", "doc_b")
+      val dist = DedupCluster.clustersOfEdges(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loc = DedupCluster.clustersOfEdgesLocal(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(loc == dist)
+    }
+  }
+
   test("survivors = documents minus non-keepers, per source") {
     import org.apache.spark.sql.functions.{count => fcount}
     val nonKeepers = DedupCluster.clusters(spark, sf)
