@@ -110,36 +110,36 @@ object Graph {
       .select($"src", $"dst",
         (RelQueries.gridScale($"w", 10000L).cast("double") / $"ow".cast("double")).as("p"))
       .coalesce(1).localCheckpoint()
-    val nodes = trans.select($"src".as("node")).union(trans.select($"dst")).distinct()
-      .coalesce(1).localCheckpoint()
-    val srcNodes = trans.select($"src".as("node")).distinct().coalesce(1).localCheckpoint()
-    val n = nodes.count().toDouble
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // The contracted matrix is <= 625 rows REGARDLESS of input scale —
+    // the 100 TB scan above is the distributed phase; the power
+    // iteration on the contraction belongs on the driver (the same
+    // size-gate reasoning as DedupCluster.clustersOfEdgesLocal). The
+    // in-plan broadcast-join loop this replaces (git history) spent
+    // ~0.4 s/round on job scheduling for 625-row frames; the driver
+    // solve is microseconds and runs the same FP ops per term. For a
+    // graph that does NOT contract (page-level web graphs), the
+    // in-plan loop is the swap — the scan/contract phase is unchanged.
+    val eArr = trans.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2)))
+    val nodeArr = eArr.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val srcSet = eArr.map(_._1).toSet
+    val n = nodeArr.length.toDouble
+    var rank = nodeArr.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to PrIters) {
-      val contrib = trans
-        .join(broadcast(ranks), $"src" === $"node")
-        .groupBy($"dst")
-        .agg(sum($"rank" * $"p").as("in_rank"))
+      val inRank = scala.collection.mutable.Map.empty[String, Double]
+      eArr.foreach { case (s, t, p) =>
+        inRank(t) = inRank.getOrElse(t, 0.0) + rank(s) * p
+      }
       // dangling nodes (no out-edges) redistribute their mass uniformly —
-      // without this the walk leaks mass every round. One-row broadcast,
-      // kept IN-plan (no per-iteration driver action).
-      val dangling = ranks.join(broadcast(srcNodes), Seq("node"), "left_anti")
-        .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
-      // localCheckpoint per round: `ranks` appears TWICE in the next
-      // round's plan (contrib + dangling), so a lazy chain doubles the
-      // plan tree per iteration (measured: 109 exchanges by round 5);
-      // cutting lineage keeps every round a constant-size plan over
-      // <= 625 rows — same discipline as DedupCluster's loop.
-      ranks = nodes
-        .join(broadcast(contrib), $"node" === $"dst", "left_outer")
-        .crossJoin(broadcast(dangling))
-        .select($"node",
-          (lit(Teleport) / n +
-            lit(Damping) * (coalesce($"in_rank", lit(0.0)) + $"dm" / n))
-            .as("rank"))
-        .coalesce(1).localCheckpoint()
+      // without this the walk leaks mass every round.
+      val dm = nodeArr.iterator.filterNot(srcSet).map(rank).sum
+      rank = nodeArr.map(v =>
+        v -> (Teleport / n + Damping * (inRank.getOrElse(v, 0.0) + dm / n))).toMap
     }
-    ranks.select($"node", round($"rank", 6).as("rank"))
+    // same rounding as SQL round(x, 6): BigDecimal HALF_UP
+    nodeArr.toSeq.map(v => (v,
+      BigDecimal(rank(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("node", "rank")
   }
 
   /** DuckDB twin of the loop, iterations UNROLLED as generated CTEs
