@@ -38,7 +38,8 @@ object SparkEntry {
       text.Retrieval.queries ++ text.HeavyHitters.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ relational.Skew.queries ++
-      pipeline.Curation.queries ++ pipeline.Packing.queries
+      pipeline.Curation.queries ++ pipeline.Packing.queries ++
+      pipeline.Decontam.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -54,5 +55,6 @@ object SparkEntry {
       text.Retrieval.oracles ++ text.HeavyHitters.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ relational.Skew.oracles ++
-      pipeline.Curation.oracles ++ pipeline.Packing.oracles
+      pipeline.Curation.oracles ++ pipeline.Packing.oracles ++
+      pipeline.Decontam.oracles
 }

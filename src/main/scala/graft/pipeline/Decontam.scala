@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** Benchmark decontamination — the pre-training hygiene step the
+  * reference has no analog for (SURVEY.md §2.3): flag training
+  * documents that share any long token n-gram with a held-out
+  * benchmark/eval set, so eval leakage can be dropped before training
+  * (the 13-gram collision rule of GPT-3 appendix C / Lee et al. 2022,
+  * here N=8 to suit the small fixture docs).
+  *
+  * Scale design: the benchmark side is eval suites — megabytes, not
+  * terabytes — so its distinct n-gram set is BROADCAST; the training
+  * corpus (the 100 TB side) streams through one scan, generating
+  * n-grams via posexplode + stacked lead() windows on the doc_id
+  * shuffle (whole-stage codegen; the array-lambda formulation is
+  * interpreted and measured slower — see memory of round 1). The
+  * contaminated flag falls out of a broadcast semi-ish join, no
+  * shuffle of the corpus beyond its one doc_id exchange.
+  */
+object Decontam {
+
+  /** n-gram order for the collision rule. */
+  val N = 8
+
+  /** The held-out benchmark split: one fixture source plays the role
+    * of the eval suite.
+    */
+  val BenchSource = "src0"
+
+  private def gramsOf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val leads: Seq[Column] =
+      (1 until N).map(i => lead($"tok", i).over(w))
+    Tables.documents(spark, d)
+      .select($"doc_id", $"source",
+        posexplode(TextAnalysis.toks($"text")).as(Seq("pos", "tok")))
+      .withColumn("lastTok", lead($"tok", N - 1).over(w))
+      .withColumn("g", concat_ws(" ", ($"tok" +: leads): _*))
+      // concat_ws silently skips nulls, which would turn tail windows
+      // into SHORTER grams — require the full width instead.
+      .filter($"lastTok".isNotNull)
+      .select($"doc_id", $"source", $"g")
+  }
+
+  /** Per training document: distinct n-grams, how many collide with
+    * the benchmark set, and the contaminated verdict. Docs shorter
+    * than N tokens carry zero grams and are trivially clean.
+    */
+  def flagContaminated(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val grams = gramsOf(spark, d)
+    val bench = grams.filter($"source" === BenchSource)
+      .select($"g").distinct()
+    val train = grams.filter($"source" =!= BenchSource)
+      .select($"doc_id", $"g").distinct()
+    val perDoc = train.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(broadcast(bench), "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    Tables.documents(spark, d)
+      .filter($"source" =!= BenchSource)
+      .select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        $"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_ngrams" -> (flagContaminated _))
+
+  private def gramSql: String = {
+    val parts = (1 to N).map(i => s"t[i + $i]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, source,
+       |  unnest(list_transform(range(len(t) - ${N - 1}), i -> $parts)) AS g
+       |FROM (SELECT doc_id, source,
+       |        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |      FROM documents) toks""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "decontam_ngrams" ->
+      s"""WITH grams AS ($gramSql),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE source = '$BenchSource'),
+         |train AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> '$BenchSource'),
+         |pd AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1),
+         |h AS (SELECT doc_id, count(*) AS n_hits
+         |      FROM train JOIN bench USING (g) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_grams, 0) AS n_grams,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+         |FROM documents d
+         |LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |LEFT JOIN h ON d.doc_id = h.doc_id
+         |WHERE d.source <> '$BenchSource'""".stripMargin)
+}

@@ -357,6 +357,29 @@ object Analytics {
     */
   val BasketTopK = 20
 
+  /** Fixed-size-per-stratum deterministic sample: exactly K docs per
+    * source, chosen by md5(doc_id) order — the fixed-N complement of
+    * [[stratifiedSample]]'s fixed-RATE thresholds. Content-hash order
+    * makes the pick independent of partitioning, engine, and rerun
+    * (same property as orders_hash_sample); row_number over a
+    * per-stratum window is one shuffle on the stratum key, and the
+    * K-row-per-group filter is rank-pushdown-friendly
+    * (WindowGroupLimit in the physical plan). The md5-order "shuffle
+    * then take K" is exactly how large pipelines draw eval/holdout
+    * slices per domain.
+    */
+  val StratTopN = 5
+
+  def stratifiedTopN(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(spark, d)
+      .select($"source", $"doc_id")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= StratTopN)
+  }
+
   def basketPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, d)
@@ -422,6 +445,7 @@ object Analytics {
     "anomaly_zscore" -> (anomalyZscore _),
     "histogram_prices" -> (histogramPrices _),
     "stratified_sample" -> (stratifiedSample _),
+    "stratified_topn" -> (stratifiedTopN _),
     "window_first_last" -> (windowFirstLast _),
     "data_quality_audit" -> (dataQualityAudit _),
     "event_transitions" -> (eventTransitions _),
@@ -432,6 +456,13 @@ object Analytics {
     "event_seq_topk" -> (eventSeqTopk _))
 
   val oracles: Map[String, String] = Map(
+    "stratified_topn" ->
+      s"""SELECT source, doc_id, rk FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= $StratTopN""".stripMargin,
     "event_seq_topk" ->
       s"""WITH t AS (
          |  SELECT event_type AS e1,

@@ -334,7 +334,30 @@ object RelExtras {
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — the join surface ordinary `=` silently drops.
+    * Exercised on two aggregates whose shared key is nullable by
+    * construction (bucket 0 mapped to NULL). Spark plans `<=>` as a
+    * regular hash join with null-safe key comparison, so it shuffles
+    * and scales exactly like an equi-join — unlike the `OR both null`
+    * rewrite, which degenerates to a nested-loop join.
+    */
+  def joinNullSafe(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.orders(spark, d)
+      .select(when($"o_custkey" % 7 === 0, lit(null))
+        .otherwise($"o_custkey" % 7).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n_orders"))
+    val b = Tables.customer(spark, d)
+      .select(when($"c_custkey" % 7 === 0, lit(null))
+        .otherwise($"c_custkey" % 7).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n_cust"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), $"n_orders", $"n_cust")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> (joinNullSafe _),
     "window_pct" -> (windowPct _),
     "agg_conditional" -> (aggConditional _),
     "map_funcs" -> (mapFuncs _),
@@ -355,6 +378,17 @@ object RelExtras {
     "array_funcs" -> (arrayFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey % 7 END AS k,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 7 END AS k,
+        |         count(*) AS n_cust
+        |  FROM customer GROUP BY 1)
+        |SELECT a.k, n_orders, n_cust
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
     "unpivot_lineitem" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
         |       'l_quantity' AS measure, l_quantity AS val

@@ -51,6 +51,23 @@ object Similarity {
       .withColumn("norm", sqrt(expr("dot_f64(v, v)")))
   }
 
+  /** Per-vector L2 norm + dimensionality — the normalization pass every
+    * embedding pipeline runs before cosine retrieval (norm=0 guards,
+    * unit-scaling, dim sanity). The sum of squares runs through the
+    * native in-order [[graft.functions.DotProduct]], so the FP sequence
+    * matches DuckDB's list_dot_product term for term (proven bit-exact
+    * in round 1); one narrow scan, no shuffle.
+    */
+  def embedNorms(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    withVec(Tables.embeddings(spark, d))
+      .select(
+        $"vec_id",
+        $"label".cast("long").as("label"),
+        size($"v").cast("long").as("n_dims"),
+        round($"norm", 6).as("l2_norm"))
+  }
+
   /** Exact cosine top-K for each probe vector (DuckDB-oracled). */
   def knnExact(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -337,6 +354,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_knn" -> (knnExact _),
+    "embed_norms" -> (embedNorms _),
     "embed_ann_lsh" -> (annLsh _),
     "embed_ann_ivf" -> (annIvf _),
     "embed_label_centroids" -> (labelCentroids _),
@@ -376,6 +394,12 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "embed_norms" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |       CAST(len(v) AS BIGINT) AS n_dims,
+        |       round(sqrt(list_dot_product(v, v)), 6) AS l2_norm
+        |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings) e""".stripMargin,
     "embed_knn_quantized" ->
       s"""WITH x AS (
          |  SELECT vec_id, r.range AS dim, CAST(embedding[r.range + 1] AS DOUBLE) AS v

@@ -63,6 +63,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("stratified_topn: exactly K rows per source, ranks 1..K") {
+    val rows = Analytics.stratifiedTopN(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(bySource.size == nSources)
+    bySource.values.foreach { g =>
+      assert(g.length == Analytics.StratTopN)
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to Analytics.StratTopN))
+    }
+  }
+
+  test("decontam: benchmark docs excluded; hits bounded by grams; flag consistent") {
+    import graft.pipeline.Decontam
+    val out = Decontam.flagContaminated(spark, sf).collect()
+    val benchIds = Tables.documents(spark, sf)
+      .filter($"source" === Decontam.BenchSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(!benchIds.contains(r.getLong(0)), "benchmark doc leaked into train output")
+      val (grams, hits, flag) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hits >= 0 && hits <= grams)
+      assert(flag == (if (hits > 0) 1L else 0L))
+    }
+    // output covers every non-benchmark doc exactly once
+    val total = Tables.documents(spark, sf)
+      .filter($"source" =!= Decontam.BenchSource).count()
+    assert(out.length == total)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+  }
+
   test("survivors = documents minus non-keepers, per source") {
     import org.apache.spark.sql.functions.{count => fcount}
     val nonKeepers = DedupCluster.clusters(spark, sf)
