@@ -76,8 +76,41 @@ object Decontam {
         (coalesce($"n_hits", lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** Cosine threshold for embedding-level contamination. Chosen above
+    * the corpus's cross-split background (p99.9 ~ 0.38) but below its
+    * max (~0.49) so both verdicts occur in the fixture.
+    */
+  val EmbThreshold = 0.45
+
+  /** Embedding-space decontamination — the semantic complement of the
+    * n-gram rule: flag training vectors whose max cosine against the
+    * held-out split (vec_id % 10 == 0 plays the eval set) clears
+    * [[EmbThreshold]]. Paraphrased eval leakage defeats exact n-gram
+    * collision; embedding similarity catches it. Same scale shape as
+    * [[flagContaminated]]: eval side broadcast, train side one scan
+    * through the native in-order dot product; per-train max is a
+    * map-side-combined aggregate, no shuffle of the pairs.
+    */
+  def flagEmbedContaminated(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nm", sqrt(expr("dot_f64(v, v)")))
+    val bench = e.filter($"vec_id" % 10 === 0)
+      .select($"v".as("bv"), $"nm".as("bnm"))
+    e.filter($"vec_id" % 10 =!= 0)
+      .select($"vec_id", $"v", $"nm")
+      .crossJoin(broadcast(bench))
+      .groupBy($"vec_id")
+      .agg(max(round(expr("dot_f64(v, bv)") / ($"nm" * $"bnm"), 4)).as("max_sim"))
+      .select($"vec_id", $"max_sim",
+        ($"max_sim" >= EmbThreshold).cast("long").as("contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decontam_ngrams" -> (flagContaminated _))
+    "decontam_ngrams" -> (flagContaminated _),
+    "decontam_embed" -> (flagEmbedContaminated _))
 
   private def gramSql: String = {
     val parts = (1 to N).map(i => s"t[i + $i]").mkString(" || ' ' || ")
@@ -89,6 +122,20 @@ object Decontam {
   }
 
   val oracles: Map[String, String] = Map(
+    "decontam_embed" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+         |b AS (SELECT v AS bv, nm AS bnm FROM n WHERE vec_id % 10 = 0),
+         |t AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+         |s AS (
+         |  SELECT t.vec_id,
+         |         max(round(list_dot_product(t.v, b.bv) / (t.nm * b.bnm), 4)) AS max_sim
+         |  FROM t, b GROUP BY t.vec_id)
+         |SELECT vec_id, max_sim,
+         |  CAST(max_sim >= $EmbThreshold AS BIGINT) AS contaminated
+         |FROM s""".stripMargin,
     "decontam_ngrams" ->
       s"""WITH grams AS ($gramSql),
          |bench AS (SELECT DISTINCT g FROM grams WHERE source = '$BenchSource'),

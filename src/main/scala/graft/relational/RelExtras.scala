@@ -356,7 +356,32 @@ object RelExtras {
       .select(a("k").as("k"), $"n_orders", $"n_cust")
   }
 
+  /** Bounded ROWS-frame moving aggregate: 7-day (6 preceding + current)
+    * moving average over the daily revenue series, per order priority —
+    * the third window-frame family next to RANGE (window_range_frame)
+    * and unbounded-running (window_running_total). Daily revenue is
+    * aggregated to BIGINT cents FIRST, so the frame sums are exact;
+    * the average's single division k/(100*cnt) provably cannot land on
+    * a 4-decimal rounding tie (2000m = odd has no solution), so
+    * round(4) is cross-engine safe. One shuffle on the partition key;
+    * the frame is evaluated streaming over the sorted partition.
+    */
+  def windowMovingAvg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.orders(spark, d)
+      .groupBy($"o_orderpriority", $"o_orderdate".as("day"))
+      .agg(sum(gridScale($"o_totalprice", 100L)).as("rev_c"))
+      .select(
+        $"o_orderpriority", $"day",
+        ($"rev_c".cast("double") / 100.0).as("revenue"),
+        round(sum($"rev_c").over(w).cast("double") /
+          (count(lit(1)).over(w) * 100.0), 4).as("mov_avg_7d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_moving_avg" -> (windowMovingAvg _),
     "join_null_safe" -> (joinNullSafe _),
     "window_pct" -> (windowPct _),
     "agg_conditional" -> (aggConditional _),
@@ -378,6 +403,18 @@ object RelExtras {
     "array_funcs" -> (arrayFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "window_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, o_orderdate AS day,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, day,
+        |  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(sum(rev_c) OVER w AS DOUBLE) /
+        |        (count(*) OVER w * 100.0), 4) AS mov_avg_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "join_null_safe" ->
       """WITH a AS (
         |  SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey % 7 END AS k,
