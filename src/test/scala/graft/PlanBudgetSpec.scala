@@ -22,6 +22,10 @@ class PlanBudgetSpec extends SparkSpec {
   private val exchangeBudget: Map[String, Int] = Map(
     // pair mining: distinct items -> orderkey join -> pair agg
     "basket_pairs" -> 3,
+    // gram window on doc_id -> bench/train distinct -> per-doc counts
+    "decontam_ngrams" -> 4,
+    // obs grid agg -> segment lead window -> union branches
+    "ts_interpolate" -> 3,
     // custkey grid -> (cohort, month) grid -> distinct actives
     "cohort_retention" -> 3,
     // sketch pipelines: doc -> band/chunk -> pair
@@ -48,6 +52,7 @@ class PlanBudgetSpec extends SparkSpec {
   private val nljWhitelist: Set[String] = Set(
     "anomaly_zscore", // one-row global stats
     "bm25_search", // one-row corpus stats
+    "decontam_embed", // broadcast eval-split constant
     "embed_knn", // probe-vector constant
     "embed_knn_quantized", // quantile-boundary constant
     "heavy_hitter_tokens", // one-row total-count threshold
