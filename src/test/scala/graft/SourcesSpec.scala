@@ -67,6 +67,70 @@ class SourcesSpec extends SparkSpec {
     assert(wc === Map("x" -> "2", "y" -> "2", "z" -> "1"))
   }
 
+  test("nested struct parquet: schema pruning reads only the selected subfield") {
+    // At 100 TB, reading a whole struct to project one subfield is the
+    // difference between a column scan and a table scan — Spark's nested
+    // schema pruning (spark.sql.optimizer.nestedSchemaPruning.enabled,
+    // default on) must surface in ReadSchema.
+    val dir = tmp("graftnested")
+    Tables.customer(spark, sf)
+      .select($"c_custkey",
+        struct($"c_name".as("name"), $"c_mktsegment".as("segment"),
+          struct($"c_nationkey".as("nation"), $"c_acctbal".as("acctbal")).as("contact"))
+          .as("profile"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).select($"c_custkey", $"profile.contact.acctbal")
+    val scan = q.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: ([^\\n]*)".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("acctbal"), s"acctbal not in ReadSchema: $readSchema")
+    assert(!readSchema.contains("segment") && !readSchema.contains("nation"),
+      s"unpruned sibling fields read from parquet: $readSchema")
+    assert(q.count() == Tables.customer(spark, sf).count())
+  }
+
+  test("parquet zstd codec round-trips and is smaller than uncompressed") {
+    val dirZ = tmp("graftzstd")
+    val dirU = tmp("graftuncomp")
+    val src = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate")
+    src.coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(dirZ)
+    src.coalesce(1).write.mode("overwrite")
+      .option("compression", "none").parquet(dirU)
+    def bytes(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(spark.read.parquet(dirZ).collect().toSet === src.collect().toSet)
+    assert(bytes(dirZ) < bytes(dirU), "zstd output not smaller than uncompressed")
+  }
+
+  test("csv corrupt-record handling: PERMISSIVE captures, DROPMALFORMED drops") {
+    val dir = tmp("graftbadcsv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.csv"),
+      "1,10.5\n2,not_a_number\n3,30.0\n")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir).cache()
+    try {
+      assert(permissive.count() == 3)
+      assert(permissive.filter($"_corrupt".isNotNull).count() == 1)
+      // collect(), not count(): a column-less count never parses the
+      // doubles, so DROPMALFORMED has nothing to drop — row counts on
+      // malformed CSV are only meaningful with the columns materialized.
+      val dropped = spark.read
+        .schema(StructType(schema.fields.take(2)))
+        .option("mode", "DROPMALFORMED").csv(dir)
+        .collect()
+      assert(dropped.length == 2)
+      assert(dropped.map(_.getDouble(1)).sum == 40.5)
+    } finally permissive.unpersist()
+  }
+
   test("partitioned parquet write + read prunes partitions at plan time") {
     val dir = tmp("graftpart")
     Tables.orders(spark, sf)
