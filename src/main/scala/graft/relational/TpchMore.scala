@@ -255,7 +255,107 @@ object TpchMore {
       .limit(20)
   }
 
+  /** TPC-H Q2 analog: minimum-cost supplier. For every small part of
+    * size <= 5, the supplier(s) in EUROPE-region nations offering it at
+    * the minimum unit cost (this schema has no partsupp, so unit cost =
+    * the part's cheapest line price from that supplier, in exact
+    * cents). The original's correlated scalar subquery becomes a
+    * per-part min over the (part, supplier) cost table joined back on
+    * EXACT-GRID equality — the argmax-over-aggregate discipline of q15
+    * (FP equality joins are only safe on integer grids). The cost
+    * table derives from one (partkey, suppkey) exchange; part and the
+    * supplier⋈nation⋈region side are broadcasts. Ordered output is
+    * top-100 → TakeOrderedAndProject.
+    */
+  def q2MinCostSupplier(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, d)
+      .filter($"p_size" <= 5)
+      .select($"p_partkey", $"p_type")
+    val region = Tables.region(spark, d).filter($"r_name" === "EUROPE")
+    val suppRegion = Tables.supplier(spark, d)
+      .join(Tables.nation(spark, d), $"s_nationkey" === $"n_nationkey")
+      .join(region, $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val wPart = org.apache.spark.sql.expressions.Window.partitionBy($"p_partkey")
+    Tables.lineitem(spark, d)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(suppRegion), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"p_partkey", $"p_type", $"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      .agg(min(gridScale($"l_extendedprice", 100L)).as("cost_c"))
+      // per-part min via a window over the SAME cost table — one
+      // re-exchange on partkey, vs the agg + join-back formulation's
+      // three (the BIGINT equality compare stays within each row)
+      .withColumn("min_c", min($"cost_c").over(wPart))
+      .filter($"cost_c" === $"min_c")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_type",
+        ($"cost_c".cast("double") / 100.0).as("min_cost"))
+      .orderBy($"s_acctbal".desc, $"n_name".asc, $"s_name".asc, $"p_partkey".asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q16 analog: supplier diversity per part attribute. Distinct
+    * suppliers per (brand, type, size) for parts outside one brand,
+    * excluding "complaint" suppliers (negative balance plays the
+    * original's LIKE '%Complaints%' comment filter) — the NOT IN
+    * subquery compiles to a left-anti join against a broadcast-size
+    * exclusion list; the distinct count is Spark's standard two-phase
+    * expand (partial distinct on (attrs, suppkey), final count).
+    */
+  def q16SupplierDiversity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, d)
+      .filter($"p_brand" =!= "Brand#9" && $"p_type" =!= "PROMO")
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val complaints = Tables.supplier(spark, d)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    Tables.lineitem(spark, d)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(complaints), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand".asc, $"p_type".asc, $"p_size".asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q20 analog: dominant suppliers of red parts. The original's
+    * nested chain (suppliers whose stock of a part exceeds half its
+    * shipped volume) becomes: suppliers who shipped MORE THAN HALF of
+    * some red part's total 1997 volume. Two stacked aggregates on the
+    * same partkey spine — (part, supplier) quantities, then per-part
+    * totals — joined on partkey; the dominance test `2*q_ps > q_p`
+    * stays in BIGINT (quantity grid ×100), and the final supplier
+    * lookup is a broadcast semi join. Name-ordered top-100 →
+    * TakeOrderedAndProject.
+    */
+  def q20DominantSupplier(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val redParts = Tables.part(spark, d)
+      .filter($"p_name".startsWith("red")).select($"p_partkey")
+    val wPart = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
+    val dominant = Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01"))
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(gridScale($"l_quantity", 100L)).as("q_ps"))
+      // part totals via a window over the same (part, supplier) table —
+      // one partkey re-exchange instead of agg + join-back
+      .withColumn("q_p", sum($"q_ps").over(wPart))
+      .filter($"q_ps" * 2 > $"q_p")
+      .select($"l_suppkey").distinct()
+    Tables.supplier(spark, d)
+      // dominant suppliers are bounded by the supplier dimension — broadcast
+      .join(broadcast(dominant), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(Tables.nation(spark, d)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_name", $"n_name", $"s_acctbal")
+      .orderBy($"s_name".asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q16_supplier_diversity" -> (q16SupplierDiversity _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
     "q21_blame" -> (q21Blame _),
     "q4_priority_late" -> (q4PriorityLate _),
     "q7_nation_volume" -> (q7NationVolume _),
@@ -271,6 +371,50 @@ object TpchMore {
     "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS DOUBLE)/10000"
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+        |         min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cost_c
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE p.p_size <= 5 AND r.r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |mc AS (SELECT p_partkey AS mk, min(cost_c) AS min_c FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |       CAST(cost_c AS DOUBLE) / 100.0 AS min_cost
+        |FROM cost JOIN mc ON p_partkey = mk AND cost_c = min_c
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#9' AND p.p_type <> 'PROMO'
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS q_ps
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS pk, sum(q_ps) AS q_p FROM ps GROUP BY 1),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM ps JOIN tot ON l_partkey = pk
+        |  WHERE q_ps * 2 > q_p)
+        |SELECT s_name, n_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_name
+        |LIMIT 100""".stripMargin,
     "q21_blame" ->
       """SELECT s_name, count(*) AS numwait
         |FROM supplier, lineitem l1, orders

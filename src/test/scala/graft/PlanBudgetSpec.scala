@@ -24,6 +24,10 @@ class PlanBudgetSpec extends SparkSpec {
     "basket_pairs" -> 3,
     // gram window on doc_id -> bench/train distinct -> per-doc counts
     "decontam_ngrams" -> 4,
+    // (part,supp) cost agg -> partkey window -> top-100
+    "q2_min_cost_supplier" -> 3,
+    // (part,supp) qty agg -> partkey window -> distinct suppliers
+    "q20_dominant_supplier" -> 3,
     // obs grid agg -> segment lead window -> union branches
     "ts_interpolate" -> 3,
     // custkey grid -> (cohort, month) grid -> distinct actives
