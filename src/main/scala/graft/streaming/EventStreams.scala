@@ -443,11 +443,48 @@ object EventStreams {
     intervalJoin(purchaseSide(e), clickSide(e))
   }
 
+  private def intervalJoinOuter(p: DataFrame, c: DataFrame): DataFrame =
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL '1' HOUR"),
+      "left_outer")
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+
+  /** Stream-stream LEFT OUTER interval join — the hard-semantics member
+    * of the join family: matched pairs emit eagerly, but an UNMATCHED
+    * purchase can only emit its null-padded row once the click-side
+    * watermark has passed the end of its match interval (before that, a
+    * matching click could still arrive). State stays bounded exactly as
+    * in the inner form; the outer rows are the watermark's closure of
+    * the join. StreamingSpec drives it with a flush sentinel and checks
+    * the full outer pair set equals the batch twin's.
+    */
+  def purchaseClickJoinOuterStream(events: DataFrame): DataFrame =
+    intervalJoinOuter(
+      purchaseSide(events).withWatermark("p_ts", "1 hour"),
+      clickSide(events).withWatermark("c_ts", "2 hours"))
+
+  /** Oracled batch composite of the outer join: per-purchase click
+    * attribution — every purchase keeps a row, n_clicks = 0 when no
+    * click preceded it within the hour (count over the null-padded
+    * side). The left-outer interval join reuses the purchase side's
+    * one user_id exchange for the count (purchase ids don't collide
+    * across users, but the window-family convention keys on user).
+    */
+  def clickAttributionBatch(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    intervalJoinOuter(purchaseSide(e), clickSide(e))
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(col("c_id")).as("n_clicks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_1h" -> (tumblingBatch _),
     "events_sliding_1h_30m" -> (slidingBatch _),
     "events_session_agg" -> (sessionAggBatch _),
     "events_purchase_click_join" -> (purchaseClickJoinBatch _),
+    "events_click_attribution" -> (clickAttributionBatch _),
     "events_segment_enrich" -> (segmentEnrichBatch _))
 
   val oracles: Map[String, String] = Map(
@@ -476,6 +513,14 @@ object EventStreams {
         |SELECT user_id, min(t) AS s_start, count(*) AS n,
         |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_value
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "events_click_attribution" ->
+      """SELECT p.event_id AS p_id, p.user_id, count(c.event_id) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'
+        |GROUP BY 1, 2""".stripMargin,
     "events_purchase_click_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -165,6 +165,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join == batch twin after watermark flush") {
+    // Outer rows only emit once the watermark closes their interval —
+    // with a finite source the tail would never flush, so stage the
+    // events plus a far-future sentinel pair that drags both side
+    // watermarks past all real data.
+    val dir = java.nio.file.Files.createTempDirectory("graftouterj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val farFuture = java.sql.Timestamp.valueOf("2031-01-01 00:00:00")
+    Seq((-1L, farFuture, -1L, "purchase", 0.0, "{}"),
+      (-2L, farFuture, -1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "CAST(unix_micros(ts) AS BIGINT) * 1000 AS ts",
+        "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir.toString)
+    val q = EventStreams.purchaseClickJoinOuterStream(
+      EventStreams.readEventsStream(spark, dir.toString))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssoj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssoj_out")
+        .filter($"p_id" =!= -1L && !($"c_id" <=> -2L)).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      val ev = Tables.events(spark, sf)
+      val want = EventStreams.clickAttributionBatch(spark, sf)
+      // reconstruct the expected pair set from the batch outer join
+      val batchPairs = {
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+        val c = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+        p.join(c,
+          $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+            $"c_ts" >= $"p_ts" - expr("INTERVAL '1' HOUR"), "left_outer")
+          .select($"p_id", $"c_id").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toSet
+      }
+      assert(got === batchPairs)
+      assert(got.exists(_._2.isEmpty), "no null-padded outer rows emitted")
+      assert(want.collect().nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch twin pair set") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     val q = EventStreams.purchaseClickJoinStream(stream)
