@@ -115,13 +115,66 @@ object Curation {
         min($"doc_id").as("first_doc"))
   }
 
+  /** Temperature-scaled source mixing — the sampling-rate computation a
+    * multilingual/multi-domain training run does before drawing data
+    * (Conneau & Lample's p_i^τ re-weighting, τ=0.5): per-source token
+    * counts S_i, weights w_i = S_i^τ / Σ S_j^τ, a token budget of 20%
+    * of the corpus, and per-source sample rate min(1, budget·w_i / S_i).
+    * τ<1 up-samples small sources (rate can hit the 1.0 cap) and
+    * down-samples the head — the anti-skew lever for domain mixing.
+    * One scan → 20-row aggregate → one-row total broadcast; every
+    * downstream number derives from exact BIGINT token counts, with
+    * sqrt/division rounded at 4dp on both engines.
+    */
+  val MixTemperature = 0.5 // exponent; sqrt on both engines
+  val MixBudgetNum = 1L
+  val MixBudgetDen = 5L // budget = total_tokens / 5
+
+  def mixtureRates(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, d)
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .groupBy($"source")
+      .agg(sum(size($"t").cast("long")).as("n_tokens"))
+    val tot = src.agg(
+      sum($"n_tokens").as("total_tokens"),
+      sum(sqrt($"n_tokens".cast("double"))).as("z"))
+    src.crossJoin(broadcast(tot))
+      .select(
+        $"source", $"n_tokens",
+        round(sqrt($"n_tokens".cast("double")) / $"z", 4).as("weight"),
+        round(least(
+          lit(1.0),
+          (($"total_tokens".cast("double") * MixBudgetNum / MixBudgetDen) *
+            (sqrt($"n_tokens".cast("double")) / $"z")) /
+            $"n_tokens".cast("double")), 4).as("sample_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_rates" -> (mixtureRates _),
     "range_join_tiers" -> (rangeJoinTiers _),
     "sql_orders_above_avg" -> (sqlOrdersAboveAvg _),
     "corpus_curation" -> (corpusCuration _),
     "training_mix" -> (trainingMix _))
 
   val oracles: Map[String, String] = Map(
+    "mixture_rates" ->
+      s"""WITH src AS (
+         |  SELECT source,
+         |    CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> x <> ''))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |         sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z
+         |  FROM src)
+         |SELECT source, n_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 4) AS weight,
+         |  round(least(1.0,
+         |    (CAST(total_tokens AS DOUBLE) * $MixBudgetNum / $MixBudgetDen) *
+         |    (sqrt(CAST(n_tokens AS DOUBLE)) / z) / CAST(n_tokens AS DOUBLE)), 4)
+         |    AS sample_rate
+         |FROM src, tot""".stripMargin,
     "range_join_tiers" ->
       """SELECT tier, count(*) AS n,
         |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_value

@@ -126,7 +126,34 @@ object TextAnalysis {
         (sum(size($"t").cast("long")).cast("double") / count(lit(1))).as("avg_tokens"))
   }
 
+  /** Unigram-LM surprise scoring — the statistical quality tier above
+    * the heuristic ratios of [[quality]]: a corpus-fitted unigram model
+    * (two passes: token frequencies, then per-doc mean negative log
+    * probability). High surprise = rare-token-heavy (gibberish, OCR
+    * noise); low = boilerplate. This is the cheap, fully-distributed
+    * stand-in for perplexity filtering (CCNet-style) — the real-LM swap
+    * keeps the identical two-pass shape with model inference in pass 2.
+    * The frequency table shuffles once on token; the per-doc mean is
+    * one doc_id aggregate. ln() of exact BIGINT ratios rounds at 4dp
+    * safely (the FP-sum-order noise is ~1e-13 of the magnitude).
+    */
+  def unigramLogprob(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, d)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+    val freq = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum($"c").as("t"))
+    tok.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log($"c".cast("double") / $"t".cast("double"))), 4)
+          .as("avg_surprise"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> (unigramLogprob _),
     "text_stats" -> (textStats _),
     "text_lang_id" -> (langId _),
     "text_quality" -> (quality _),
@@ -135,6 +162,17 @@ object TextAnalysis {
     "text_corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> x <> '')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4) AS avg_surprise
+        |FROM tok JOIN freq USING (tok), tot
+        |GROUP BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  len(t) AS n_tokens,

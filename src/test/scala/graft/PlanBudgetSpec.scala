@@ -30,6 +30,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q20_dominant_supplier" -> 3,
     // obs grid agg -> segment lead window -> union branches
     "ts_interpolate" -> 3,
+    // token freq agg -> token join -> per-doc mean
+    "text_unigram_logprob" -> 3,
     // custkey grid -> (cohort, month) grid -> distinct actives
     "cohort_retention" -> 3,
     // sketch pipelines: doc -> band/chunk -> pair
@@ -60,6 +62,8 @@ class PlanBudgetSpec extends SparkSpec {
     "embed_knn", // probe-vector constant
     "embed_knn_quantized", // quantile-boundary constant
     "heavy_hitter_tokens", // one-row total-count threshold
+    "mixture_rates", // one-row corpus-total broadcast
+    "text_unigram_logprob", // one-row token-total broadcast
     "q11_important_parts", // one-row global total
     "q22_wealthy_inactive", // one-row avg-balance scalar
     "range_join_tiers", // 3-row tier table
