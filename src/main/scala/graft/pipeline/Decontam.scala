@@ -45,7 +45,13 @@ object Decontam {
       // concat_ws silently skips nulls, which would turn tail windows
       // into SHORTER grams — require the full width instead.
       .filter($"lastTok".isNotNull)
-      .select($"doc_id", $"source", $"g")
+      // shuffle a 60-bit md5-prefix hash of the gram, not the ~50-char
+      // string: the distinct/join below move 8 bytes per gram instead
+      // of the text. The oracle hashes IDENTICALLY (conv(hex,16,10) ==
+      // DuckDB CAST('0x'||hex AS BIGINT)), so parity is exact even in
+      // the (≈1e-8 at this corpus) event of a prefix collision.
+      .select($"doc_id", $"source",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("g"))
   }
 
   /** Per training document: distinct n-grams, how many collide with
@@ -115,10 +121,12 @@ object Decontam {
   private def gramSql: String = {
     val parts = (1 to N).map(i => s"t[i + $i]").mkString(" || ' ' || ")
     s"""SELECT doc_id, source,
-       |  unnest(list_transform(range(len(t) - ${N - 1}), i -> $parts)) AS g
+       |  CAST('0x' || substr(md5(g0), 1, 15) AS BIGINT) AS g
        |FROM (SELECT doc_id, source,
-       |        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-       |      FROM documents) toks""".stripMargin
+       |        unnest(list_transform(range(len(t) - ${N - 1}), i -> $parts)) AS g0
+       |      FROM (SELECT doc_id, source,
+       |              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |            FROM documents) toks) grams""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
