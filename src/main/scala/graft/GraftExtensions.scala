@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[functions.SimHashAgg].getName, "simhash_agg"),
       (exprs: Seq[Expression]) => functions.SimHashAgg(exprs.head)))
+    // Rewrite the portable aggregate(zip_with(...)) dot-product spelling
+    // to the native codegen'd DotProduct (see functions.DotFusion).
+    ext.injectOptimizerRule(_ => functions.DotFusion)
   }
 }

@@ -197,6 +197,29 @@ class SourcesSpec extends SparkSpec {
         "SELECT simhash_agg(h) AS s FROM VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT)) t(h)")
         .collect().head.getLong(0)
       assert(sh == 1L, s"bits 0 (+2) and 1 (0, tie->0) expected, got $sh")
+      // the DotFusion optimizer rule rewrites the PORTABLE composable
+      // dot product to the native expression: same bits, fused plan.
+      // Inputs must be real columns — literal arrays constant-fold
+      // before the rule can matter.
+      def dotDf(s: org.apache.spark.sql.SparkSession) = {
+        // range (not a LocalRelation) so neither constant folding nor
+        // ConvertToLocalRelation evaluates the dot before execution
+        val base = s.range(3).selectExpr(
+          "cast(array(id + 1.5, id * 2.0, 3.0) as array<double>) as a",
+          "cast(array(2.0, id + 0.5, -1.0) as array<double>) as b")
+        base.select(graft.sim.Similarity.dot(col("a"), col("b")).as("d"))
+      }
+      val fusedDf = dotDf(s2)
+      val plan = fusedDf.queryExecution.executedPlan.toString
+      assert(plan.contains("dotproduct"),
+        s"DotFusion did not fire; plan:\n$plan")
+      assert(!plan.contains("aggregate("),
+        s"interpreted ArrayAggregate survived in plan:\n$plan")
+      val fused = fusedDf.collect().map(_.getDouble(0)).toSeq
+      // suite session has NO extensions -> interpreted path, same bits
+      val interp = dotDf(spark).collect().map(_.getDouble(0)).toSeq
+      assert(fused == interp)
+      assert(fused.head == 1.5 * 2.0 + 0.0 * 0.5 + 3.0 * -1.0)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
