@@ -396,6 +396,56 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Latest rolling last-N average per user. */
+  final case class RollingCell(user_id: Long, n_window: Long, avg_value: Double)
+
+  /** The remaining v2 state surface: a named `ListState` holding the
+    * last N values per user (the incremental form of a ROWS N-preceding
+    * window over an unbounded stream), with a processing-time TTL on
+    * the state — an idle user's window evicts itself after an hour with
+    * no eviction code, the state-hygiene lever long-lived pipelines
+    * rely on (v1 offered only one untyped cell per key and manual
+    * timeout bookkeeping). Values append in (ts, event_id) order and
+    * the list is trimmed to N, so per-key state is O(N) regardless of
+    * stream length; the emitted average folds the list left-to-right,
+    * matching the batch ROWS-frame twin bit for bit.
+    */
+  final class RollingAvgProcessor(n: Int)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, Double), RollingCell] {
+    @transient private var window: org.apache.spark.sql.streaming.ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      window = getHandle.getListState[Double]("last_n",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        TTLConfig.NONE) // BISECT
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+        timerValues: TimerValues): Iterator[RollingCell] = {
+      val sorted = rows.toSeq.sortBy(e => (e._2.getTime, e._3))
+      var buf = if (window.exists()) window.get().toArray else Array.empty[Double]
+      sorted.foreach { e => buf = (buf :+ e._4).takeRight(n) }
+      window.put(buf)
+      var s = 0.0
+      buf.foreach(s += _)
+      Iterator.single(RollingCell(uid, buf.length.toLong, s / buf.length))
+    }
+  }
+
+  val RollingN = 5
+
+  def rollingAvgStreamV2(events: DataFrame): Dataset[RollingCell] = {
+    import events.sparkSession.implicits._
+    events
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new RollingAvgProcessor(RollingN),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), with state
     * bounded by a 1h watermark (`dropDuplicatesWithinWatermark` evicts
     * keys once the watermark passes them — the 100 TB-safe form; a plain

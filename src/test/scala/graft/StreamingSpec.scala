@@ -424,6 +424,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState+TTL rolling last-5 average == batch fold") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.rollingAvgStreamV2(EventStreams.readEventsStream(spark, eventsDir))
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("roll_out").start()
+      try {
+        q.processAllAvailable()
+        // final cell per user (largest n_window wins within user; with a
+        // single batch there is exactly one row per user)
+        val got = spark.table("roll_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (k, rows) => k -> rows.last }.toMap
+        // driver-side ground truth: left fold over the last 5 values in
+        // (ts, event_id) order — the same arithmetic sequence
+        val want = Tables.events(spark, sf)
+          .select($"user_id", $"ts", $"event_id", $"value").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+          .groupBy(_._1).map { case (uid, evs) =>
+            val lastN = evs.sortBy(e => (e._2, e._3)).takeRight(EventStreams.RollingN)
+            var s = 0.0
+            lastN.foreach(s += _._4)
+            uid -> ((uid, lastN.length.toLong, s / lastN.length))
+          }
+        assert(got.keySet == want.keySet)
+        got.foreach { case (uid, cell) => assert(cell == want(uid), s"user $uid") }
+        assert(got.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("checkpointed file sink is exactly-once across restart (O11 analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graftck")
     val out = s"$dir/out"
