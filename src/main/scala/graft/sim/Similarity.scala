@@ -24,6 +24,23 @@ object Similarity {
 
   val K = 5
   val NumQueries = 10 // probe set: vec_id < 10
+
+  /** Fitted-constant registry. The IVF centroids, dedup-blocking
+    * centroids, and quantile boundary vectors are DATA-dependent (fitted
+    * while the query runs), but every fit is deterministic (sorted capped
+    * sample, fixed seed, fixed iterations) — and Verify dumps oracle SQL
+    * AFTER running the queries, so [[oracles]] embeds exactly the
+    * constants the Spark run used as SQL literals, the same technique as
+    * the compile-time LSH plane oracle. Keyed by data dir; one Verify run
+    * touches one dir.
+    */
+  private val ivfFit =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private val dedupFit =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private val quantFit =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  @volatile private var lastDir: Option[String] = None
   // Multi-table LSH: L tables of k planes each. One 2^64-bucket table
   // would isolate every vector; L smaller tables trade memory for recall
   // (collision prob per table = (1 - theta/pi)^k, union over L tables).
