@@ -20,12 +20,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * Semantics are identical by construction: both evaluate
   * Σ a(i)·b(i) left-to-right in IEEE order (the parity is
-  * bit-for-bit-tested in SourcesSpec), with one deliberate widening —
-  * [[DotProduct]] yields NULL on mismatched lengths where zip_with
-  * pads with null and the interpreted fold then yields null anyway
-  * via null arithmetic. The rewrite fires only on exact shape+type
-  * matches: both inputs `array<double>`, zero literal 0.0, merge a
-  * pure two-variable add, finish the identity lambda.
+  * bit-for-bit-tested in SourcesSpec). NULL behavior matches too:
+  * [[DotProduct]] yields NULL on mismatched lengths (zip_with pads with
+  * null and the interpreted fold nulls out) AND on null elements of
+  * containsNull=true inputs (the fold nulls out there as well — the
+  * expression runs an element null-scan exactly when the input type
+  * admits nulls, so the rewrite never turns a NULL into a number). The
+  * rewrite fires only on exact shape+type matches: both inputs
+  * `array<double>`, zero literal 0.0, merge a pure two-variable add,
+  * finish the identity lambda.
   */
 object DotFusion extends Rule[LogicalPlan] {
 

@@ -38,18 +38,35 @@ case class DotProduct(left: Expression, right: Expression)
   /** Always nullable: mismatched-length inputs yield null (a silent
     * min-length truncation would produce a plausible-but-wrong similarity;
     * DuckDB's list_dot_product would not silently agree). Null ELEMENTS
-    * are not checked: inputs must be containsNull=false arrays (ours come
-    * from a parquet float column cast) — a null element would read as an
-    * unspecified value via ArrayData.getDouble, same caveat as Spark's own
-    * primitive array paths.
+    * also yield null, matching the interpreted zip_with/aggregate
+    * formulation (null propagates through the fold) — so the DotFusion
+    * rewrite is semantics-preserving even on containsNull=true arrays.
+    * The element null-scan is emitted only when either input's type
+    * admits nulls; containsNull=false inputs keep the branch-free loop.
     */
   override def nullable: Boolean = true
+
+  /** Whether either input's TYPE admits null elements (drives the
+    * null-scan; resolved lazily — children are unresolved at copy time).
+    */
+  private def mayHaveNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -63,12 +80,21 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
+      val nullScan =
+        if (mayHaveNullElements)
+          s"""for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+             |  if ($x.isNullAt($j) || $y.isNullAt($j)) { ${ev.isNull} = true; }
+             |}""".stripMargin
+        else ""
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
-         |} else {
+         |}
+         |$nullScan
+         |if (!${ev.isNull}) {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += $x.getDouble($i) * $y.getDouble($i);

@@ -102,10 +102,17 @@ object TimeSeries {
       .withColumn("hs", $"h".cast("long"))
       .withColumn("num", $"pv" * ($"nt" - $"hs") + $"nv" * ($"hs" - $"pt"))
       .withColumn("den", $"nt" - $"pt")
+      // half-up on the micro-unit grid via FLOOR division ((2a+b) fdiv 2b).
+      // Spark `div` truncates toward zero while DuckDB `//` floors — they
+      // agree only for nonnegative numerators, so the floor is spelled
+      // explicitly (a - pmod(a, b) is the largest multiple of b <= a, and
+      // `div` on an exact multiple is floor) to keep cross-engine parity
+      // even if event values ever go negative.
+      .withColumn("a2", $"num" * 10000L * 2L + $"den")
+      .withColumn("b2", $"den" * 2L)
       .select(
         $"user_id", $"h",
-        (expr("(num * 10000 * 2 + den) div (den * 2)") / 1000000.0)
-          .as("value"),
+        (expr("(a2 - pmod(a2, b2)) div b2") / 1000000.0).as("value"),
         lit(0L).as("is_observed"))
     observed.unionByName(gaps)
   }

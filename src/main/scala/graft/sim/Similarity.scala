@@ -25,22 +25,28 @@ object Similarity {
   val K = 5
   val NumQueries = 10 // probe set: vec_id < 10
 
-  /** Fitted-constant registry. The IVF centroids, dedup-blocking
-    * centroids, and quantile boundary vectors are DATA-dependent (fitted
-    * while the query runs), but every fit is deterministic (sorted capped
-    * sample, fixed seed, fixed iterations) — and Verify dumps oracle SQL
-    * AFTER running the queries, so [[oracles]] embeds exactly the
-    * constants the Spark run used as SQL literals, the same technique as
-    * the compile-time LSH plane oracle. Keyed by data dir; one Verify run
-    * touches one dir.
+  /** Fitted-constant registry. The IVF centroids, IVF probe-cell
+    * assignments, and quantile boundary vectors are DATA-dependent
+    * (fitted while the query runs), but every fit is deterministic
+    * (sorted capped sample, fixed seed, fixed iterations) — and Verify
+    * dumps oracle SQL AFTER running the queries, so [[oracles]] embeds
+    * exactly the constants the Spark run used as SQL literals, the same
+    * technique as the compile-time LSH plane oracle. Keyed by data dir;
+    * one Verify run touches one dir ([[lastDir]] picks the fit to embed).
     */
   private val ivfFit =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-  private val dedupFit =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private val ivfProbeFit =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Int)]]
   private val quantFit =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   @volatile private var lastDir: Option[String] = None
+
+  /** Shortest round-trip decimal repr of a double — `Double.toString`
+    * round-trips through IEEE parse, and DuckDB's correctly-rounded
+    * literal parser recovers the identical bits (incl. E-notation).
+    */
+  private def dlit(x: Double): String = x.toString
   // Multi-table LSH: L tables of k planes each. One 2^64-bucket table
   // would isolate every vector; L smaller tables trade memory for recall
   // (collision prob per table = (1 - theta/pi)^k, union over L tables).
@@ -289,6 +295,10 @@ object Similarity {
         .take(IvfProbes)
         .map { case (_, c) => (id, c, v.toSeq, qnorm) }
     }.toSeq
+    // record the fitted constants for [[oracles]] (dumped after the run)
+    ivfFit(d) = cents
+    ivfProbeFit(d) = probeRows.map { case (id, c, _, _) => (id, c) }
+    lastDir = Some(d)
     val probes = broadcast(probeRows.toDF("query_id", "cell", "qv", "qnorm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
@@ -410,7 +420,65 @@ object Similarity {
        |WHERE rk <= $K""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB twin of [[annIvf]], generated from the registry AFTER the
+    * query ran (Verify's dump order): the fitted centroids (plus their
+    * Scala-computed |c|² terms) and the driver-ranked probe→cell pairs
+    * are embedded as literals, so the SQL replays candidate assignment
+    * with the exact constants the Spark run used. The candidate argmin
+    * replicates [[graft.functions.NearestCell]] term for term
+    * (-2·dot + |c|², ties to the lowest cell) — list_dot_product matches
+    * the native left-to-right loop bit for bit (proven by the LSH and
+    * knn oracles), and the probe side skips ranking entirely because the
+    * (query_id, cell) pairs are literals.
+    */
+  private def annIvfOracle(cents: Array[Array[Double]], probes: Seq[(Long, Int)]): String = {
+    val cn2 = graft.functions.NearestCell.cn2Of(cents)
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(",")}], ${dlit(cn2(i))})"
+    }.mkString(",\n")
+    val probeRows = probes.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |cents(cell, c, cn2) AS (VALUES
+       |$centRows),
+       |assign AS (
+       |  SELECT vec_id, v, norm, cell FROM (
+       |    SELECT n.vec_id, n.v, n.norm, cents.cell,
+       |           row_number() OVER (
+       |             PARTITION BY n.vec_id
+       |             ORDER BY -2 * list_dot_product(n.v, cents.c) + cents.cn2, cents.cell) AS r
+       |    FROM n CROSS JOIN cents) x WHERE r = 1),
+       |probes(query_id, cell) AS (VALUES $probeRows),
+       |p AS (
+       |  SELECT n.vec_id AS query_id, pr.cell, n.v AS qv, n.norm AS qnorm
+       |  FROM probes pr JOIN n ON n.vec_id = pr.query_id),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         round(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 4) AS sim
+       |  FROM p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, rk, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM pairs) t
+       |WHERE rk <= $K""".stripMargin
+  }
+
+  /** A def, not a val: the data-fitted entries (IVF) exist only after
+    * their query ran and registered its constants — Verify evaluates
+    * this AFTER the query loop, so the fit is always present there.
+    */
+  def oracles: Map[String, String] = staticOracles ++ fittedOracles
+
+  private def fittedOracles: Map[String, String] =
+    (for {
+      d <- lastDir
+      cents <- ivfFit.get(d)
+      probes <- ivfProbeFit.get(d)
+    } yield "embed_ann_ivf" -> annIvfOracle(cents, probes)).toMap
+
+  private val staticOracles: Map[String, String] = Map(
     "embed_norms" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |       CAST(len(v) AS BIGINT) AS n_dims,

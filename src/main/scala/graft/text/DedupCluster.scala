@@ -61,20 +61,30 @@ object DedupCluster {
     * the component; the keeper is that minimum (deterministic
     * tie-break, same convention as [[Dedup.exact]]'s keep_id).
     */
-  def clusters(spark: SparkSession, d: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), d), {
-      import spark.implicits._
-      val edges = Dedup.jaccardPairsOf(
-        Tables.documents(spark, d).withColumn("t", TextAnalysis.toks($"text")))
-        .filter($"jacc" >= JaccThreshold)
-        .select($"doc_a", $"doc_b")
-        .localCheckpoint() // materialize once: the count gate + chosen path both read it
-      val labeled =
-        if (edges.count() <= DriverEdgeLimit) clustersOfEdgesLocal(edges)
-        else clustersOfEdges(edges)
-      labeled.withColumn(
-        "is_keeper", ($"doc_id" === $"cluster_id").cast("long"))
-    })
+  def clusters(spark: SparkSession, d: String): DataFrame = {
+    // purge entries bound to stopped sessions (a DataFrame pins its
+    // session, so dead-session entries would otherwise be retained
+    // forever), then validate identity with `eq` — never serve a frame
+    // bound to a different session that happens to share a hash key
+    cache.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
+    cache.get((System.identityHashCode(spark), d)) match {
+      case Some((sess, df)) if sess eq spark => df
+      case _ =>
+        import spark.implicits._
+        val edges = Dedup.jaccardPairsOf(
+          Tables.documents(spark, d).withColumn("t", TextAnalysis.toks($"text")))
+          .filter($"jacc" >= JaccThreshold)
+          .select($"doc_a", $"doc_b")
+          .localCheckpoint() // materialize once: the count gate + chosen path both read it
+        val labeled =
+          if (edges.count() <= DriverEdgeLimit) clustersOfEdgesLocal(edges)
+          else clustersOfEdges(edges)
+        val out = labeled.withColumn(
+          "is_keeper", ($"doc_id" === $"cluster_id").cast("long"))
+        cache.put((System.identityHashCode(spark), d), (spark, out))
+        out
+    }
+  }
 
   /** Driver-side exact union-find over a collected edge list — the
     * below-[[DriverEdgeLimit]] fast path. Path-compressed; the emitted
@@ -114,10 +124,13 @@ object DedupCluster {
     * checkpoint-backed result per (session, dir): the cluster table is a
     * shared intermediate of the dedup pipeline ([[clusters]] +
     * [[survivors]] both consume it), and a production run computes it
-    * once. Deterministic, so caching is observationally pure.
+    * once. Deterministic, so caching is observationally pure. The
+    * session rides along in the value so lookups verify identity with
+    * `eq` (identityHashCode alone can collide after GC) and entries for
+    * stopped sessions are purged on access.
     */
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, DataFrame)]
 
   /** Core propagation over an undirected edge list (doc_a, doc_b).
     * Exposed separately so specs can drive it with synthetic graphs.
