@@ -42,11 +42,19 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   @volatile private var lastDir: Option[String] = None
 
-  /** Shortest round-trip decimal repr of a double — `Double.toString`
-    * round-trips through IEEE parse, and DuckDB's correctly-rounded
-    * literal parser recovers the identical bits (incl. E-notation).
+  /** Round-trip double literal for DuckDB SQL. `Double.toString` is the
+    * shortest repr that round-trips through IEEE parse — but a bare
+    * decimal literal parses as DECIMAL in DuckDB, and its
+    * decimal→double conversion is NOT correctly rounded (measured ~1ulp
+    * off: scaled-int × 10^-s evaluated in double space), which flips
+    * exact boundary comparisons. The `e0` suffix forces the literal
+    * through the correctly-rounded DOUBLE parser, recovering the
+    * identical bits.
     */
-  private def dlit(x: Double): String = x.toString
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.indexOf('E') >= 0 || s.indexOf('e') >= 0) s else s + "e0"
+  }
   // Multi-table LSH: L tables of k planes each. One 2^64-bucket table
   // would isolate every vector; L smaller tables trade memory for recall
   // (collision prob per table = (1 - theta/pi)^k, union over L tables).
@@ -322,34 +330,76 @@ object Similarity {
     * the whole query FP-free and therefore bit-exact across engines (no
     * round-before-rank needed, unique ints break ties by neighbor_id).
     *
-    * Codes are CENTERED (2*ntile - (B+1), odd grid ±(B-1)) before the
+    * Codes are CENTERED (2*raw - (B+1), odd grid ±(B-1)) before the
     * dot: raw 1..B codes share a large positive mean, and the mean×sum
     * cross-terms swamp the correlation signal (measured recall@5 0.06
     * raw vs 0.62 centered on this corpus).
     *
-    * ntile over (value, vec_id) is the exact, deterministic small-scale
-    * quantizer. At 100 TB an ntile per dimension is an unbounded-state
-    * window (every row in one dim partition); the scale swap is
-    * approx-quantile boundary vectors (t-digest per dim, constant size)
-    * + comparison bucketing — same codes up to sketch error, same
-    * downstream query. Codes reassemble with ONE vec_id shuffle;
-    * probe×candidate scoring is the same broadcast shape as [[knnExact]].
+    * The quantizer is approx_percentile BOUNDARY VECTORS + comparison
+    * bucketing: one bounded-sketch aggregate fits (B-1) boundaries per
+    * dimension (constant state per dim at any scale), the driver
+    * collects the 64×(B-1) matrix, and the native
+    * [[graft.functions.QuantCode]] expression codes every vector in one
+    * narrow scan — NO shuffle anywhere in the coding path. (The previous
+    * formulation — ntile over Window.partitionBy(dim) — put the whole
+    * corpus into each of 64 window partitions: unbounded state at scale,
+    * plus a posexplode and a regroup shuffle. It survives only as the
+    * spec's cross-check.) Probe×candidate scoring is the same broadcast
+    * shape as [[knnExact]]; the fitted boundaries are registered for the
+    * generated DuckDB oracle, same technique as the IVF centroids.
     */
   val QuantBuckets = 16
+
+  /** approx_percentile accuracy: at sketch sizes >= the per-dim row
+    * count the boundaries are exact; at 100 TB the sketch stays bounded
+    * and the codes shift only within sketch error — the oracle always
+    * matches because it replays whatever boundaries THIS run fitted.
+    */
+  val QuantAccuracy = 10000
+
+  /** Driver-side boundary fit: (B-1) per-dim quantile boundaries from
+    * ONE partial+final aggregate over the exploded (dim, v) pairs —
+    * 64 t-digest-style sketches, constant memory per group.
+    */
+  private def fitQuantBounds(spark: SparkSession, d: String): Array[Array[Double]] = {
+    import spark.implicits._
+    val pcts = (1 until QuantBuckets).map(i => i.toDouble / QuantBuckets)
+    val rows = Tables.embeddings(spark, d)
+      .select(posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy($"dim")
+      .agg(expr(s"approx_percentile(v, array(${pcts.mkString(",")}), $QuantAccuracy)").as("b"))
+      .collect()
+    val out = new Array[Array[Double]](rows.length)
+    rows.foreach(r => out(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    out
+  }
+
+  /** The coded-vector table (vec_id, q) — the fit + one narrow coding
+    * scan. Exposed for the parity spec; [[knnQuantized]] builds on it.
+    */
+  def knnQuantizedCodes(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bounds = fitQuantBounds(spark, d)
+    quantFit(d) = bounds
+    lastDir = Some(d)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quant_code16",
+      exprs => graft.functions.QuantCode(exprs.head, bounds),
+      "built-in")
+    Tables.embeddings(spark, d)
+      .select($"vec_id",
+        expr("quant_code16(cast(embedding as array<double>))").as("q"))
+  }
+
+  /** The boundary matrix the last [[knnQuantizedCodes]] fit for a dir
+    * (spec access).
+    */
+  def lastQuantBounds(d: String): Option[Array[Array[Double]]] = quantFit.get(d)
 
   def knnQuantized(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy($"dim").orderBy($"v", $"vec_id")
-    val codes = Tables.embeddings(spark, d)
-      .select($"vec_id", posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
-      .withColumn("code", ntile(QuantBuckets).over(wq) * 2 - (QuantBuckets + 1))
-      .groupBy($"vec_id")
-      // sort by dim then strip to the code; double codes feed the native
-      // dot (ints <= 16 are exact in double, product sums < 2^24)
-      .agg(transform(array_sort(collect_list(struct($"dim", $"code"))),
-        x => x("code").cast("double")).as("q"))
+    val codes = knnQuantizedCodes(spark, d)
     val probes = codes.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"q".as("qq"))
     val w = org.apache.spark.sql.expressions.Window
@@ -471,12 +521,51 @@ object Similarity {
     */
   def oracles: Map[String, String] = staticOracles ++ fittedOracles
 
-  private def fittedOracles: Map[String, String] =
-    (for {
+  private def fittedOracles: Map[String, String] = {
+    val ivf = for {
       d <- lastDir
       cents <- ivfFit.get(d)
       probes <- ivfProbeFit.get(d)
-    } yield "embed_ann_ivf" -> annIvfOracle(cents, probes)).toMap
+    } yield "embed_ann_ivf" -> annIvfOracle(cents, probes)
+    val quant = for {
+      d <- lastDir
+      bounds <- quantFit.get(d)
+    } yield "embed_knn_quantized" -> knnQuantizedOracle(bounds)
+    (ivf ++ quant).toMap
+  }
+
+  /** DuckDB twin of [[knnQuantized]], generated from the registered
+    * boundary fit: the 64×(B-1) boundary matrix is embedded as list
+    * literals and the comparison bucketing (`1 + #{b : v >= b}`,
+    * centered) is replayed per dimension — integer comparisons against
+    * round-trip double literals, so the codes are bit-exact across
+    * engines and the integer-dot ranking needs no rounding at all.
+    */
+  private def knnQuantizedOracle(bounds: Array[Array[Double]]): String = {
+    val bndRows = bounds.zipWithIndex.map { case (bs, j) =>
+      s"($j, [${bs.map(dlit).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT vec_id, r.range AS dim, CAST(embedding[r.range + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range(64) r),
+       |bnd(dim, bv) AS (VALUES
+       |$bndRows),
+       |c AS (
+       |  SELECT x.vec_id, x.dim,
+       |         2 * (1 + len(list_filter(bnd.bv, b -> x.v >= b)))
+       |           - ${QuantBuckets + 1} AS code
+       |  FROM x JOIN bnd ON x.dim = bnd.dim),
+       |q AS (
+       |  SELECT vec_id, list(CAST(code AS DOUBLE) ORDER BY dim) AS qv
+       |  FROM c GROUP BY vec_id)
+       |SELECT query_id, neighbor_id, rk, score FROM (
+       |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(p.qv, n.qv) AS BIGINT) AS score,
+       |         row_number() OVER (PARTITION BY p.vec_id
+       |                            ORDER BY list_dot_product(p.qv, n.qv) DESC, n.vec_id) AS rk
+       |  FROM q p JOIN q n ON p.vec_id < $NumQueries AND n.vec_id <> p.vec_id) t
+       |WHERE rk <= $K""".stripMargin
+  }
 
   private val staticOracles: Map[String, String] = Map(
     "embed_norms" ->
@@ -485,25 +574,6 @@ object Similarity {
         |       round(sqrt(list_dot_product(v, v)), 6) AS l2_norm
         |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |      FROM embeddings) e""".stripMargin,
-    "embed_knn_quantized" ->
-      s"""WITH x AS (
-         |  SELECT vec_id, r.range AS dim, CAST(embedding[r.range + 1] AS DOUBLE) AS v
-         |  FROM embeddings, range(64) r),
-         |c AS (
-         |  SELECT vec_id, dim,
-         |         2 * ntile($QuantBuckets) OVER (PARTITION BY dim ORDER BY v, vec_id)
-         |           - ${QuantBuckets + 1} AS code
-         |  FROM x),
-         |q AS (
-         |  SELECT vec_id, list(CAST(code AS DOUBLE) ORDER BY dim) AS qv
-         |  FROM c GROUP BY vec_id)
-         |SELECT query_id, neighbor_id, rk, score FROM (
-         |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |         CAST(list_dot_product(p.qv, n.qv) AS BIGINT) AS score,
-         |         row_number() OVER (PARTITION BY p.vec_id
-         |                            ORDER BY list_dot_product(p.qv, n.qv) DESC, n.vec_id) AS rk
-         |  FROM q p JOIN q n ON p.vec_id < $NumQueries AND n.vec_id <> p.vec_id) t
-         |WHERE rk <= $K""".stripMargin,
     "embed_label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, r.range AS dim,
         |       round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 4) AS c

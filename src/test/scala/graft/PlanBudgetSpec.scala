@@ -47,8 +47,6 @@ class PlanBudgetSpec extends SparkSpec {
     "graph_triangles" -> 4,
     // (doc, term) tf -> term df -> per-doc rank
     "tfidf_topk" -> 4,
-    // quantile codes per dim -> coded vectors -> integer-dot rank
-    "embed_knn_quantized" -> 5,
     // end-to-end composite: chains five audited operators
     "training_mix" -> 6)
 

@@ -138,6 +138,45 @@ class SimilaritySpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("native quant_code == driver boundary-rank recompute (bit-for-bit)") {
+    // the fitted boundaries drive the plan; recompute codes on the
+    // driver with the SAME comparison rule and assert bit-for-bit
+    val coded = Similarity.knnQuantizedCodes(spark, sf)
+    val bounds = Similarity.lastQuantBounds(sf).get
+    val rows = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = coded.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, codes) =>
+      val v = rows(id)
+      val want = v.indices.map { j =>
+        val raw = 1 + bounds(j).count(b => v(j) >= b)
+        (2 * raw - (Similarity.QuantBuckets + 1)).toDouble
+      }
+      assert(codes == want, s"code mismatch for vec $id")
+      assert(codes.forall(c => math.abs(c) <= Similarity.QuantBuckets - 1 &&
+        math.abs(c.toLong % 2) == 1), "codes must be odd ints within ±(B-1)")
+    }
+    // at sf scale the sketch is exact, so each dim's buckets are within
+    // one of balanced: no bucket may hold more than ~2/B of the corpus
+    val n = rows.size
+    val perDim = got.values.map(_.head).groupBy(identity).map(_._2.size)
+    assert(perDim.max <= math.ceil(2.0 * n / Similarity.QuantBuckets).toInt + 1,
+      s"dim-0 bucket skew: $perDim")
+  }
+
+  test("quantized knn plan has no per-dim window (the ntile scale-killer is gone)") {
+    val plan = Similarity.knnQuantized(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), s"ntile survived in plan:\n$plan")
+    // the only window left is the per-query top-k rank; nothing may
+    // partition on the 64-value dim key (unbounded state at scale)
+    assert(!"Window.*partitionBy.*dim|windowspecdefinition\\(dim".r
+      .findFirstIn(plan).isDefined && !plan.contains("dim#"),
+      s"a dim-partitioned operator survived; plan:\n$plan")
+  }
+
   test("quantized knn: integer scores, full result shape, nontrivial recall vs exact") {
     val q = Similarity.knnQuantized(spark, sf).collect()
     assert(q.length == Similarity.NumQueries * Similarity.K)
