@@ -171,21 +171,54 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
   }
 
+  /** Cap on the size of a dedup blocking cell: a cell over the cap is
+    * dropped rather than allowed to go quadratic — the same hard-bound
+    * discipline as Dedup's MaxBucket. At production scale the cell
+    * count (IvfCells) grows with the corpus so blocks stay near
+    * corpus/cells; the cap is the backstop against a degenerate
+    * quantizer cell absorbing everything.
+    */
+  val MaxCellBlock = 2000
+
   /** Embedding-cosine near-duplicate pairs (the dedup tier above
-    * MinHash): exact pairwise cosine within label blocks — blocking keys
-    * (a cluster id / coarse quantizer at production scale) bound the
-    * quadratic term, same discipline as Dedup's buckets. DuckDB-oracled.
+    * MinHash): exact pairwise cosine within IVF-CELL blocks — the same
+    * coarse quantizer the ANN tier fits assigns every vector to its
+    * nearest centroid (one narrow native [[graft.functions.NearestCell]]
+    * pass), and pairs are generated only within a cell, with
+    * [[MaxCellBlock]] bounding the quadratic term. Cell blocking keys on
+    * actual vector geometry, so the block count scales with the fitted
+    * cell count instead of an incidental low-cardinality label column
+    * (whose blocks are O(n²/labels) at scale). DuckDB-oracled via the
+    * registered centroid fit.
     */
   def embedDupPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = withVec(Tables.embeddings(spark, d))
-    val a = e.select($"label", $"vec_id".as("vec_a"), $"v".as("qv"), $"norm".as("qnorm"))
-    val b = e.select($"label", $"vec_id".as("vec_b"), $"v".as("cv"), $"norm".as("cnorm"))
-    a.join(b, "label")
+    val cents = centroids(trainSample(e).map(_._2))
+    ivfFit(d) = cents
+    lastDir = Some(d)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell",
+      exprs => graft.functions.NearestCell(exprs.head, cents),
+      "built-in")
+    val assigned = e
+      .withColumn("cell", expr("nearest_cell(v)"))
+      .select($"cell", $"vec_id", $"v", $"norm")
+    // bucket-cap: per-cell counts are a tiny (IvfCells-row) aggregate,
+    // broadcast back as a semi-filter — no window over the low-cardinality
+    // cell key
+    val keep = assigned.groupBy($"cell")
+      .agg(count(lit(1)).as("csz"))
+      .filter($"csz" <= MaxCellBlock)
+      .select($"cell")
+    val capped = assigned.join(broadcast(keep), "cell")
+    val a = capped.select($"cell", $"vec_id".as("vec_a"), $"v".as("qv"), $"norm".as("qnorm"))
+    val b = capped.select($"cell", $"vec_id".as("vec_b"), $"v".as("cv"), $"norm".as("cnorm"))
+    a.join(b, "cell")
       .filter($"vec_a" < $"vec_b")
       .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
       .filter($"sim" >= 0.3)
-      .select($"vec_a", $"vec_b", $"label".cast("long").as("label"), $"sim")
+      .select($"vec_a", $"vec_b", $"cell".cast("long").as("cell"), $"sim")
   }
 
   // ---- IVF (inverted-file) ANN ----
@@ -531,7 +564,41 @@ object Similarity {
       d <- lastDir
       bounds <- quantFit.get(d)
     } yield "embed_knn_quantized" -> knnQuantizedOracle(bounds)
-    (ivf ++ quant).toMap
+    val dup = for {
+      d <- lastDir
+      cents <- ivfFit.get(d)
+    } yield "dedup_embed_pairs" -> embedDupOracle(cents)
+    (ivf ++ quant ++ dup).toMap
+  }
+
+  /** DuckDB twin of [[embedDupPairs]]: same centroid-literal cell
+    * assignment as [[annIvfOracle]], then the capped within-cell pair
+    * join. The cap filter replays as a per-cell count join.
+    */
+  private def embedDupOracle(cents: Array[Array[Double]]): String = {
+    val cn2 = graft.functions.NearestCell.cn2Of(cents)
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(",")}], ${dlit(cn2(i))})"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |cents(cell, c, cn2) AS (VALUES
+       |$centRows),
+       |assign AS (
+       |  SELECT vec_id, v, norm, cell FROM (
+       |    SELECT n.vec_id, n.v, n.norm, cents.cell,
+       |           row_number() OVER (
+       |             PARTITION BY n.vec_id
+       |             ORDER BY -2 * list_dot_product(n.v, cents.c) + cents.cn2, cents.cell) AS r
+       |    FROM n CROSS JOIN cents) x WHERE r = 1),
+       |keep AS (
+       |  SELECT cell FROM assign GROUP BY cell HAVING count(*) <= $MaxCellBlock),
+       |capped AS (SELECT a.* FROM assign a JOIN keep k ON a.cell = k.cell)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       CAST(a.cell AS BIGINT) AS cell,
+       |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS sim
+       |FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3""".stripMargin
   }
 
   /** DuckDB twin of [[knnQuantized]], generated from the registered
@@ -593,16 +660,5 @@ object Similarity {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY sim DESC, neighbor_id) AS rk
         |  FROM s) t
-        |WHERE rk <= 5""".stripMargin,
-    "dedup_embed_pairs" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       CAST(a.label AS BIGINT) AS label,
-        |       round(list_dot_product(a.v, b.v) /
-        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-        |             4) AS sim
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) /
-        |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-        |            4) >= 0.3""".stripMargin)
+        |WHERE rk <= 5""".stripMargin)
 }

@@ -177,6 +177,35 @@ class SimilaritySpec extends SparkSpec {
       s"a dim-partitioned operator survived; plan:\n$plan")
   }
 
+  test("embedding dedup blocks on IVF cells: bounded blocks, no label key, real near-dups") {
+    import graft.functions.NearestCell
+    val pairs = Similarity.embedDupPairs(spark, sf).collect()
+    assert(pairs.nonEmpty, "planted near-duplicates must surface")
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be ordered")
+    assert(pairs.forall(_.getDouble(3) >= 0.3))
+    // every emitted pair sits in ONE cell, and no kept cell exceeds the cap:
+    // recompute assignment with the same fit and count
+    val cents = Similarity.fitCentroids(spark, sf)
+    val cn2 = NearestCell.cn2Of(cents)
+    val cellOf = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v")).collect()
+      .map { r =>
+        val scores = NearestCell.scores(r.getSeq[Double](1).toArray, cents, cn2)
+        r.getLong(0) -> scores.zipWithIndex.minBy { case (s, i) => (s, i) }._2.toLong
+      }.toMap
+    val cellSizes = cellOf.values.groupBy(identity).map { case (c, v) => c -> v.size }
+    pairs.foreach { r =>
+      assert(cellOf(r.getLong(0)) == r.getLong(2) && cellOf(r.getLong(1)) == r.getLong(2),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) not co-located in cell ${r.getLong(2)}")
+      assert(cellSizes(r.getLong(2)) <= Similarity.MaxCellBlock,
+        s"cell ${r.getLong(2)} exceeds the block cap")
+    }
+    // the blocking key must be geometric (cell), not the label column
+    val plan = Similarity.embedDupPairs(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("label"), s"label survived as a blocking key; plan:\n$plan")
+  }
+
   test("quantized knn: integer scores, full result shape, nontrivial recall vs exact") {
     val q = Similarity.knnQuantized(spark, sf).collect()
     assert(q.length == Similarity.NumQueries * Similarity.K)
