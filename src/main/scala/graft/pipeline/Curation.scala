@@ -86,12 +86,22 @@ object Curation {
     // doc_id join; "pred_lang == en" is exactly en_hits >= every other
     // profile's hits (en wins ties in langId's cascade)
     val langProfile = TextAnalysis.LangProfiles.toMap
+    // tokenize ONCE and materialize: both consumers below (the gate
+    // chain and the near-dup pair generator) read the checkpointed
+    // frame, so the expensive documents scan + tokenization runs a
+    // single time — Catalyst otherwise plans a full scan per branch,
+    // which doubles the dominant cost at scale. localCheckpoint is the
+    // in-session analog of the intermediate table a production
+    // pipeline would write between stages.
     val docs = Tables.documents(spark, d)
+      .select($"doc_id", $"source", $"text")
       .withColumn("t", TextAnalysis.toks($"text"))
       .withColumn("n_tokens", size($"t").cast("long"))
       .withColumn("n_distinct", size(array_distinct($"t")).cast("long"))
       .withColumn("norm", TextAnalysis.normText($"text"))
       .withColumn("en_hits", TextAnalysis.hits($"t", langProfile("en")))
+      .drop("text")
+      .localCheckpoint()
     val gated = Seq("de", "fr", "es")
       .foldLeft(docs) { (df, l) =>
         df.filter($"en_hits" >= TextAnalysis.hits($"t", langProfile(l)))
@@ -101,10 +111,6 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"norm").orderBy($"doc_id")
     val exactKept = gated.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-    // near-dup pairs share the tokenization DEFINITION (one place to
-    // edit); note Catalyst still plans a scan per branch — the frames
-    // are lazy, so this is about drift-proofing, not scan elision (a
-    // production run would persist the tokenized frame first)
     val nearDupLosers = graft.text.Dedup.jaccardPairsOf(docs.select($"doc_id", $"t"))
       .filter($"jacc" >= 0.8).select($"doc_b".as("doc_id")).distinct()
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")

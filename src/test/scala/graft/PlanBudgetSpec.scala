@@ -67,6 +67,19 @@ class PlanBudgetSpec extends SparkSpec {
     "range_join_tiers", // 3-row tier table
     "tfidf_topk") // one-row corpus doc count
 
+  test("training_mix reads documents ONCE: both pipeline branches consume the checkpoint") {
+    val plan = pipeline.Curation.trainingMix(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the tokenized frame is localCheckpoint'ed, so the executed plan's
+    // two consumers (gate chain + near-dup pairs) must both read the
+    // materialized RDD — a surviving parquet scan of documents means the
+    // double-scan regressed
+    assert(!plan.contains("documents.parquet"),
+      s"documents scanned in the final plan (checkpoint bypassed):\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected checkpoint-backed scans; plan:\n$plan")
+  }
+
   test("every catalog query stays within its exchange budget, NLJ whitelist, no global sort") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
