@@ -160,34 +160,43 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    // Signatures are computed ONCE and carried through the band shuffle as
-    // (doc_id, sig) structs — no re-scan, no post-hoc join. The sig array
-    // rides the shuffle Bands times (~sig·16 per doc); at larger scale
-    // materialize `signatures` to a table and join it back instead.
-    val sigs = signatures(spark, d)
+    // Signatures are computed ONCE and MATERIALIZED (localCheckpoint —
+    // the in-session analog of the signature table a production run
+    // writes); the band shuffle then carries only (doc_id, band,
+    // band_key) — a 4-long slice instead of the full 64-long signature
+    // riding the shuffle ×Bands (~8× fewer shuffled signature bytes).
+    // Candidate pairs dedup as NARROW (doc_a, doc_b) rows BEFORE the
+    // signature table joins back (twice, keyed on each side) for the
+    // estimated Jaccard — so a pair colliding in several bands costs
+    // one estimate, not several. More exchanges than the ride-along
+    // formulation, but each moves a small table or narrow rows.
+    val sigs = signatures(spark, d).localCheckpoint()
     val bands = sigs.select(
-      struct($"doc_id", $"sig").as("ds"),
+      $"doc_id",
       posexplode(transform(
         sequence(lit(0), lit(Bands - 1)),
         bnd => slice($"sig", bnd * Rows + 1, lit(Rows)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    bands
+    val cand = bands
       .groupBy($"band", $"band_key")
-      .agg(collect_list($"ds").as("ds"))
-      .filter(size($"ds") > 1 && size($"ds") <= MaxBucket)
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
       .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(filter(ds, (y, j) -> j > i), y -> named_struct(
-          |    'a', least(x.doc_id, y.doc_id),
-          |    'b', greatest(x.doc_id, y.doc_id),
-          |    'm', aggregate(zip_with(x.sig, y.sig,
-          |           (u, v) -> IF(u = v, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
-          |         CAST(0 AS BIGINT), (acc, w) -> acc + w)))))""".stripMargin))
+        """flatten(transform(ids, (x, i) ->
+          |  transform(filter(ids, (y, j) -> j > i), y -> named_struct(
+          |    'a', least(x, y), 'b', greatest(x, y)))))""".stripMargin))
         .as("p"))
-      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"),
-        ($"p.m".cast("double") / NumHashes).as("est_jaccard"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
+    val sa = sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
+    val sb = sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("m", expr(
+        """aggregate(zip_with(sig_a, sig_b,
+          |  (u, v) -> IF(u = v, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (acc, w) -> acc + w)""".stripMargin))
+      .select($"doc_a", $"doc_b", ($"m".cast("double") / NumHashes).as("est_jaccard"))
   }
 
   // ---- SimHash ----
