@@ -1,5 +1,41 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Per-query task/shuffle accounting — the live-metrics surface the
+  * reference keeps as queryable counters (utils/metrics.go:8-73),
+  * re-expressed as a SparkListener: every task-end event folds its
+  * TaskMetrics into running totals, and [[Bench]] snapshots the deltas
+  * around each query (after draining the async listener bus). Shuffle
+  * bytes per query make bench numbers self-diagnosing: a timing
+  * regression with unchanged shuffle bytes is measurement noise, one
+  * with grown bytes is a plan regression.
+  */
+final class TaskMetricsListener extends SparkListener {
+  val tasks = new AtomicLong
+  val inputBytes = new AtomicLong
+  val shuffleReadBytes = new AtomicLong
+  val shuffleWriteBytes = new AtomicLong
+  val spilledBytes = new AtomicLong
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val tm = e.taskMetrics
+    if (tm != null) {
+      tasks.incrementAndGet()
+      inputBytes.addAndGet(tm.inputMetrics.bytesRead)
+      shuffleReadBytes.addAndGet(
+        tm.shuffleReadMetrics.remoteBytesRead + tm.shuffleReadMetrics.localBytesRead)
+      shuffleWriteBytes.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+      spilledBytes.addAndGet(tm.memoryBytesSpilled + tm.diskBytesSpilled)
+    }
+  }
+
+  def snapshot: Seq[Long] = Seq(
+    tasks.get, inputBytes.get, shuffleReadBytes.get,
+    shuffleWriteBytes.get, spilledBytes.get)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,6 +48,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // Warm up codegen/shuffle/parquet machinery so the first measured
     // query doesn't absorb session initialization. Best-effort: a broken
     // sfDir must degrade to per-query -1s, not kill the whole benchmark.
@@ -23,22 +61,36 @@ object Bench {
     // would re-shuffle which queries absorb residual JIT warmup between
     // rounds; a fixed order keeps per-query times comparable round over
     // round.
+    val metricNames =
+      Seq("tasks", "inputBytes", "shuffleReadBytes", "shuffleWriteBytes", "spilledBytes")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val before = listener.snapshot
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every projected expression —
       // a bare .count() lets Catalyst prune unevaluated projections, so
       // projection-only queries would measure parquet row counting only.
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // async listener events must land before the delta is read
+      try org.apache.spark.graftbench.BusDrain.drain(spark.sparkContext)
+      catch { case _: Throwable => () }
+      val delta = listener.snapshot.zip(before).map { case (a, b) => a - b }
+      (name, sec, delta)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val tm = results.map { case (k, _, d) =>
+      "\"" + k + "\":" +
+        metricNames.zip(d).map { case (m, v) => s"""\"$m\":$v""" }
+          .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Stop BEFORE printing so no executor log line can interleave with
     // the one machine-readable JSON line — but never let a shutdown
     // exception eat that line.
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"taskMetrics":$tm,"sf":"$sfDir"}""")
   }
 }
