@@ -402,22 +402,24 @@ object EventStreams {
   /** The remaining v2 state surface: a named `ListState` holding the
     * last N values per user (the incremental form of a ROWS N-preceding
     * window over an unbounded stream), with a processing-time TTL on
-    * the state — an idle user's window evicts itself after an hour with
-    * no eviction code, the state-hygiene lever long-lived pipelines
+    * the state — an idle user's window evicts itself after [[RollingTtl]]
+    * with no eviction code, the state-hygiene lever long-lived pipelines
     * rely on (v1 offered only one untyped cell per key and manual
-    * timeout bookkeeping). Values append in (ts, event_id) order and
-    * the list is trimmed to N, so per-key state is O(N) regardless of
-    * stream length; the emitted average folds the list left-to-right,
-    * matching the batch ROWS-frame twin bit for bit.
+    * timeout bookkeeping); StreamingSpec exercises actual expiry with a
+    * short TTL. Values append in (ts, event_id) order and the list is
+    * trimmed to N, so per-key state is O(N) per LIVE key regardless of
+    * stream length, and idle keys drop out entirely. The emitted average
+    * folds the list left-to-right, matching the batch ROWS-frame twin
+    * bit for bit.
     */
-  final class RollingAvgProcessor(n: Int)
+  final class RollingAvgProcessor(n: Int, ttl: java.time.Duration)
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, Double), RollingCell] {
     @transient private var window: org.apache.spark.sql.streaming.ListState[Double] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       window = getHandle.getListState[Double]("last_n",
         org.apache.spark.sql.Encoders.scalaDouble,
-        TTLConfig.NONE) // BISECT
+        TTLConfig(ttl))
 
     override def handleInputRows(
         uid: Long,
@@ -435,15 +437,25 @@ object EventStreams {
 
   val RollingN = 5
 
-  def rollingAvgStreamV2(events: DataFrame): Dataset[RollingCell] = {
+  /** Default state TTL: an hour of inactivity evicts a user's window. */
+  val RollingTtl: java.time.Duration = java.time.Duration.ofHours(1)
+
+  def rollingAvgStreamV2(events: DataFrame): Dataset[RollingCell] =
+    rollingAvgStreamV2(events, RollingTtl)
+
+  /** TTL-parameterized variant (specs pass a short TTL to exercise
+    * actual expiry). TimeMode.ProcessingTime is what arms the TTL —
+    * state TTLs are ignored under TimeMode.None.
+    */
+  def rollingAvgStreamV2(events: DataFrame, ttl: java.time.Duration): Dataset[RollingCell] = {
     import events.sparkSession.implicits._
     events
       .select($"user_id", $"ts", $"event_id", $"value")
       .as[(Long, java.sql.Timestamp, Long, Double)]
       .groupByKey(_._1)
       .transformWithState(
-        new RollingAvgProcessor(RollingN),
-        TimeMode.None(), OutputMode.Update())
+        new RollingAvgProcessor(RollingN, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Streaming dedup: first event per (user_id, event_type), with state

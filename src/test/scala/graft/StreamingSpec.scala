@@ -424,6 +424,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Poll until `f` yields Some — transformWithState under
+    * TimeMode.ProcessingTime schedules batches continuously (the TTL
+    * machinery keeps the trigger armed), so processAllAvailable never
+    * reaches its quiescent point; sink polling is the reliable wait.
+    */
+  private def pollUntil[T](what: String, timeoutMs: Long = 90000)(f: => Option[T]): T = {
+    val end = System.currentTimeMillis + timeoutMs
+    var r = f
+    while (r.isEmpty && System.currentTimeMillis < end) { Thread.sleep(250); r = f }
+    r.getOrElse(fail(s"timed out waiting for $what"))
+  }
+
   test("transformWithState ListState+TTL rolling last-5 average == batch fold") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
@@ -434,12 +446,16 @@ class StreamingSpec extends SparkSpec {
         .writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName("roll_out").start()
       try {
-        q.processAllAvailable()
-        // final cell per user (largest n_window wins within user; with a
-        // single batch there is exactly one row per user)
-        val got = spark.table("roll_out").collect()
+        def read() = spark.table("roll_out").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
           .groupBy(_._1).map { case (k, rows) => k -> rows.last }.toMap
+        // final cell per user (largest n_window wins within user; with a
+        // single batch there is exactly one row per user). The full
+        // user set lands in one batch; poll until it is present.
+        val nUsers = Tables.events(spark, sf).select($"user_id").distinct().count()
+        val got = pollUntil(s"$nUsers rolling cells") {
+          val g = read(); if (g.size == nUsers) Some(g) else None
+        }
         // driver-side ground truth: left fold over the last 5 values in
         // (ts, event_id) order — the same arithmetic sequence
         val want = Tables.events(spark, sf)
@@ -454,6 +470,47 @@ class StreamingSpec extends SparkSpec {
         assert(got.keySet == want.keySet)
         got.foreach { case (uid, cell) => assert(cell == want(uid), s"user $uid") }
         assert(got.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("rolling-window ListState expires after the processing-time TTL (idle user evicted)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val ds = input.toDS.toDF("user_id", "ts", "event_id", "value")
+      val q = EventStreams.rollingAvgStreamV2(ds, java.time.Duration.ofMillis(500))
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("roll_ttl").start()
+      try {
+        def ts(s: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+        def rows() = spark.table("roll_ttl").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        input.addData((1L, ts(0), 1L, 10.0), (1L, ts(1), 2L, 20.0))
+        pollUntil("window of 2 values") {
+          if (rows().contains((1L, 2L, 15.0))) Some(()) else None
+        }
+        Thread.sleep(1500) // well past the 500 ms TTL
+        input.addData((1L, ts(2), 3L, 30.0))
+        // expired state: the new batch sees an EMPTY window — n_window 1,
+        // avg 30.0. Without expiry it would be (1, 3, 20.0); user 1 emits
+        // exactly one cell for this batch, so seeing either decides it.
+        val decided = pollUntil("post-TTL cell") {
+          val r = rows()
+          if (r.contains((1L, 1L, 30.0)) || r.contains((1L, 3L, 20.0))) Some(r) else None
+        }
+        assert(decided.contains((1L, 1L, 30.0)) && !decided.contains((1L, 3L, 20.0)),
+          s"idle user's window was retained past the TTL: $decided")
       } finally q.stop()
     } finally {
       prev match {
