@@ -3,7 +3,7 @@ package graft.apps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.mr.KeyValue
+import graft.mr.{AppLoader, KeyValue, MapReduce, MrApp}
 
 /** The reference's eight pluggable Map/Reduce apps (SURVEY.md §2.2) as
   * idiomatic DataFrame pipelines over the `documents` table (which plays
@@ -55,6 +55,30 @@ object MrApps {
   val earlyExitMap: (String, String) => IterableOnce[KeyValue] = (name, _) =>
     Iterator.single(KeyValue(name, "1"))
   val earlyExitReduce: (String, Seq[String]) => String = (_, vs) => vs.size.toString
+
+  // ---- submit-time plugin ABI (the reference's wc.so, mrapps/wc.go) ----
+
+  /** wc packaged as a loadable [[MrApp]]: what a user ships instead of the
+    * reference's compiled `wc.so`. Referenced BY NAME through
+    * [[AppLoader]] in `mr_wc_plugin` below, so the catalog proves the
+    * whole submit-time path (resolve → bind → distribute → reduce).
+    */
+  object WcApp extends MrApp {
+    def map(name: String, contents: String): IterableOnce[KeyValue] = wcMap(name, contents)
+    def reduce(key: String, values: Seq[String]): String = wcReduce(key, values)
+  }
+
+  /** wc through the generic core with the app resolved at run time from
+    * its class name — no compile-time link between the job and the app
+    * (main/mrworker.go:33-51). Same answer as `mr_wc`, but `value` is a
+    * string: the plugin ABI is untyped, like the reference's.
+    */
+  def wcPlugin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val app = AppLoader.load("graft.apps.MrApps$WcApp")
+    val docs = Tables.documents(spark, sfDir).select("source", "text").as[(String, String)]
+    MapReduce.runApp(spark, docs, app, 16).toDF()
+  }
 
   // ---- declarative pipelines (registered in SparkEntry.queries) ----
 
@@ -116,6 +140,7 @@ object MrApps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_wc" -> (wc _),
+    "mr_wc_plugin" -> (wcPlugin _),
     "mr_indexer" -> (indexer _),
     "mr_crash" -> (crashPipeline _),
     "mr_wc_long" -> (wcLong _),
@@ -124,6 +149,10 @@ object MrApps {
   val oracles: Map[String, String] = Map(
     "mr_wc" ->
       """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word FROM documents) t
+        |WHERE length(word) > 0 GROUP BY word""".stripMargin,
+    "mr_wc_plugin" ->
+      """SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
         |FROM (SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word FROM documents) t
         |WHERE length(word) > 0 GROUP BY word""".stripMargin,
     "mr_indexer" ->

@@ -68,6 +68,17 @@ object MapReduce {
       }
   }
 
+  /** Run a submit-time-loaded [[MrApp]] (see [[AppLoader]]) — the
+    * reference worker's entry path (`Worker(mapf, reducef)` after
+    * `loadPlugin`, main/mrworker.go:28-29).
+    */
+  def runApp(
+      spark: SparkSession,
+      input: Dataset[(String, String)],
+      app: MrApp,
+      numPartitions: Int): Dataset[KeyValue] =
+    run(spark, input, app.map, app.reduce, numPartitions)
+
   /** Incremental variant: reduce expressed as a typed [[Aggregator]], so
     * Spark performs partial (map-side) aggregation before the shuffle —
     * the scalable path the reference lacks (its reduce sees fully
