@@ -468,6 +468,23 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Batch twin of [[dedupStream]]: keep the EARLIEST event per
+    * (user_id, event_type), ts then event_id tie-break — the
+    * deterministic answer the streaming form converges to when arrival
+    * order is event-time order. `min(struct(...))` = lexicographic
+    * arg-min inside ONE partial+final hash aggregate: a single shuffle
+    * on the dedup key and no per-group sort (the window row_number
+    * spelling would sort every partition).
+    */
+  def dedupFirstBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(min(struct($"ts", $"event_id", $"value")).as("f"))
+      .select($"user_id", $"event_type", $"f.ts".as("ts"),
+        $"f.event_id".as("event_id"), $"f.value".as("value"))
+  }
+
   /** The purchase/click interval-join shape, shared verbatim by the
     * streaming operator and its batch twin so the two cannot drift
     * (the StreamingSpec convergence test compares them).
@@ -547,9 +564,16 @@ object EventStreams {
     "events_session_agg" -> (sessionAggBatch _),
     "events_purchase_click_join" -> (purchaseClickJoinBatch _),
     "events_click_attribution" -> (clickAttributionBatch _),
-    "events_segment_enrich" -> (segmentEnrichBatch _))
+    "events_segment_enrich" -> (segmentEnrichBatch _),
+    "events_dedup_first" -> (dedupFirstBatch _))
 
   val oracles: Map[String, String] = Map(
+    "events_dedup_first" ->
+      """SELECT user_id, event_type, ts, event_id, value FROM (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
     "events_segment_enrich" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, c_mktsegment,
         |  count(*) AS n,

@@ -162,6 +162,10 @@ class StreamingSpec extends SparkSpec {
       // single-batch drain => exact dedup: one emitted row per distinct key
       assert(got === want)
       assert(spark.table("dedup_out").count() == want.size)
+      // the deterministic batch twin (earliest per key) covers the same keys
+      val twin = EventStreams.dedupFirstBatch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(twin === want)
     } finally q.stop()
   }
 
