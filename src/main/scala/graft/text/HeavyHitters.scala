@@ -124,9 +124,51 @@ object HeavyHitters {
       .toSeq.toDF("tok", "cnt", "est")
   }
 
+  /** Dataflow CMS geometry: depth 4 rows (four non-overlapping 32-bit
+    * words of ONE md5 per token — the [[Dedup.md5Prefix32]] cross-engine
+    * base hash), width 2048 buckets. The counter table is bounded by
+    * construction at depth × width = 8192 cells at ANY corpus size.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 2048
+
+  private def cmsBuckets(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until CmsDepth).map(i => Dedup.md5Prefix32(c, 1 + 8 * i) % CmsWidth): _*)
+
+  /** The fully-ORACLED count-min tier: same (tok, cnt, est) surface as
+    * [[cmsTokenEstimates]], but the sketch is pure dataflow instead of a
+    * sketch binary, so DuckDB replays it bit for bit.
+    *
+    *   counters: token stream → (row, md5-slice % width) cells →
+    *   partial+final count. Partial aggregation collapses each map task
+    *   to <= 8192 cells, so the shuffle payload is CONSTANT in corpus
+    *   size — the same mergeable-monoid economics as the binary sketch
+    *   (§2.1-O14), with none of its opacity.
+    *
+    *   estimate(t) = min over rows of counter[row][hash_row(t)] — the
+    *   textbook CMS read (Cormode & Muthukrishnan '05), here a broadcast
+    *   join of the probe set against the 8192-row counter table and a
+    *   min-aggregate. Guarantee: est >= cnt always (spec-asserted).
+    */
+  def cmsDataflowEstimates(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select(explode(TextAnalysis.toks($"text")).as("tok"))
+    val counters = toks
+      .select(posexplode(cmsBuckets($"tok")).as(Seq("ri", "bucket")))
+      .groupBy($"ri", $"bucket")
+      .agg(count(lit(1)).as("c"))
+    val probes = frequentTokens(spark, d)
+      .select($"tok", $"cnt", posexplode(cmsBuckets($"tok")).as(Seq("ri", "bucket")))
+    probes.join(broadcast(counters), Seq("ri", "bucket"))
+      .groupBy($"tok", $"cnt")
+      .agg(min($"c").as("est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitter_tokens" -> (frequentTokens _),
-    "cms_token_estimates" -> (cmsTokenEstimates _))
+    "cms_token_estimates" -> (cmsTokenEstimates _),
+    "cms_dataflow_estimates" -> (cmsDataflowEstimates _))
 
   val oracles: Map[String, String] = Map(
     "heavy_hitter_tokens" ->
@@ -136,5 +178,25 @@ object HeavyHitters {
         |tot AS (SELECT count(*) AS total FROM toks)
         |SELECT tok, count(*) AS cnt, (SELECT total FROM tot) AS total
         |FROM toks GROUP BY tok
-        |HAVING count(*) * 1000 >= (SELECT total FROM tot)""".stripMargin)
+        |HAVING count(*) * 1000 >= (SELECT total FROM tot)""".stripMargin,
+    "cms_dataflow_estimates" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+         |  FROM documents),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |hh AS (
+         |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+         |  HAVING count(*) * 1000 >= (SELECT total FROM tot)),
+         |rows_ AS (SELECT unnest(range($CmsDepth)) AS ri),
+         |cells AS (
+         |  SELECT ri, CAST('0x' || substring(md5(tok), 1 + 8*ri, 8) AS BIGINT) % $CmsWidth AS bucket
+         |  FROM toks, rows_),
+         |counters AS (SELECT ri, bucket, count(*) AS c FROM cells GROUP BY ri, bucket),
+         |probes AS (
+         |  SELECT tok, cnt, ri,
+         |         CAST('0x' || substring(md5(tok), 1 + 8*ri, 8) AS BIGINT) % $CmsWidth AS bucket
+         |  FROM hh, rows_)
+         |SELECT p.tok, p.cnt, min(c.c) AS est
+         |FROM probes p JOIN counters c USING (ri, bucket)
+         |GROUP BY p.tok, p.cnt""".stripMargin)
 }

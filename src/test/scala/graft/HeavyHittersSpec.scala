@@ -63,4 +63,20 @@ class HeavyHittersSpec extends SparkSpec {
         s"$t: merged-sketch estimate differs from global sketch")
     }
   }
+
+  test("dataflow CMS never underestimates; overcount within the width bound") {
+    val total = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextAnalysis.toks($"text")).as("tok")).count()
+    val rows = HeavyHitters.cmsDataflowEstimates(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, cnt, est) =>
+      // hard CMS guarantee: a row's own counts always land in its cell
+      assert(est >= cnt, s"$t: CMS underestimated ($est < $cnt)")
+      // expected overcount per cell is total/width; 8x slack keeps the
+      // deterministic fixture check far from flakiness
+      assert(est - cnt <= 8 * total / HeavyHitters.CmsWidth + 1,
+        s"$t: overcount ${est - cnt} above width bound")
+    }
+  }
 }

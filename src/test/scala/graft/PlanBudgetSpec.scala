@@ -34,6 +34,10 @@ class PlanBudgetSpec extends SparkSpec {
     "text_unigram_logprob" -> 3,
     // custkey grid -> (cohort, month) grid -> distinct actives
     "cohort_retention" -> 3,
+    // counter-cell agg + the embedded heavy-hitter recount (distinct,
+    // exact-count aggs); every exchange payload is bounded (<= 8192
+    // cells / candidate-set rows), corpus-size-independent
+    "cms_dataflow_estimates" -> 3,
     // sketch pipelines: doc -> band/chunk -> pair
     "dedup_minhash_pairs" -> 3,
     "dedup_simhash_pairs" -> 3,
@@ -59,6 +63,7 @@ class PlanBudgetSpec extends SparkSpec {
     "decontam_embed", // broadcast eval-split constant
     "embed_knn", // probe-vector constant
     "embed_knn_quantized", // quantile-boundary constant
+    "cms_dataflow_estimates", // inherits heavy_hitter's one-row threshold
     "heavy_hitter_tokens", // one-row total-count threshold
     "mixture_rates", // one-row corpus-total broadcast
     "text_unigram_logprob", // one-row token-total broadcast
