@@ -165,10 +165,63 @@ object HeavyHitters {
       .agg(min($"c").as("est"))
   }
 
+  /** Dataflow HLL geometry: 64 buckets (top 6 bits of the md5 word), rho
+    * over the low 26 bits (1..27), alpha_64 = 0.709 (Flajolet et al.
+    * '07, Fig. 3). The register table is bounded at groups × 64 cells at
+    * ANY corpus size; 64 buckets keep raw HLL in its valid regime
+    * (n > 2.5m = 160) for the user-day cardinalities being sketched.
+    */
+  val HllBuckets = 64
+
+  /** The fully-ORACLED distinct-count tier: daily-active-users per event
+    * type — HLL's canonical production metric — as a raw HyperLogLog
+    * estimate (no small/large-range corrections: a documented,
+    * engine-identical definition) built as pure dataflow, next to exact
+    * `count(DISTINCT)` for side-by-side error reading.
+    *
+    *   registers: (user@day) keys → (event_type, top-6-bits bucket) →
+    *   max(rho(low 26 bits)) — duplicates hash identically so the
+    *   multiset needs no pre-distinct, and partial aggregation collapses
+    *   each map task to <= groups × 64 cells: CONSTANT shuffle payload
+    *   in corpus size, the HLL monoid economics (cf. the binary
+    *   `hll_parts_sketch` tier) in transparent form.
+    *
+    *   All sketch math is INTEGER until the final division: the
+    *   indicator sum is scaled by 2^27 (`shiftleft(1L, 27 - maxrho)` is
+    *   exact BIGINT; empty buckets compensate as 2^27 each), so there is
+    *   no FP-summation-order hazard; the one double expression —
+    *   alpha_64 * m^2 * 2^27 / S — is written token-identically in the
+    *   oracle SQL, making the estimate bit-reproducible cross-engine.
+    */
+  def hllDataflowDistinct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.events(spark, d)
+      .select($"event_type",
+        concat($"user_id".cast("string"), lit("@"),
+          to_date($"ts").cast("string")).as("k"))
+    val cells = keys
+      .withColumn("h", Dedup.md5Prefix32($"k", 1))
+      .withColumn("bucket", expr("h div 67108864"))
+      .withColumn("w", $"h" % 67108864)
+      .withColumn("rho",
+        when($"w" === 0, lit(27)).otherwise(lit(27) - length(bin($"w"))))
+      .groupBy($"event_type", $"bucket")
+      .agg(max($"rho").as("maxrho"))
+    val sk = cells.groupBy($"event_type")
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - maxrho AS INT))"))
+        + (lit(HllBuckets) - count(lit(1))) * lit(134217728L)).as("s"))
+    val ex = keys.groupBy($"event_type").agg(countDistinct($"k").as("n_exact"))
+    ex.join(sk, Seq("event_type"))
+      .select($"event_type", $"n_exact",
+        round(lit(0.709) * lit(4096.0) * lit(134217728.0) / $"s")
+          .cast("long").as("est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitter_tokens" -> (frequentTokens _),
     "cms_token_estimates" -> (cmsTokenEstimates _),
-    "cms_dataflow_estimates" -> (cmsDataflowEstimates _))
+    "cms_dataflow_estimates" -> (cmsDataflowEstimates _),
+    "hll_dataflow_distinct" -> (hllDataflowDistinct _))
 
   val oracles: Map[String, String] = Map(
     "heavy_hitter_tokens" ->
@@ -198,5 +251,26 @@ object HeavyHitters {
          |  FROM hh, rows_)
          |SELECT p.tok, p.cnt, min(c.c) AS est
          |FROM probes p JOIN counters c USING (ri, bucket)
-         |GROUP BY p.tok, p.cnt""".stripMargin)
+         |GROUP BY p.tok, p.cnt""".stripMargin,
+    "hll_dataflow_distinct" ->
+      """WITH keys AS (
+        |  SELECT event_type,
+        |         CAST(user_id AS VARCHAR) || '@' ||
+        |         CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR) AS k
+        |  FROM events),
+        |h AS (SELECT event_type, k, CAST('0x' || substring(md5(k), 1, 8) AS BIGINT) AS h FROM keys),
+        |cells AS (
+        |  SELECT event_type, h // 67108864 AS bucket,
+        |         max(CASE WHEN h % 67108864 = 0 THEN 27
+        |                  ELSE 27 - length(bin(h % 67108864)) END) AS maxrho
+        |  FROM h GROUP BY event_type, h // 67108864),
+        |sk AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(1 AS BIGINT) << (27 - maxrho)) AS BIGINT)
+        |           + (64 - count(*)) * 134217728 AS s
+        |  FROM cells GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT k) AS n_exact FROM keys GROUP BY event_type)
+        |SELECT e.event_type, e.n_exact,
+        |  CAST(round(0.709 * 4096.0 * 134217728.0 / s) AS BIGINT) AS est
+        |FROM ex e JOIN sk USING (event_type)""".stripMargin)
 }

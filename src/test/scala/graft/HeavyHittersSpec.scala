@@ -79,4 +79,18 @@ class HeavyHittersSpec extends SparkSpec {
         s"$t: overcount ${est - cnt} above width bound")
     }
   }
+
+  test("dataflow HLL estimates user-day cardinality within sketch error") {
+    val rows = HeavyHitters.hllDataflowDistinct(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, exact, est) =>
+      // raw HLL std error is 1.04/sqrt(64) ~ 13%; the fixture sits at
+      // the n ~ 2.5m edge of the raw regime, so allow 3 sigma + regime
+      // slack — deterministic data, so this can never flake
+      assert(est > 0, s"$et: non-positive estimate")
+      assert(math.abs(est - exact).toDouble / exact <= 0.6,
+        s"$et: estimate $est too far from exact $exact")
+    }
+  }
 }

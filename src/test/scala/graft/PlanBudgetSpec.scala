@@ -38,6 +38,9 @@ class PlanBudgetSpec extends SparkSpec {
     // exact-count aggs); every exchange payload is bounded (<= 8192
     // cells / candidate-set rows), corpus-size-independent
     "cms_dataflow_estimates" -> 3,
+    // register agg (bounded <= groups x 64 cells) + exact
+    // count-distinct companion (two-phase) + group join
+    "hll_dataflow_distinct" -> 4,
     // sketch pipelines: doc -> band/chunk -> pair
     "dedup_minhash_pairs" -> 3,
     "dedup_simhash_pairs" -> 3,
