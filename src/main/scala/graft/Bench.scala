@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
 final class TaskMetricsListener extends SparkListener {
   val tasks = new AtomicLong
   val inputBytes = new AtomicLong
+  val inputRecords = new AtomicLong
   val shuffleReadBytes = new AtomicLong
   val shuffleWriteBytes = new AtomicLong
   val spilledBytes = new AtomicLong
@@ -24,6 +25,7 @@ final class TaskMetricsListener extends SparkListener {
     if (tm != null) {
       tasks.incrementAndGet()
       inputBytes.addAndGet(tm.inputMetrics.bytesRead)
+      inputRecords.addAndGet(tm.inputMetrics.recordsRead)
       shuffleReadBytes.addAndGet(
         tm.shuffleReadMetrics.remoteBytesRead + tm.shuffleReadMetrics.localBytesRead)
       shuffleWriteBytes.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
@@ -32,7 +34,7 @@ final class TaskMetricsListener extends SparkListener {
   }
 
   def snapshot: Seq[Long] = Seq(
-    tasks.get, inputBytes.get, shuffleReadBytes.get,
+    tasks.get, inputBytes.get, inputRecords.get, shuffleReadBytes.get,
     shuffleWriteBytes.get, spilledBytes.get)
 }
 
@@ -62,7 +64,8 @@ object Bench {
     // rounds; a fixed order keeps per-query times comparable round over
     // round.
     val metricNames =
-      Seq("tasks", "inputBytes", "shuffleReadBytes", "shuffleWriteBytes", "spilledBytes")
+      Seq("tasks", "inputBytes", "inputRecords", "shuffleReadBytes",
+        "shuffleWriteBytes", "spilledBytes")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val before = listener.snapshot
       val t0 = System.nanoTime()

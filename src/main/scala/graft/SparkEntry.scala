@@ -31,7 +31,7 @@ object SparkEntry {
     apps.MrApps.queries ++ relational.RelQueries.queries ++
       relational.RelExtras.queries ++ relational.Analytics.queries ++
       relational.TpchMore.queries ++ relational.TimeSeries.queries ++
-      relational.Graph.queries ++
+      relational.Graph.queries ++ relational.Layout.queries ++
       kv.KVStore.queries ++ gossip.HealthMerge.queries ++
       text.TextAnalysis.queries ++ text.TextExtras.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
@@ -48,7 +48,7 @@ object SparkEntry {
     apps.MrApps.oracles ++ relational.RelQueries.oracles ++
       relational.RelExtras.oracles ++ relational.Analytics.oracles ++
       relational.TpchMore.oracles ++ relational.TimeSeries.oracles ++
-      relational.Graph.oracles ++
+      relational.Graph.oracles ++ relational.Layout.oracles ++
       kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
       text.TextAnalysis.oracles ++ text.TextExtras.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
