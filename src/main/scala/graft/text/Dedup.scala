@@ -430,14 +430,279 @@ object Dedup {
       .filter($"n_shared" >= WinnowMinShared)
   }
 
+  // ---- Prefix-filtered all-pairs similarity join (SSJoin/PPJoin) ----
+
+  /** Jaccard threshold as an exact rational (num/den): prefix lengths
+    * and the verify predicate stay in integer arithmetic, so neither
+    * engine ever compares floats at the threshold boundary.
+    */
+  val PrefixJaccNum = 4L
+  val PrefixJaccDen = 5L
+
+  /** Hot-token fit cap: at most this many (df desc, tok) rows collect
+    * to the driver — bounded at any corpus size.
+    */
+  val PrefixHotCap = 4096
+
+  /** All-pairs token-set Jaccard >= num/den via PREFIX FILTERING
+    * (Chaudhuri et al.'s SSJoin primitive, the PPJoin family's core):
+    * order every doc's distinct tokens by a global order, keep only
+    * each doc's first `|d| - ceil(t*|d|) + 1` tokens as blocking keys —
+    * any qualifying pair provably shares a prefix token under ANY fixed
+    * total order, so candidates come from prefix-token buckets instead
+    * of [[jaccardPairs]]' fixed (first-token, length) blocks, and the
+    * candidate set is threshold-COMPLETE up to the [[MaxBucket]] cap.
+    *
+    * The order is the PPJoin rarest-first order, fitted as a BOUNDED
+    * artifact instead of a vocabulary-wide join: tokens with document
+    * frequency > [[MaxBucket]] (capped at the [[PrefixHotCap]] most
+    * frequent — a bounded driver collect, same discipline as the IVF /
+    * quantile fits) sort LAST with weight `(1 << 61) + df` via the
+    * native [[graft.functions.HotWeight]] hash lookup; everything else
+    * sorts by its 60-bit md5-prefix hash. The guarantee this buys: a
+    * bucket keyed by a non-hot token holds <= df <= MaxBucket prefixes,
+    * so the cap NEVER drops a rare-token bucket — only pairs whose
+    * every shared prefix token is corpus-hot can be lost (on a natural
+    * corpus, near-dups share rare tokens; the spec proves exact
+    * completeness on one). At 100 TB the fit is one aggregate producing
+    * <= PrefixHotCap rows, and the natural upgrade is precomputing it
+    * as a corpus artifact. Plan: the whole prefix build is one
+    * codegen'd projection (transform + sort_array + slice — no
+    * shuffle); the only exchanges are the prefix-token bucket group and
+    * the narrow post-verify distinct (token arrays never ride the
+    * second shuffle; inter/jacc are computed inside the bucket join).
+    */
+  def prefixJaccardPairs(spark: SparkSession, d: String): DataFrame =
+    prefixJaccardPairsOf(
+      Tables.documents(spark, d)
+        .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t")))
+
+  /** Same, over an already-tokenized (doc_id, t) frame (spec access). */
+  def prefixJaccardPairsOf(tokenized: DataFrame): DataFrame = {
+    import tokenized.sparkSession.implicits._
+    val spark = tokenized.sparkSession
+    val (num, den) = (PrefixJaccNum, PrefixJaccDen)
+    val docs = tokenized
+      .select($"doc_id", array_distinct($"t").as("dt"))
+      .filter(size($"dt") >= 1)
+    // bounded hot-token fit (deterministic: exact df, ties by token)
+    val hot: Map[String, Long] = docs
+      .select(explode($"dt").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxBucket)
+      .orderBy($"df".desc, $"tok")
+      .limit(PrefixHotCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hot_weight",
+      exprs => graft.functions.HotWeight(exprs.head, hot),
+      "built-in")
+    val prefixes = docs
+      .withColumn("n", size($"dt").cast("long"))
+      // prefix length |d| - ceil(t*|d|) + 1, ceil in integer arithmetic
+      .withColumn("plen", expr(s"n - (n * $num + $den - 1) DIV $den + 1"))
+      .withColumn("srt", expr(
+        """sort_array(transform(dt, t -> named_struct(
+          |  'w', coalesce(hot_weight(t),
+          |               cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+          |  'tok', t)))""".stripMargin))
+      .select($"doc_id", $"dt",
+        explode(slice($"srt", lit(1), $"plen".cast("int"))).as("p"))
+      .select($"p.tok".as("tok"), struct($"doc_id", $"dt").as("ds"))
+    prefixes
+      .groupBy($"tok")
+      .agg(collect_list($"ds").as("ds"))
+      .filter(size($"ds") > 1 && size($"ds") <= MaxBucket)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(filter(ds, (y, j) -> j > i AND y.doc_id != x.doc_id),
+          |    y -> named_struct(
+          |      'doc_a', IF(x.doc_id < y.doc_id, x.doc_id, y.doc_id),
+          |      'ta', IF(x.doc_id < y.doc_id, x.dt, y.dt),
+          |      'doc_b', IF(x.doc_id < y.doc_id, y.doc_id, x.doc_id),
+          |      'tb', IF(x.doc_id < y.doc_id, y.dt, x.dt)))))""".stripMargin))
+        .as("m"))
+      .withColumn("inter", size(array_intersect($"m.ta", $"m.tb")).cast("long"))
+      .withColumn("uni", size($"m.ta").cast("long") + size($"m.tb") - $"inter")
+      .filter($"inter" * den >= $"uni" * num)
+      .select($"m.doc_a".as("doc_a"), $"m.doc_b".as("doc_b"), $"inter",
+        ($"inter".cast("double") / $"uni").as("jacc"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[prefixJaccardPairs]]: the hot-token fit is pure
+    * SQL over the same data (exact df, df desc / tok tiebreak, the same
+    * > MaxBucket threshold and PrefixHotCap), so no fitted literals are
+    * needed — the oracle re-derives the identical order, weights hot
+    * tokens with the same `(1 << 61) + df`, and replays prefix slicing,
+    * bucket caps, and integer-exact verification.
+    */
+  private def prefixJaccardOracle: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS dt
+       |  FROM documents),
+       |d1 AS (SELECT doc_id, dt, len(dt) AS n FROM d0 WHERE len(dt) >= 1),
+       |tok AS (SELECT doc_id, unnest(dt) AS tok FROM d1),
+       |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+       |hot AS (
+       |  SELECT tok, df FROM (
+       |    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS hr
+       |    FROM df WHERE df > $MaxBucket) x
+       |  WHERE hr <= $PrefixHotCap),
+       |srt AS (
+       |  SELECT d1.doc_id, d1.dt, d1.n,
+       |    list_transform(
+       |      list_sort(list_transform(d1.dt, t -> {
+       |        'w': coalesce(${1L << 61} + h.m[t][1],
+       |                      CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)),
+       |        'tok': t})),
+       |      s -> s.tok) AS st
+       |  FROM d1, (SELECT map(coalesce(list(tok), []), coalesce(list(df), [])) AS m
+       |            FROM hot) h),
+       |pfx AS (
+       |  SELECT doc_id, dt,
+       |         unnest(st[1 : CAST(n - (n * $PrefixJaccNum + $PrefixJaccDen - 1) // $PrefixJaccDen + 1 AS BIGINT)]) AS tok
+       |  FROM srt),
+       |capped AS (
+       |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY tok) AS bsz FROM pfx) x
+       |  WHERE bsz > 1 AND bsz <= $MaxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(len(list_intersect(a.dt, b.dt)) AS BIGINT) AS inter,
+       |         CAST(len(a.dt) + len(b.dt) - len(list_intersect(a.dt, b.dt)) AS BIGINT) AS uni
+       |  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, inter, CAST(inter AS DOUBLE) / uni AS jacc
+       |FROM pairs WHERE inter * $PrefixJaccDen >= uni * $PrefixJaccNum""".stripMargin
+
+  // ---- Exact duplicate spans (substring-level dedup) ----
+
+  /** Tokens per span gram / minimum reported span length (tokens). A
+    * shared token run of exactly SpanK grams spans SpanK + (grams-1)
+    * tokens, so MinSpan > SpanK requires >= MinSpan - SpanK + 1
+    * consecutive gram matches — single-gram coincidences never surface.
+    */
+  val SpanK = 6
+  val SpanMinTokens = 8
+
+  /** Maximal exact duplicate token spans across document pairs —
+    * substring-level dedup (the span analog of Lee et al.'s
+    * "Deduplicating Training Data" suffix-array pass, re-expressed as
+    * dataflow): (doc_a, doc_b, start_a, start_b, span_len) for every
+    * maximal shared run of >= [[SpanMinTokens]] tokens. Exact duplicate
+    * detection (dedup_exact) misses a copied paragraph inside an
+    * otherwise-distinct page; this tier localizes it to the token.
+    *
+    * Dataflow (suffix arrays don't distribute; anchored-gram diagonals
+    * do): [[SpanK]]-token gram hashes with positions (one doc_id window,
+    * same shape as the minhash shingle build), bucket-capped pair
+    * matches on the 60-bit gram hash (8 shuffled bytes per gram, the
+    * decontam trick), then matches on one doc-pair DIAGONAL
+    * (pos_a - pos_b) merge into maximal runs with the gaps-and-islands
+    * window (pos_a - row_number). Positions are unique per diagonal by
+    * construction, and the final aggregate groups on a superset of the
+    * window key, so islands reuse the window's exchange. All keys are
+    * high-cardinality (doc_id; gram hash; doc-pair diagonal) and pair
+    * generation is [[MaxBucket]]-capped: a boilerplate gram shared by
+    * thousands of docs is dropped, not exploded — the standard recall
+    * trade, and those docs are near-identical enough for the whole-doc
+    * tiers anyway. Span extents are exact modulo a 60-bit hash collision
+    * (~1e-8 at corpus scale); the oracle hashes identically, so parity
+    * is exact even then.
+    */
+  def spanExtents(spark: SparkSession, d: String): DataFrame =
+    spanExtentsOf(
+      Tables.documents(spark, d)
+        .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t")))
+
+  /** Same, over an already-tokenized (doc_id, t) frame (spec access). */
+  def spanExtentsOf(tokenized: DataFrame): DataFrame = {
+    import tokenized.sparkSession.implicits._
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val leads: Seq[Column] = (1 until SpanK).map(i => lead($"tok", i).over(wd))
+    val grams = tokenized
+      .select($"doc_id", posexplode($"t").as(Seq("pos", "tok")))
+      .withColumn("lastTok", lead($"tok", SpanK - 1).over(wd))
+      .withColumn("g", concat_ws(" ", ($"tok" +: leads): _*))
+      // concat_ws skips nulls; require the full gram width (same guard
+      // as Decontam.gramsOf)
+      .filter($"lastTok".isNotNull)
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+    // positional matches: bucket on the gram hash, explode cross-doc
+    // (doc, pos) pairs inside the bucket, ordered so doc_a < doc_b
+    val matches = grams
+      .groupBy($"h")
+      .agg(collect_list(struct($"doc_id", $"pos")).as("ps"))
+      .filter(size($"ps") > 1 && size($"ps") <= MaxBucket)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(filter(ps, (y, j) -> j > i AND y.doc_id != x.doc_id),
+          |    y -> named_struct(
+          |      'doc_a', IF(x.doc_id < y.doc_id, x.doc_id, y.doc_id),
+          |      'pos_a', IF(x.doc_id < y.doc_id, x.pos, y.pos),
+          |      'doc_b', IF(x.doc_id < y.doc_id, y.doc_id, x.doc_id),
+          |      'pos_b', IF(x.doc_id < y.doc_id, y.pos, x.pos)))))""".stripMargin))
+        .as("m"))
+      .select($"m.doc_a", $"m.pos_a", $"m.doc_b", $"m.pos_b")
+    // gaps-and-islands per doc-pair diagonal: consecutive gram matches
+    // (pos_a stepping by 1) share (pos_a - row_number) and merge into
+    // one maximal span
+    val wrun = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pos_a")
+    matches
+      .withColumn("diag", $"pos_a" - $"pos_b")
+      .withColumn("isl", $"pos_a" - row_number().over(wrun))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
+      .agg(min($"pos_a").as("start_a"), min($"pos_b").as("start_b"),
+        (max($"pos_a") - min($"pos_a") + SpanK).as("span_len"))
+      .filter($"span_len" >= SpanMinTokens)
+      .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"span_len")
+  }
+
+  private def spanOracle: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |kg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= $SpanK THEN
+       |      list_transform(range(1, len(t) - $SpanK + 2),
+       |        i -> {'pos': CAST(i - 1 AS BIGINT),
+       |              'h': CAST('0x' || substr(md5(array_to_string(t[i:i+${SpanK - 1}], ' ')), 1, 15) AS BIGINT)})
+       |    ELSE [] END AS gs
+       |  FROM d0),
+       |g AS (SELECT doc_id, u.pos AS pos, u.h AS h
+       |      FROM (SELECT doc_id, unnest(gs) AS u FROM kg) x),
+       |capped AS (
+       |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY h) AS bsz FROM g) x
+       |  WHERE bsz > 1 AND bsz <= $MaxBucket),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b,
+       |         a.pos - b.pos AS diag
+       |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+       |         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+       |  FROM m)
+       |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+       |       max(pos_a) - min(pos_a) + $SpanK AS span_len
+       |FROM r GROUP BY doc_a, doc_b, diag, isl
+       |HAVING max(pos_a) - min(pos_a) + $SpanK >= $SpanMinTokens""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_prefix_jaccard" -> (prefixJaccardPairs _),
     "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_span_extents" -> (spanExtents _),
     "dedup_winnow_pairs" -> (winnowPairs _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_span_extents" -> spanOracle,
+    "dedup_prefix_jaccard" -> prefixJaccardOracle,
     "dedup_minhash_pairs" -> minhashOracle,
     "dedup_simhash_pairs" -> simhashOracle,
     "dedup_winnow_pairs" ->

@@ -44,6 +44,9 @@ class PlanBudgetSpec extends SparkSpec {
     // sketch pipelines: doc -> band/chunk -> pair
     "dedup_minhash_pairs" -> 3,
     "dedup_simhash_pairs" -> 3,
+    // gram window on doc_id -> gram-hash buckets -> doc-pair diagonal
+    // (island window + extent agg share the third exchange)
+    "dedup_span_extents" -> 3,
     // cluster propagation feeds the survivor anti-join
     "dedup_survivors" -> 3,
     // user timeline window -> (from, to) grid -> source share

@@ -148,6 +148,77 @@ class TextDedupSpec extends SparkSpec {
     assert(again == fps.toSet)
   }
 
+  test("prefix filter is threshold-complete on a rare-token corpus (== brute force)") {
+    import graft.text.Dedup
+    // 60 docs over a RICH vocabulary (each doc mostly unique tokens), with
+    // planted near-dup pairs above and below the threshold. No token is
+    // corpus-hot, so caps cannot bind and the output must equal the truth.
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 60).map { i =>
+      i.toLong -> (0 until 20).map(_ => s"w${rnd.nextInt(2000)}_$i").distinct
+    }
+    val planted = Seq(
+      1000L -> base(3)._2, // exact dup of doc 3
+      1001L -> (base(7)._2.drop(1) :+ "extra1"), // high-overlap near-dup
+      1002L -> (base(9)._2.take(8) ++ (0 until 12).map(j => s"z$j"))) // below t
+    val toksDf = (base ++ planted).toDF("doc_id", "t")
+    val got = Dedup.prefixJaccardPairsOf(toksDf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val sets = (base ++ planted).map { case (id, t) => id -> t.toSet }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      (a, i) <- ids.zipWithIndex; b <- ids.drop(i + 1)
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if inter * Dedup.PrefixJaccDen >= uni * Dedup.PrefixJaccNum
+    } yield (a, b) -> (inter.toLong, inter.toDouble / uni)).toMap
+    assert(want.contains((3L, 1000L)) && !want.contains((9L, 1002L)),
+      "planted fixtures must straddle the threshold")
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+  }
+
+  test("prefix filter hot-token order: near-dups found despite corpus-hot vocabulary") {
+    import graft.text.Dedup
+    // 80 docs all sharing 6 hub tokens (df = 80 > MaxBucket) + unique
+    // rare tails; one planted near-dup pair whose overlap includes its
+    // rare tokens. Hub tokens sort LAST, so prefixes stay rare and the
+    // planted pair must surface from an uncapped rare bucket.
+    val hubs = (0 until 6).map(i => s"hub$i")
+    val docs = (0 until 80).map { i =>
+      i.toLong -> (hubs ++ (0 until 4).map(j => s"rare${i}_$j"))
+    }
+    val dup = 2000L -> (hubs ++ (0 until 4).map(j => s"rare5_$j") :+ "odd1")
+    val toksDf = (docs :+ dup).toDF("doc_id", "t")
+    val got = Dedup.prefixJaccardPairsOf(toksDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((5L, 2000L)),
+      s"planted near-dup must surface via its rare prefix tokens, got $got")
+  }
+
+  test("span extents: maximal shared runs localized exactly, short/absent runs silent") {
+    import graft.text.Dedup
+    val run = (1 to 12).map(i => s"shared$i") // 12 tokens >= SpanMinTokens
+    val docA = (1 to 7).map(i => s"alpha$i") ++ run ++ (1 to 5).map(i => s"omega$i")
+    val docB = (1 to 3).map(i => s"beta$i") ++ run ++ (1 to 9).map(i => s"gamma$i")
+    // doc 3 shares a run SHORTER than SpanMinTokens with doc 1
+    val short = run.take(Dedup.SpanMinTokens - 1)
+    val docC = (1 to 10).map(i => s"delta$i") ++ short ++ (1 to 10).map(i => s"eps$i")
+    val docD = (1 to 40).map(i => s"unrelated$i")
+    val toks = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD)).toDF("doc_id", "t")
+    val spans = Dedup.spanExtentsOf(toks).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val byPair = spans.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the 12-token run is reported once, maximal, at the exact offsets
+    assert(byPair.get((1L, 2L)) === Some(Set((7L, 3L, 12L))),
+      s"expected exact extent, got ${byPair.get((1L, 2L))}")
+    // the run shorter than SpanMinTokens must stay silent
+    assert(!byPair.contains((1L, 3L)) && !byPair.contains((2L, 3L)),
+      "sub-threshold run must not be reported")
+    assert(byPair.keys.forall(p => !p.productIterator.contains(4L)),
+      "unrelated doc must produce no spans")
+  }
+
   test("token stats: ttr in (0,1], bpe count >= whitespace token count") {
     val st = TextAnalysis.textStats(spark, sf).collect()
     st.foreach { r =>
