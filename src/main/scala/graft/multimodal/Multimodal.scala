@@ -134,12 +134,172 @@ object Multimodal {
   def framesQuery(spark: SparkSession, d: String): DataFrame =
     sampleFrames(mediaFiles(spark, d)).toDF()
 
+  // ---- Perceptual-hash media near-dup (the image-dedup tier) ----
+
+  /** Sampled byte positions per payload (the hash width). */
+  val PHashSamples = 64
+
+  /** 4 chunks of 16 bits: the pigeonhole guarantee is hamming <= 3 —
+    * same candidate-completeness bound as the SimHash text tier.
+    */
+  val PHashMaxHamming = 3
+
+  /** STUB perceptual hash: a real implementation would decode, resize
+    * to 8x8 grayscale, and threshold DCT coefficients at the median
+    * (classic pHash); the stub samples [[PHashSamples]] evenly-spaced
+    * payload bytes and thresholds each at the sample mean — the same
+    * shape (fixed-width content fingerprint from a decoded grid), byte
+    * reads standing in for pixel reads. Bit i is set iff
+    * codes(i) * N >= sum (integer-exact mean comparison). Split into
+    * two 32-bit halves so the DuckDB twin never touches a signed
+    * 64-bit edge (the SimHash convention).
+    */
+  def phashStub(bytes: Array[Byte]): (Long, Long) = {
+    val n = bytes.length
+    val codes = new Array[Long](PHashSamples)
+    var sum = 0L
+    var i = 0
+    while (i < PHashSamples) {
+      val pos = ((i.toLong * (n - 1)) / (PHashSamples - 1)).toInt
+      codes(i) = (bytes(pos) & 0xFF).toLong
+      sum += codes(i)
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    i = 0
+    while (i < PHashSamples) {
+      if (codes(i) * PHashSamples >= sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
+  /** (doc_id, ph_lo, ph_hi) — the hash pass chains in the same
+    * partition-wise decode stage as the other media functions (no
+    * shuffle; payload bytes never move). Registered as its own catalog
+    * query: at scale the hash TABLE is the persisted artifact, pair
+    * mining runs over it incrementally. (On this fixture the pair
+    * query's true answer is empty — no two payloads are byte-near —
+    * so the planted-twin spec, not the fixture, carries the pairing
+    * evidence.)
+    */
+  def phashes(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.filter(_.content.nonEmpty)
+      .mapPartitions { it =>
+        it.map { f =>
+          val (lo, hi) = phashStub(f.content)
+          (f.doc_id, lo, hi)
+        }
+      }
+      .toDF("doc_id", "ph_lo", "ph_hi")
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash hamming distance —
+    * the image-dedup pass of a multimodal pipeline, structured exactly
+    * like the text SimHash tier: 16-bit chunk blocking (a pair within
+    * [[PHashMaxHamming]] MUST agree on some chunk), bucket caps from
+    * [[graft.text.Dedup.MaxBucket]], pairs generated only inside
+    * buckets. Two exchanges (chunk group + distinct); the decode/hash
+    * pass is narrow.
+    */
+  def phashPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cap = graft.text.Dedup.MaxBucket
+    val chunked = phashes(mediaFiles(spark, d)).select(
+      struct($"doc_id", $"ph_lo", $"ph_hi").as("ds"),
+      posexplode(array(
+        $"ph_lo".bitwiseAND(0xFFFFL),
+        shiftright($"ph_lo", 16).bitwiseAND(0xFFFFL),
+        $"ph_hi".bitwiseAND(0xFFFFL),
+        shiftright($"ph_hi", 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    chunked
+      .groupBy($"chunk", $"chunk_val")
+      .agg(collect_list($"ds").as("ds"))
+      .filter(size($"ds") > 1 && size($"ds") <= cap)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(filter(ds, (y, j) -> j > i), y -> named_struct(
+          |    'a', least(x.doc_id, y.doc_id),
+          |    'b', greatest(x.doc_id, y.doc_id),
+          |    'h', bit_count(x.ph_lo ^ y.ph_lo) + bit_count(x.ph_hi ^ y.ph_hi)))))""".stripMargin))
+        .as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"),
+        $"p.h".cast("long").as("hamming"))
+      .filter($"hamming" <= PHashMaxHamming)
+      .distinct()
+  }
+
+  /** DuckDB twin of [[phashPairs]]: byte reads replay as
+    * ascii(substr(..)) — payloads are the text column, whose fixture
+    * content is printable ASCII, so code point == byte everywhere the
+    * stub reads.
+    */
+  private def phashOracle: String = {
+    def half(lo: Int): String = (0 until 32).map { b =>
+      val i = lo + b
+      s"(CASE WHEN cs[${i + 1}] * $PHashSamples >= s THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val chunkBranches = Seq(
+      "ph_lo & 65535", "(ph_lo >> 16) & 65535",
+      "ph_hi & 65535", "(ph_hi >> 16) & 65535").zipWithIndex.map {
+      case (e, i) => s"SELECT doc_id, ph_lo, ph_hi, $i AS chunk, $e AS chunk_val FROM ph"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents WHERE octet_length(encode(text)) >= 1),
+       |c AS (
+       |  SELECT doc_id,
+       |    list_transform(range($PHashSamples),
+       |      i -> CAST(ascii(substr(text, CAST(i * (n - 1) // ${PHashSamples - 1} + 1 AS BIGINT), 1)) AS BIGINT)) AS cs
+       |  FROM m),
+       |cc AS (SELECT doc_id, cs, list_aggregate(cs, 'sum') AS s FROM c),
+       |ph AS (
+       |  SELECT doc_id,
+       |    ${half(0)} AS ph_lo,
+       |    ${half(32)} AS ph_hi
+       |  FROM cc),
+       |chunks AS (
+       |$chunkBranches),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, ph_lo, ph_hi, chunk, chunk_val,
+       |           count(*) OVER (PARTITION BY chunk, chunk_val) AS bsz
+       |    FROM chunks) x
+       |  WHERE bsz > 1 AND bsz <= ${graft.text.Dedup.MaxBucket})
+       |SELECT DISTINCT
+       |  least(a.doc_id, b.doc_id) AS doc_a,
+       |  greatest(a.doc_id, b.doc_id) AS doc_b,
+       |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+       |       + bit_count(xor(a.ph_hi, b.ph_hi)) AS BIGINT) AS hamming
+       |FROM cand a JOIN cand b
+       |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+       |      + bit_count(xor(a.ph_hi, b.ph_hi)) <= $PHashMaxHamming""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (metaQuery _),
     "multimodal_frames" -> (framesQuery _),
-    "multimodal_resize" -> (resizeQuery _))
+    "multimodal_resize" -> (resizeQuery _),
+    "multimodal_phash" -> ((s: SparkSession, d: String) => phashes(mediaFiles(s, d))),
+    "multimodal_phash_pairs" -> (phashPairs _))
+
+  /** Oracle for the hash table itself: the shared CTE chain up to `ph`. */
+  private def phashTableOracle: String = {
+    val full = phashOracle
+    full.substring(0, full.indexOf(",\nchunks AS (")) +
+      "\nSELECT doc_id, ph_lo, ph_hi FROM ph"
+  }
 
   val oracles: Map[String, String] = Map(
+    "multimodal_phash" -> phashTableOracle,
+    "multimodal_phash_pairs" -> phashOracle,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -138,6 +138,36 @@ class SimilaritySpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("phash near-dup: identical payloads collide at hamming 0, hash == local recompute") {
+    import spark.implicits._
+    // catalog pass: every reported pair within the hamming bound, ids ordered
+    val pairs = Multimodal.phashPairs(spark, sf).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) <= Multimodal.PHashMaxHamming)
+    }
+    // distributed hash == driver recompute on the same bytes (bit parity)
+    val hs = Multimodal.phashes(Multimodal.mediaFiles(spark, sf)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Tables.documents(spark, sf).select($"doc_id", $"text").collect().take(50)
+      .foreach { r =>
+        val want = Multimodal.phashStub(r.getString(1).getBytes("UTF-8"))
+        assert(hs(r.getLong(0)) == want, s"phash mismatch for doc ${r.getLong(0)}")
+      }
+    // identical payloads must pair at hamming 0 (planted twin corpus)
+    val tmp = java.nio.file.Files.createTempDirectory("graftph")
+    val d = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val twin = d.filter($"doc_id" === 0).select(lit(900001L).as("doc_id"), $"text")
+    d.union(twin)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = Multimodal.phashPairs(spark, tmp.toString).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(planted.get((0L, 900001L)) === Some(0L),
+      s"identical payload twin must collide at hamming 0: ${planted.keys.take(5)}")
+  }
+
   test("native quant_code == driver boundary-rank recompute (bit-for-bit)") {
     // the fitted boundaries drive the plan; recompute codes on the
     // driver with the SAME comparison rule and assert bit-for-bit
