@@ -199,6 +199,64 @@ object Dedup {
       .select($"doc_a", $"doc_b", ($"m".cast("double") / NumHashes).as("est_jaccard"))
   }
 
+  /** The new-batch marker: one fixture source plays the daily delta. */
+  val IncrementalSource = "src0"
+
+  /** INCREMENTAL MinHash dedup — the production crawl shape: a NEW
+    * batch (source = [[IncrementalSource]] plays the delta) deduped
+    * against the existing corpus with NO corpus x corpus work. Same
+    * signatures, bands, caps, and estimate as [[minhashPairs]], but the
+    * in-bucket pair generator requires at least one NEW side, so the
+    * per-batch cost scales with the delta and its touched buckets, not
+    * with corpus². In production the corpus side of the signature table
+    * is the persisted artifact of previous runs (here the one
+    * localCheckpoint stands in for both halves) — a new batch computes
+    * only its own signatures and joins the existing band index.
+    * Output carries pair_type (new-new / new-corpus); corpus-corpus
+    * pairs are structurally impossible. The spec pins the exactness
+    * property: incremental output == the full pass filtered to pairs
+    * touching the delta (same buckets, same caps ⇒ same candidates).
+    */
+  def incrementalMinhashPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val flags = Tables.documents(spark, d)
+      .select($"doc_id", ($"source" === IncrementalSource).as("is_new"))
+    // signatures() groups by doc_id, so this join reuses its exchange;
+    // only the narrow flag frame shuffles
+    val sigs = signatures(spark, d).join(flags, "doc_id").localCheckpoint()
+    val bands = sigs.select(
+      $"doc_id", $"is_new",
+      posexplode(transform(
+        sequence(lit(0), lit(Bands - 1)),
+        bnd => slice($"sig", bnd * Rows + 1, lit(Rows)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val cand = bands
+      .groupBy($"band", $"band_key")
+      .agg(collect_list(struct($"doc_id", $"is_new")).as("ds"))
+      .filter(size($"ds") > 1 && size($"ds") <= MaxBucket)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(filter(ds, (y, j) -> j > i AND (x.is_new OR y.is_new)),
+          |    y -> named_struct(
+          |      'a', least(x.doc_id, y.doc_id),
+          |      'b', greatest(x.doc_id, y.doc_id),
+          |      'nn', x.is_new AND y.is_new))))""".stripMargin))
+        .as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"),
+        when($"p.nn", "new-new").otherwise("new-corpus").as("pair_type"))
+      .distinct()
+    val sa = sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
+    val sb = sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("m", expr(
+        """aggregate(zip_with(sig_a, sig_b,
+          |  (u, v) -> IF(u = v, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (acc, w) -> acc + w)""".stripMargin))
+      .select($"doc_a", $"doc_b", $"pair_type",
+        ($"m".cast("double") / NumHashes).as("est_jaccard"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit simhash over distinct tokens, carried as TWO 32-bit halves
@@ -317,6 +375,57 @@ object Dedup {
        |    / $NumHashes AS est_jaccard
        |FROM cand a JOIN cand b
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[incrementalMinhashPairs]]: the minhash oracle's
+    * CTE chain with a per-doc is_new flag riding the bands, the
+    * at-least-one-new pair predicate, and the pair_type tag.
+    */
+  private def incrMinhashOracle: String = {
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $MinhashPrime) AS m$i"
+    }.mkString(",\n    ")
+    val sigList = (0 until NumHashes).map(i => s"m$i").mkString("[", ",", "]")
+    val bandBranches = (0 until Bands).map { t =>
+      val key = (0 until Rows).map(i => s"m${t * Rows + i}").mkString("[", ",", "]")
+      s"SELECT doc_id, is_new, $sigList AS sig, $t AS band, $key AS band_key FROM sigf"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |flags AS (SELECT doc_id, source = '$IncrementalSource' AS is_new FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(len(t) - 2),
+       |                               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM h GROUP BY doc_id),
+       |sigf AS (SELECT sig.*, f.is_new FROM sig JOIN flags f USING (doc_id)),
+       |bands AS (
+       |$bandBranches),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, is_new, sig, band, band_key,
+       |           count(*) OVER (PARTITION BY band, band_key) AS bsz
+       |    FROM bands) x
+       |  WHERE bsz > 1 AND bsz <= $MaxBucket)
+       |SELECT DISTINCT
+       |  least(a.doc_id, b.doc_id) AS doc_a,
+       |  greatest(a.doc_id, b.doc_id) AS doc_b,
+       |  CASE WHEN a.is_new AND b.is_new THEN 'new-new'
+       |       ELSE 'new-corpus' END AS pair_type,
+       |  CAST(len(list_filter(range($NumHashes),
+       |                       i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE)
+       |    / $NumHashes AS est_jaccard
+       |FROM cand a JOIN cand b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |WHERE a.is_new OR b.is_new""".stripMargin
   }
 
   /** Generated DuckDB oracle for the full simhash pipeline: md5-split
@@ -694,6 +803,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
+    "dedup_incremental_pairs" -> (incrementalMinhashPairs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_prefix_jaccard" -> (prefixJaccardPairs _),
     "dedup_simhash_pairs" -> (simhashPairs _),
@@ -703,6 +813,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_span_extents" -> spanOracle,
     "dedup_prefix_jaccard" -> prefixJaccardOracle,
+    "dedup_incremental_pairs" -> incrMinhashOracle,
     "dedup_minhash_pairs" -> minhashOracle,
     "dedup_simhash_pairs" -> simhashOracle,
     "dedup_winnow_pairs" ->

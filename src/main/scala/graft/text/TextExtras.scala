@@ -87,12 +87,77 @@ object TextExtras {
           PhoneRe, "<PHONE>").as("redacted"))
   }
 
+  /** Tokens per chunk / stride (overlap = ChunkSize - ChunkStride). */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunking — the document → embedding-unit
+    * splitter every retrieval/embedding pipeline runs before encoding
+    * (context windows bound the encoder; overlap keeps boundary
+    * sentences recoverable). Chunk starts are k·stride for
+    * k in 0..ceil(max(0, n − size) / stride): full coverage, no chunk
+    * fully contained in its predecessor, one chunk for short docs. The
+    * whole operator is a single codegen'd projection + explode — no
+    * shuffle, no window; chunk_id is derived from the start offset, so
+    * the output is deterministic under any partitioning. At 100 TB this
+    * is the op whose OUTPUT (not input) sizes the embedding stage —
+    * n_tokens is carried per chunk for downstream budgeting.
+    */
+  def chunks(spark: SparkSession, d: String): DataFrame =
+    chunksOf(
+      Tables.documents(spark, d)
+        .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t")))
+
+  /** Same, over an already-tokenized (doc_id, t) frame (spec access). */
+  def chunksOf(tokenized: DataFrame): DataFrame = {
+    import tokenized.sparkSession.implicits._
+    tokenized
+      .withColumn("n", size($"t").cast("long"))
+      .filter($"n" >= 1)
+      // 1 + ceil(max(0, n - size) / stride), integer-exact
+      .withColumn("nc", expr(
+        s"1 + (greatest(0L, n - $ChunkSize) + $ChunkStride - 1) DIV $ChunkStride"))
+      .select($"doc_id",
+        explode(expr(
+          s"""transform(sequence(0L, nc - 1), k -> named_struct(
+             |  'chunk_id', k,
+             |  'start_tok', k * $ChunkStride,
+             |  'chunk', slice(t, cast(k * $ChunkStride + 1 as int), $ChunkSize)))"""
+            .stripMargin)).as("c"))
+      .select($"doc_id", $"c.chunk_id".as("chunk_id"),
+        $"c.start_tok".as("start_tok"),
+        size($"c.chunk").cast("long").as("n_tokens"),
+        array_join($"c.chunk", " ").as("chunk_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_topk" -> (ngramTopk _),
     "text_repetition" -> (repetition _),
+    "text_chunks" -> (chunks _),
     "text_pii_redact" -> (piiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "text_chunks" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |d1 AS (SELECT doc_id, t, len(t) AS n FROM d0 WHERE len(t) >= 1),
+         |d2 AS (
+         |  SELECT doc_id, t,
+         |         1 + (greatest(0, n - $ChunkSize) + $ChunkStride - 1) // $ChunkStride AS nc
+         |  FROM d1),
+         |c AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(nc), k -> {
+         |      'chunk_id': CAST(k AS BIGINT),
+         |      'start_tok': CAST(k * $ChunkStride AS BIGINT),
+         |      'chunk': t[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkSize]})) AS u
+         |  FROM d2)
+         |SELECT doc_id, u.chunk_id AS chunk_id, u.start_tok AS start_tok,
+         |       CAST(len(u.chunk) AS BIGINT) AS n_tokens,
+         |       array_to_string(u.chunk, ' ') AS chunk_text
+         |FROM c""".stripMargin,
     "text_ngram_topk" ->
       """WITH big AS (
         |  SELECT unnest(list_transform(range(len(t) - 1),

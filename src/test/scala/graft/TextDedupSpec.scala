@@ -148,6 +148,27 @@ class TextDedupSpec extends SparkSpec {
     assert(again == fps.toSet)
   }
 
+  test("incremental dedup == full pass restricted to delta-touching pairs") {
+    import graft.text.Dedup
+    val incr = Dedup.incrementalMinhashPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getDouble(3)))).toMap
+    val newIds = Tables.documents(spark, sf)
+      .filter($"source" === Dedup.IncrementalSource)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.minhashPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = full.filter { case ((a, b), _) => newIds(a) || newIds(b) }
+    assert(want.nonEmpty, "fixture delta touches no pairs — vacuous")
+    assert(incr.keySet == want.keySet,
+      s"missing=${(want.keySet -- incr.keySet).take(5)} extra=${(incr.keySet -- want.keySet).take(5)}")
+    incr.foreach { case ((a, b), (ptype, est)) =>
+      assert(est == want((a, b)), s"estimate drift for ($a,$b)")
+      val wantType = if (newIds(a) && newIds(b)) "new-new" else "new-corpus"
+      assert(ptype == wantType, s"pair_type wrong for ($a,$b)")
+      assert(newIds(a) || newIds(b), "corpus-corpus pair leaked")
+    }
+  }
+
   test("prefix filter is threshold-complete on a rare-token corpus (== brute force)") {
     import graft.text.Dedup
     // 60 docs over a RICH vocabulary (each doc mostly unique tokens), with
@@ -217,6 +238,34 @@ class TextDedupSpec extends SparkSpec {
       "sub-threshold run must not be reported")
     assert(byPair.keys.forall(p => !p.productIterator.contains(4L)),
       "unrelated doc must produce no spans")
+  }
+
+  test("chunking: full coverage, exact overlap, no redundant tails, clean edges") {
+    import graft.text.TextExtras
+    val (size0, stride) = (TextExtras.ChunkSize, TextExtras.ChunkStride)
+    // edge lengths around the size/stride boundaries
+    val lens = Seq(1, stride, size0 - 1, size0, size0 + 1, 2 * stride + size0, 99)
+    val toks = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (0 until n).map(j => s"t${j}")) }
+      .toDF("doc_id", "t")
+    val out = TextExtras.chunksOf(toks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val cs = byDoc(i.toLong).sortBy(_._2)
+      // chunk ids dense from 0; starts at k*stride; count per the formula
+      val wantN = 1 + (math.max(0, n - size0) + stride - 1) / stride
+      assert(cs.length == wantN, s"doc $i (n=$n): ${cs.length} chunks, want $wantN")
+      cs.zipWithIndex.foreach { case ((_, cid, start, ntok, text), k) =>
+        assert(cid == k && start == k.toLong * stride)
+        val want = (start.toInt until math.min(n, start.toInt + size0)).map(j => s"t$j")
+        assert(ntok == want.length && text == want.mkString(" "),
+          s"doc $i chunk $k: wrong slice")
+      }
+      // coverage: every token index appears in some chunk
+      val covered = cs.flatMap { case (_, _, s, nt, _) => s until (s + nt) }.toSet
+      assert(covered == (0L until n).toSet, s"doc $i: coverage hole")
+    }
   }
 
   test("token stats: ttr in (0,1], bpe count >= whitespace token count") {
