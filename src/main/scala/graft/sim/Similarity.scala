@@ -6,19 +6,29 @@ import graft.Tables
 
 /** Similarity search over the embeddings table (64-dim float vectors).
   *
-  * Two tiers:
-  *   - exact brute-force cosine top-k: the correctness baseline. The
-  *     query side is tiny and `broadcast()`; the candidate scan is ONE
-  *     narrow pass — at 100 TB this is the classic "score everything
-  *     against a small probe set" shape, embarrassingly parallel.
-  *   - random-hyperplane LSH ANN: the scale path. Candidates hash into
-  *     2^16 sign-buckets; probes only compare within their bucket. Same
-  *     bucketed-pairs discipline as Dedup (no raw cross join).
+  * The ANN family, coarse-to-fine:
+  *   - exact brute-force cosine top-k ([[knnExact]]): the correctness
+  *     baseline. The probe side is tiny and `broadcast()`; the candidate
+  *     scan is ONE narrow pass — at 100 TB this is the classic "score
+  *     everything against a small probe set" shape, embarrassingly
+  *     parallel.
+  *   - random-hyperplane LSH ANN ([[annLsh]]): L sign-bucket tables;
+  *     probes compare only within shared buckets. Same bucketed-pairs
+  *     discipline as Dedup (no raw cross join).
+  *   - IVF ANN ([[annIvf]]): driver-fit Lloyd coarse quantizer, native
+  *     [[graft.functions.NearestCell]] assignment, probe-ranked cells.
+  *   - scalar-quantized KNN ([[knnQuantized]]): fitted per-dim quantile
+  *     boundaries, native [[graft.functions.QuantCode]] coding, FP-free
+  *     integer-dot ranking.
+  *   - embedding near-dup pairs ([[embedDupPairs]]): exact cosine within
+  *     IVF-cell blocks, bucket-capped.
   *
   * Cross-engine determinism: similarities are rounded to 4 decimals
   * BEFORE ranking and ties broken by vec_id, so rank order cannot depend
   * on last-ulp FP differences between Spark's aggregate() and DuckDB's
-  * list_dot_product.
+  * list_dot_product. Data-fitted constants (centroids, probe cells,
+  * boundaries) are recorded in the fitted-constant registry below and
+  * embedded as literals in the generated oracles.
   */
 object Similarity {
 

@@ -257,6 +257,94 @@ object Dedup {
         ($"m".cast("double") / NumHashes).as("est_jaccard"))
   }
 
+  /** Matching-minima threshold for dropping a new doc: est_jaccard >=
+    * AdmitMinMatches/NumHashes, kept as the INTEGER minima count so the
+    * cross-engine comparison never touches a float.
+    */
+  val AdmitMinMatches = 32
+
+  /** The admission verdict a production incremental dedup emits per
+    * NEW doc — the end-to-end consumer of [[incrementalMinhashPairs]]:
+    *
+    *   - `drop_corpus_dup`  — estimated-Jaccard match (>= 1/2) against
+    *     an existing corpus doc (matched_to = smallest such doc);
+    *   - `drop_batch_dup`   — no corpus match, but a match against an
+    *     EARLIER new doc (keep-min-doc_id within the delta, the same
+    *     survivor rule as [[graft.text.DedupCluster]]);
+    *   - `admit`            — everything else (matched_to null).
+    *
+    * All joins after the pair mining are narrow (doc ids + integer
+    * minima counts); the per-doc verdict is two anti-joinable
+    * aggregates over the pair set, grouped on the new doc id.
+    */
+  def incrementalAdmission(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val flags = Tables.documents(spark, d)
+      .select($"doc_id", ($"source" === IncrementalSource).as("is_new"))
+    val pairs = incrementalMinhashPairs(spark, d)
+      .filter($"est_jaccard" * NumHashes >= AdmitMinMatches)
+    // orient every pair as (new_id, other_id, other_is_new): new-corpus
+    // pairs have exactly one new side; new-new pairs count from BOTH
+    // sides, but only the (later, earlier) orientation survives the
+    // keep-min rule below
+    val newSide = flags.filter($"is_new").select($"doc_id")
+    val oriented = pairs
+      .join(newSide.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .select($"doc_a".as("new_id"), $"doc_b".as("other_id"), $"pair_type")
+      .union(pairs
+        .join(newSide.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select($"doc_b".as("new_id"), $"doc_a".as("other_id"), $"pair_type"))
+      // for new-new keep only the later-vs-earlier orientation (the
+      // earlier doc is not dropped on account of a later one)
+      .filter($"pair_type" === "new-corpus" || $"other_id" < $"new_id")
+    val verdicts = oriented
+      .groupBy($"new_id")
+      .agg(
+        min(when($"pair_type" === "new-corpus", $"other_id")).as("corpus_match"),
+        min(when($"pair_type" === "new-new", $"other_id")).as("batch_match"))
+    newSide
+      .join(verdicts, newSide("doc_id") === verdicts("new_id"), "left_outer")
+      .select($"doc_id",
+        when($"corpus_match".isNotNull, "drop_corpus_dup")
+          .when($"batch_match".isNotNull, "drop_batch_dup")
+          .otherwise("admit").as("verdict"),
+        coalesce($"corpus_match", $"batch_match").as("matched_to"))
+  }
+
+  /** DuckDB twin of [[incrementalAdmission]]: the incremental-pair CTE
+    * chain, the integer minima threshold, orientation, and the
+    * keep-min verdict aggregate.
+    */
+  private def incrAdmitOracle: String = {
+    // the full incremental-pairs statement (itself WITH-headed) embeds
+    // as a derived table — DuckDB allows CTEs inside subqueries
+    s"""WITH pairs AS (
+       |SELECT * FROM (
+       |$incrMinhashOracle
+       |) p WHERE est_jaccard * $NumHashes >= $AdmitMinMatches),
+       |news AS (SELECT doc_id FROM documents WHERE source = '$IncrementalSource'),
+       |oriented AS (
+       |  SELECT doc_a AS new_id, doc_b AS other_id, pair_type FROM pairs
+       |  WHERE doc_a IN (SELECT doc_id FROM news)
+       |  UNION ALL
+       |  SELECT doc_b AS new_id, doc_a AS other_id, pair_type FROM pairs
+       |  WHERE doc_b IN (SELECT doc_id FROM news)),
+       |ok AS (
+       |  SELECT * FROM oriented
+       |  WHERE pair_type = 'new-corpus' OR other_id < new_id),
+       |verdicts AS (
+       |  SELECT new_id,
+       |    min(CASE WHEN pair_type = 'new-corpus' THEN other_id END) AS corpus_match,
+       |    min(CASE WHEN pair_type = 'new-new' THEN other_id END) AS batch_match
+       |  FROM ok GROUP BY new_id)
+       |SELECT n.doc_id,
+       |  CASE WHEN v.corpus_match IS NOT NULL THEN 'drop_corpus_dup'
+       |       WHEN v.batch_match IS NOT NULL THEN 'drop_batch_dup'
+       |       ELSE 'admit' END AS verdict,
+       |  coalesce(v.corpus_match, v.batch_match) AS matched_to
+       |FROM news n LEFT JOIN verdicts v ON n.doc_id = v.new_id""".stripMargin
+  }
+
   // ---- SimHash ----
 
   /** 64-bit simhash over distinct tokens, carried as TWO 32-bit halves
@@ -803,6 +891,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
+    "dedup_incremental_admit" -> (incrementalAdmission _),
     "dedup_incremental_pairs" -> (incrementalMinhashPairs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_prefix_jaccard" -> (prefixJaccardPairs _),
@@ -814,6 +903,7 @@ object Dedup {
     "dedup_span_extents" -> spanOracle,
     "dedup_prefix_jaccard" -> prefixJaccardOracle,
     "dedup_incremental_pairs" -> incrMinhashOracle,
+    "dedup_incremental_admit" -> incrAdmitOracle,
     "dedup_minhash_pairs" -> minhashOracle,
     "dedup_simhash_pairs" -> simhashOracle,
     "dedup_winnow_pairs" ->

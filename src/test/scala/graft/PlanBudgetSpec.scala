@@ -58,7 +58,12 @@ class PlanBudgetSpec extends SparkSpec {
     // (doc, term) tf -> term df -> per-doc rank
     "tfidf_topk" -> 4,
     // end-to-end composite: chains five audited operators
-    "training_mix" -> 6)
+    "training_mix" -> 6,
+    // end-to-end composite over the incremental pair miner: band group +
+    // narrow pair distinct + signature join-backs + orientation semi
+    // unions + verdict agg + per-new-doc outer join; every post-mining
+    // exchange moves doc ids and integer counts only
+    "dedup_incremental_admit" -> 6)
 
   /** Queries whose nested-loop join is against a broadcast constant or
     * one-row aggregate (SURVEY §8: the only sanctioned NLJ shape).

@@ -169,6 +169,39 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental admission verdicts == driver replay over the pair set") {
+    import graft.text.Dedup
+    val newIds = Tables.documents(spark, sf)
+      .filter($"source" === Dedup.IncrementalSource)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.incrementalMinhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .filter(_._4 * Dedup.NumHashes >= Dedup.AdmitMinMatches)
+    // driver replay of the admission rules
+    val corpusMatch = scala.collection.mutable.Map.empty[Long, Long]
+    val batchMatch = scala.collection.mutable.Map.empty[Long, Long]
+    pairs.foreach { case (a, b, ptype, _) =>
+      if (ptype == "new-corpus") {
+        val (n, c) = if (newIds(a)) (a, b) else (b, a)
+        corpusMatch(n) = math.min(corpusMatch.getOrElse(n, Long.MaxValue), c)
+      } else { // new-new: later doc matches earlier
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        batchMatch(hi) = math.min(batchMatch.getOrElse(hi, Long.MaxValue), lo)
+      }
+    }
+    val got = Dedup.incrementalAdmission(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.keySet == newIds, "one verdict row per new doc")
+    newIds.foreach { id =>
+      val want =
+        if (corpusMatch.contains(id)) ("drop_corpus_dup", Some(corpusMatch(id)))
+        else if (batchMatch.contains(id)) ("drop_batch_dup", Some(batchMatch(id)))
+        else ("admit", None)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("prefix filter is threshold-complete on a rare-token corpus (== brute force)") {
     import graft.text.Dedup
     // 60 docs over a RICH vocabulary (each doc mostly unique tokens), with
