@@ -47,9 +47,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   /** Whether either input's TYPE admits null elements (drives the
-    * null-scan; resolved lazily — children are unresolved at copy time).
+    * null-scan). Lazy so children are resolved by first use (they are
+    * unresolved at copy time) AND the per-row interpreted path doesn't
+    * re-walk the types on every evaluation.
     */
-  private def mayHaveNullElements: Boolean =
+  @transient private lazy val mayHaveNullElements: Boolean =
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, cn) => cn
       case _ => false

@@ -18,8 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class HotWeight(child: Expression, hot: Map[String, Long])
     extends UnaryExpression {
 
-  /** UTF8String-keyed view of the fit (built once per plan, not per row). */
-  private val lookup: java.util.HashMap[UTF8String, java.lang.Long] = {
+  /** UTF8String-keyed view of the fit — lazy and transient so Catalyst's
+    * many expression copies during analysis/optimization don't each
+    * rebuild a 4096-entry map; the instance that actually evaluates (or
+    * is referenced from generated code) builds it once on first use.
+    */
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, java.lang.Long] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Long](hot.size * 2)
     hot.foreach { case (t, df) =>
       m.put(UTF8String.fromString(t), (1L << 61) + df)

@@ -240,16 +240,14 @@ object Multimodal {
     * content is printable ASCII, so code point == byte everywhere the
     * stub reads.
     */
-  private def phashOracle: String = {
+  /** The shared CTE chain computing the per-doc hash halves (`ph`) —
+    * composed into BOTH phash oracles so the two can never drift.
+    */
+  private def phashCtes: String = {
     def half(lo: Int): String = (0 until 32).map { b =>
       val i = lo + b
       s"(CASE WHEN cs[${i + 1}] * $PHashSamples >= s THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
-    val chunkBranches = Seq(
-      "ph_lo & 65535", "(ph_lo >> 16) & 65535",
-      "ph_hi & 65535", "(ph_hi >> 16) & 65535").zipWithIndex.map {
-      case (e, i) => s"SELECT doc_id, ph_lo, ph_hi, $i AS chunk, $e AS chunk_val FROM ph"
-    }.mkString("\nUNION ALL\n")
     s"""WITH m AS (
        |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
        |  FROM documents WHERE octet_length(encode(text)) >= 1),
@@ -263,7 +261,16 @@ object Multimodal {
        |  SELECT doc_id,
        |    ${half(0)} AS ph_lo,
        |    ${half(32)} AS ph_hi
-       |  FROM cc),
+       |  FROM cc)""".stripMargin
+  }
+
+  private def phashOracle: String = {
+    val chunkBranches = Seq(
+      "ph_lo & 65535", "(ph_lo >> 16) & 65535",
+      "ph_hi & 65535", "(ph_hi >> 16) & 65535").zipWithIndex.map {
+      case (e, i) => s"SELECT doc_id, ph_lo, ph_hi, $i AS chunk, $e AS chunk_val FROM ph"
+    }.mkString("\nUNION ALL\n")
+    s"""$phashCtes,
        |chunks AS (
        |$chunkBranches),
        |cand AS (
@@ -291,11 +298,8 @@ object Multimodal {
     "multimodal_phash_pairs" -> (phashPairs _))
 
   /** Oracle for the hash table itself: the shared CTE chain up to `ph`. */
-  private def phashTableOracle: String = {
-    val full = phashOracle
-    full.substring(0, full.indexOf(",\nchunks AS (")) +
-      "\nSELECT doc_id, ph_lo, ph_hi FROM ph"
-  }
+  private def phashTableOracle: String =
+    s"$phashCtes\nSELECT doc_id, ph_lo, ph_hi FROM ph"
 
   val oracles: Map[String, String] = Map(
     "multimodal_phash" -> phashTableOracle,

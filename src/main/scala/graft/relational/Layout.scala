@@ -50,11 +50,17 @@ object Layout {
     */
   def zorderOrders(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // range reduction the zInterleave16 contract demands: keys wrap at
+    // 2^16 (a documented aliasing trade at larger key ranges — a
+    // production table would bucket or bit-widen instead of wrap; the
+    // mask keeps the key total and the oracle exact at ANY sf/epoch,
+    // where an unmasked cast would silently alias only ABOVE 2^16)
     Tables.orders(spark, d)
       .select($"o_orderkey",
         zInterleave16(
-          $"o_custkey".cast("long"),
-          datediff(to_date($"o_orderdate"), lit(OrdersEpoch)).cast("long"))
+          $"o_custkey".cast("long").bitwiseAND(lit(65535L)),
+          datediff(to_date($"o_orderdate"), lit(OrdersEpoch)).cast("long")
+            .bitwiseAND(lit(65535L)))
           .as("zval"))
   }
 
@@ -71,7 +77,7 @@ object Layout {
     "zorder_orders" ->
       s"""SELECT o_orderkey, $zTermsSql AS zval
          |FROM (
-         |  SELECT o_orderkey, o_custkey AS a,
-         |         datediff('day', DATE '$OrdersEpoch', CAST(o_orderdate AS DATE)) AS b
+         |  SELECT o_orderkey, o_custkey & 65535 AS a,
+         |         datediff('day', DATE '$OrdersEpoch', CAST(o_orderdate AS DATE)) & 65535 AS b
          |  FROM orders) t""".stripMargin)
 }

@@ -211,9 +211,14 @@ object Similarity {
       "nearest_cell",
       exprs => graft.functions.NearestCell(exprs.head, cents),
       "built-in")
+    // MATERIALIZED once (localCheckpoint): the scan + assignment subplan
+    // feeds the cap aggregate AND both self-join sides — without the
+    // barrier Catalyst would execute it three times, tripling the
+    // dominant cost at scale (same discipline as minhashPairs' sigs)
     val assigned = e
       .withColumn("cell", expr("nearest_cell(v)"))
       .select($"cell", $"vec_id", $"v", $"norm")
+      .localCheckpoint()
     // bucket-cap: per-cell counts are a tiny (IvfCells-row) aggregate,
     // broadcast back as a semi-filter — no window over the low-cardinality
     // cell key
@@ -524,12 +529,15 @@ object Similarity {
     * knn oracles), and the probe side skips ranking entirely because the
     * (query_id, cell) pairs are literals.
     */
-  private def annIvfOracle(cents: Array[Array[Double]], probes: Seq[(Long, Int)]): String = {
+  /** The shared centroid-literal assignment CTE chain (`e`/`n`/`cents`/
+    * `assign`) — composed into BOTH fitted oracles so the replicated
+    * -2·dot+|c|² argmin can never drift between them.
+    */
+  private def assignCtes(cents: Array[Array[Double]]): String = {
     val cn2 = graft.functions.NearestCell.cn2Of(cents)
     val centRows = cents.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.map(dlit).mkString(",")}], ${dlit(cn2(i))})"
     }.mkString(",\n")
-    val probeRows = probes.map { case (id, c) => s"($id, $c)" }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
        |cents(cell, c, cn2) AS (VALUES
@@ -540,7 +548,12 @@ object Similarity {
        |           row_number() OVER (
        |             PARTITION BY n.vec_id
        |             ORDER BY -2 * list_dot_product(n.v, cents.c) + cents.cn2, cents.cell) AS r
-       |    FROM n CROSS JOIN cents) x WHERE r = 1),
+       |    FROM n CROSS JOIN cents) x WHERE r = 1)""".stripMargin
+  }
+
+  private def annIvfOracle(cents: Array[Array[Double]], probes: Seq[(Long, Int)]): String = {
+    val probeRows = probes.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    s"""${assignCtes(cents)},
        |probes(query_id, cell) AS (VALUES $probeRows),
        |p AS (
        |  SELECT n.vec_id AS query_id, pr.cell, n.v AS qv, n.norm AS qnorm
@@ -586,21 +599,7 @@ object Similarity {
     * join. The cap filter replays as a per-cell count join.
     */
   private def embedDupOracle(cents: Array[Array[Double]]): String = {
-    val cn2 = graft.functions.NearestCell.cn2Of(cents)
-    val centRows = cents.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.map(dlit).mkString(",")}], ${dlit(cn2(i))})"
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
-       |cents(cell, c, cn2) AS (VALUES
-       |$centRows),
-       |assign AS (
-       |  SELECT vec_id, v, norm, cell FROM (
-       |    SELECT n.vec_id, n.v, n.norm, cents.cell,
-       |           row_number() OVER (
-       |             PARTITION BY n.vec_id
-       |             ORDER BY -2 * list_dot_product(n.v, cents.c) + cents.cn2, cents.cell) AS r
-       |    FROM n CROSS JOIN cents) x WHERE r = 1),
+    s"""${assignCtes(cents)},
        |keep AS (
        |  SELECT cell FROM assign GROUP BY cell HAVING count(*) <= $MaxCellBlock),
        |capped AS (SELECT a.* FROM assign a JOIN keep k ON a.cell = k.cell)

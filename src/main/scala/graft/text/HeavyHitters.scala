@@ -171,6 +171,13 @@ object HeavyHitters {
     * ANY corpus size; 64 buckets keep raw HLL in its valid regime
     * (n > 2.5m = 160) for the user-day cardinalities being sketched.
     */
+  /** FROZEN at 64: the literals below — the 2^26 bucket split
+    * (67108864), the 2^27 indicator scale (134217728), m² = 4096.0,
+    * alpha_64 = 0.709 — and their copies in the generated oracle SQL
+    * are all derived from m = 64. Changing this value requires updating
+    * every one of them together (they are deliberately literal so the
+    * Spark expression and the oracle stay token-identical).
+    */
   val HllBuckets = 64
 
   /** The fully-ORACLED distinct-count tier: daily-active-users per event
