@@ -273,6 +273,54 @@ class TextDedupSpec extends SparkSpec {
       "unrelated doc must produce no spans")
   }
 
+  test("span extents == brute-force maximal-span finder on random corpora") {
+    import graft.text.Dedup
+    // docs splice shared fragments (the dup structure real corpora have)
+    // between unique filler; brute force recomputes every maximal
+    // >= SpanMinTokens common run per doc pair from first principles
+    val rnd = new scala.util.Random(23)
+    val frags = (0 until 8).map { f =>
+      (0 until (10 + rnd.nextInt(6))).map(j => s"f${f}_$j")
+    }
+    var fill = 0
+    val docs = (0 until 24).map { i =>
+      val parts = (0 until (2 + rnd.nextInt(3))).flatMap { _ =>
+        val filler = (0 until (3 + rnd.nextInt(5))).map { _ =>
+          fill += 1; s"u$fill"
+        }
+        filler ++ frags(rnd.nextInt(frags.length))
+      }
+      i.toLong -> parts
+    }
+    def maximalSpans(a: Seq[String], b: Seq[String]): Set[(Long, Long, Long)] = {
+      // run lengths via the classic DP over the (i, j) diagonal grid
+      val ln = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- a.length - 1 to 0 by -1; j <- b.length - 1 to 0 by -1)
+        ln(i)(j) = if (a(i) == b(j)) ln(i + 1)(j + 1) + 1 else 0
+      (for {
+        i <- a.indices; j <- b.indices
+        if a(i) == b(j)
+        // maximal: not extendable left
+        if i == 0 || j == 0 || a(i - 1) != b(j - 1)
+        len = ln(i)(j)
+        if len >= Dedup.SpanMinTokens
+      } yield (i.toLong, j.toLong, len.toLong)).toSet
+    }
+    val got = Dedup.spanExtentsOf(docs.toDF("doc_id", "t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byId = docs.toMap
+    var checkedPairs = 0
+    for (a <- 0 until 24; b <- a + 1 until 24) {
+      val want = maximalSpans(byId(a.toLong), byId(b.toLong))
+      val have = got.getOrElse((a.toLong, b.toLong), Set.empty)
+      assert(have == want,
+        s"pair ($a,$b): got $have want $want")
+      if (want.nonEmpty) checkedPairs += 1
+    }
+    assert(checkedPairs > 5, s"random corpus produced only $checkedPairs span pairs — weak test")
+  }
+
   test("chunking: full coverage, exact overlap, no redundant tails, clean edges") {
     import graft.text.TextExtras
     val (size0, stride) = (TextExtras.ChunkSize, TextExtras.ChunkStride)
