@@ -236,6 +236,80 @@ object Similarity {
       .select($"vec_a", $"vec_b", $"cell".cast("long").as("cell"), $"sim")
   }
 
+  /** Cross-label MUTUAL nearest neighbors — the bitext/aligned-pair
+    * mining shape (LASER/CCMatrix): labels play the two corpora
+    * (languages), and a pair is emitted only when each side is the
+    * other's best candidate — the standard mutual-NN filter that kills
+    * hub matches a one-directional top-1 keeps. Candidates come from
+    * shared IVF cells (the same fitted coarse quantizer as the dedup
+    * tier, [[MaxCellBlock]]-capped), so no label-cross is ever
+    * all-pairs; the two mutual-rank windows partition on
+    * (vec, other-label) — high-cardinality by construction. Similarity
+    * is rounded-then-ranked with vec_id tie-breaks (the file-wide
+    * determinism rule), and the DuckDB twin replays the fitted
+    * centroids as literals.
+    */
+  def crossLabelMutual(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+    val cents = centroids(trainSample(e).map(_._2))
+    ivfFit(d) = cents
+    lastDir = Some(d)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell",
+      exprs => graft.functions.NearestCell(exprs.head, cents),
+      "built-in")
+    val assigned = e
+      .withColumn("cell", expr("nearest_cell(v)"))
+      .select($"cell", $"vec_id", $"label".cast("long").as("label"), $"v", $"norm")
+      .localCheckpoint() // feeds the cap aggregate and both join sides
+    val keep = assigned.groupBy($"cell")
+      .agg(count(lit(1)).as("csz"))
+      .filter($"csz" <= MaxCellBlock)
+      .select($"cell")
+    val capped = assigned.join(broadcast(keep), "cell")
+    val a = capped.select($"cell", $"vec_id".as("vec_a"), $"label".as("label_a"),
+      $"v".as("qv"), $"norm".as("qnorm"))
+    val b = capped.select($"cell", $"vec_id".as("vec_b"), $"label".as("label_b"),
+      $"v".as("cv"), $"norm".as("cnorm"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_a", $"label_b").orderBy($"sim".desc, $"vec_b")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_b", $"label_a").orderBy($"sim".desc, $"vec_a")
+    a.join(b, "cell")
+      .filter($"label_a" < $"label_b")
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .select($"label_a", $"label_b", $"vec_a", $"vec_b", $"sim")
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter($"ra" === 1 && $"rb" === 1)
+      .select($"label_a", $"label_b", $"vec_a", $"vec_b", $"sim")
+  }
+
+  /** DuckDB twin of [[crossLabelMutual]] over the fitted centroids. */
+  private def xlabelOracle(cents: Array[Array[Double]]): String =
+    s"""${assignCtes(cents)},
+       |lbl AS (
+       |  SELECT a.vec_id, CAST(e.label AS BIGINT) AS label, a.v, a.norm, a.cell
+       |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+       |keep AS (
+       |  SELECT cell FROM lbl GROUP BY cell HAVING count(*) <= $MaxCellBlock),
+       |capped AS (SELECT l.* FROM lbl l JOIN keep k ON l.cell = k.cell),
+       |cross_pairs AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |         a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS sim
+       |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.label < b.label),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY vec_a, label_b
+       |                       ORDER BY sim DESC, vec_b) AS ra,
+       |    row_number() OVER (PARTITION BY vec_b, label_a
+       |                       ORDER BY sim DESC, vec_a) AS rb
+       |  FROM cross_pairs)
+       |SELECT label_a, label_b, vec_a, vec_b, sim
+       |FROM ranked WHERE ra = 1 AND rb = 1""".stripMargin
+
   // ---- IVF (inverted-file) ANN ----
 
   val IvfCells = 16
@@ -484,6 +558,7 @@ object Similarity {
     "embed_ann_ivf" -> (annIvf _),
     "embed_label_centroids" -> (labelCentroids _),
     "embed_knn_quantized" -> (knnQuantized _),
+    "embed_xlabel_mutual" -> (crossLabelMutual _),
     "dedup_embed_pairs" -> (embedDupPairs _))
 
   /** The LSH ANN query IS DuckDB-expressible because the hyperplanes are
@@ -591,7 +666,11 @@ object Similarity {
       d <- lastDir
       cents <- ivfFit.get(d)
     } yield "dedup_embed_pairs" -> embedDupOracle(cents)
-    (ivf ++ quant ++ dup).toMap
+    val xl = for {
+      d <- lastDir
+      cents <- ivfFit.get(d)
+    } yield "embed_xlabel_mutual" -> xlabelOracle(cents)
+    (ivf ++ quant ++ dup ++ xl).toMap
   }
 
   /** DuckDB twin of [[embedDupPairs]]: same centroid-literal cell

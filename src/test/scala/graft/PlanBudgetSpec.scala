@@ -55,6 +55,9 @@ class PlanBudgetSpec extends SparkSpec {
     "skew_salted_join" -> 3,
     // oriented two-path join + closing join
     "graph_triangles" -> 4,
+    // cell join (both sides) + the two mutual-rank windows, which key
+    // on (vec_a, label_b) vs (vec_b, label_a) — different by definition
+    "embed_xlabel_mutual" -> 4,
     // (doc, term) tf -> term df -> per-doc rank
     "tfidf_topk" -> 4,
     // end-to-end composite: chains five audited operators

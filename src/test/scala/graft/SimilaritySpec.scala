@@ -168,6 +168,44 @@ class SimilaritySpec extends SparkSpec {
       s"identical payload twin must collide at hamming 0: ${planted.keys.take(5)}")
   }
 
+  test("cross-label mutual NN: pairs are mutual argmaxes within their cells") {
+    import graft.sim.Similarity
+    val got = Similarity.crossLabelMutual(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty, "fixture mined no cross-label pairs — vacuous")
+    // driver replay: same fit, same cells, same rounded sims
+    val cents = Similarity.fitCentroids(spark, sf)
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("long"), $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val cn2 = graft.functions.NearestCell.cn2Of(cents)
+    def cellOf(v: Array[Double]): Int = {
+      val s = graft.functions.NearestCell.scores(v, cents, cn2)
+      s.indices.minBy(i => (s(i), i))
+    }
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val byCell = rows.groupBy(r => cellOf(r._3))
+      .filter(_._2.length <= Similarity.MaxCellBlock)
+    def simOf(a: (Long, Long, Array[Double]), b: (Long, Long, Array[Double])) = {
+      val dot = a._3.zip(b._3).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / (norm(a._3) * norm(b._3)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (la, lb, va, vb, sim) =>
+      val cell = byCell.find(_._2.exists(_._1 == va)).get
+      val as = cell._2.filter(_._2 == la)
+      val bs = cell._2.filter(_._2 == lb)
+      val aRow = as.find(_._1 == va).get
+      val bRow = bs.find(_._1 == vb).get
+      // b is a's argmax over label-lb cellmates (sim desc, vec_id asc) and vice versa
+      val bestB = bs.map(b => (simOf(aRow, b), b._1)).maxBy(t => (t._1, -t._2))
+      val bestA = as.map(a => (simOf(a, bRow), a._1)).maxBy(t => (t._1, -t._2))
+      assert(bestB._2 == vb && bestA._2 == va && sim == bestB._1,
+        s"pair ($va,$vb) not mutual argmax: bestB=$bestB bestA=$bestA sim=$sim")
+    }
+  }
+
   test("native quant_code == driver boundary-rank recompute (bit-for-bit)") {
     // the fitted boundaries drive the plan; recompute codes on the
     // driver with the SAME comparison rule and assert bit-for-bit
