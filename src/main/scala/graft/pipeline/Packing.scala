@@ -44,7 +44,9 @@ object Packing {
     * is integer arithmetic — bit-exact on any engine. Oversized docs
     * (> budget) occupy a sequence alone, handled by the same rule.
     * Fold seed = first element (n=0 means "one open sequence"), so the
-    * DuckDB twin's init-less `list_reduce` replays it exactly.
+    * DuckDB twin's init-less `list_reduce` replays it exactly — with
+    * the accumulator packed into one BIGINT (see [[PackAccBase]]): the
+    * struct-accumulator form hits a DuckDB 1.0.0 vectorization bug.
     */
   def packSequences(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -100,6 +102,17 @@ object Packing {
     "pack_sequences" -> (packSequences _),
     "train_split" -> (trainSplit _))
 
+  /** Accumulator encoding for the oracle's fold: (n, cur) packed into
+    * ONE BIGINT as n * PackAccBase + cur. DuckDB 1.0.0's `list_reduce`
+    * returns wrong results for STRUCT accumulators when the lambda is
+    * vectorized across many rows with varying list lengths (reproduced:
+    * 11 of 80 groups wrong at sf0.1, correct when the same groups are
+    * evaluated alone); scalar accumulators are unaffected (verified
+    * against a driver replay on every group). cur <= max(SeqBudget,
+    * max n_chars) << PackAccBase, so the encoding is exact.
+    */
+  val PackAccBase = 1L << 20
+
   val oracles: Map[String, String] = Map(
     "pack_sequences" ->
       s"""WITH sharded AS (
@@ -112,19 +125,18 @@ object Packing {
          |  SELECT source, shard, count(*) AS n_docs,
          |    CAST(sum(n_chars) AS BIGINT) AS chars,
          |    list_reduce(
-         |      list_transform(list(n_chars ORDER BY doc_id),
-         |                     c -> struct_pack(n := CAST(0 AS BIGINT), cur := c)),
-         |      (acc, x) -> CASE WHEN acc.cur + x.cur <= $SeqBudget
-         |                  THEN struct_pack(n := acc.n, cur := acc.cur + x.cur)
-         |                  ELSE struct_pack(n := acc.n + 1, cur := x.cur) END
-         |    ) AS st
+         |      list(CAST(n_chars AS BIGINT) ORDER BY doc_id),
+         |      (acc, c) -> CASE WHEN acc % $PackAccBase + c <= $SeqBudget
+         |                  THEN acc + c
+         |                  ELSE acc - (acc % $PackAccBase) + $PackAccBase + c END
+         |    ) // $PackAccBase AS n_over
          |  FROM sharded GROUP BY source, shard)
          |SELECT source,
          |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
-         |  CAST(sum(st.n + 1) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_over + 1) AS BIGINT) AS n_seqs,
          |  CAST(sum(chars) AS BIGINT) AS sum_chars,
          |  round(CAST(sum(chars) AS DOUBLE)
-         |        / CAST(sum(st.n + 1) * $SeqBudget AS DOUBLE), 6) AS fill_ratio
+         |        / CAST(sum(n_over + 1) * $SeqBudget AS DOUBLE), 6) AS fill_ratio
          |FROM folded GROUP BY source""".stripMargin,
     "train_split" ->
       """SELECT source,

@@ -200,7 +200,12 @@ object Analytics {
     */
   def windowFirstLast(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val full = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture at larger
+    // sf, so l_shipdate joins the sort as tie-break: every projected
+    // value is the tie-break key itself, making first/last/nth
+    // deterministic on both engines even with fully-tied rows
+    val full = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber", $"l_shipdate")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.lineitem(spark, d)
       .filter($"l_orderkey" % 7 === 0)
@@ -628,7 +633,7 @@ object Analytics {
         |       count(*) OVER w AS n_lines
         |FROM lineitem
         |WHERE l_orderkey % 7 = 0
-        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "data_quality_audit" ->
       """SELECT 'orders_rows' AS check_name, count(*) AS n FROM orders
