@@ -235,13 +235,11 @@ object Multimodal {
       .distinct()
   }
 
-  /** DuckDB twin of [[phashPairs]]: byte reads replay as
-    * ascii(substr(..)) — payloads are the text column, whose fixture
-    * content is printable ASCII, so code point == byte everywhere the
-    * stub reads.
-    */
   /** The shared CTE chain computing the per-doc hash halves (`ph`) —
-    * composed into BOTH phash oracles so the two can never drift.
+    * composed into BOTH phash oracles so the two can never drift. Byte
+    * reads replay as ascii(substr(..)): payloads are the text column,
+    * whose fixture content is printable ASCII, so code point == byte
+    * everywhere the stub reads.
     */
   private def phashCtes: String = {
     def half(lo: Int): String = (0 until 32).map { b =>
@@ -264,6 +262,9 @@ object Multimodal {
        |  FROM cc)""".stripMargin
   }
 
+  /** DuckDB twin of [[phashPairs]]: the shared hash CTEs + chunk
+    * blocking, caps, and the hamming filter.
+    */
   private def phashOracle: String = {
     val chunkBranches = Seq(
       "ph_lo & 65535", "(ph_lo >> 16) & 65535",

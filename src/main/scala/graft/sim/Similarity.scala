@@ -201,7 +201,19 @@ object Similarity {
     * (whose blocks are O(n²/labels) at scale). DuckDB-oracled via the
     * registered centroid fit.
     */
-  def embedDupPairs(spark: SparkSession, d: String): DataFrame = {
+  /** ONE implementation of "fit the quantizer, assign every vector to
+    * its cell, drop over-cap cells" — the shared front half of every
+    * cell-blocked operator ([[embedDupPairs]], [[crossLabelMutual]]).
+    * Returns the capped (cell, vec_id, label, v, norm) frame,
+    * MATERIALIZED once (localCheckpoint): the scan + assignment subplan
+    * feeds the cap aggregate AND both sides of the caller's self-join —
+    * without the barrier Catalyst would execute it three times,
+    * tripling the dominant cost at scale (same discipline as
+    * minhashPairs' sigs). The fit is recorded in the oracle registry.
+    * The bucket-cap is a tiny (IvfCells-row) aggregate broadcast back
+    * as a semi-filter — no window over the low-cardinality cell key.
+    */
+  private def cappedCells(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = withVec(Tables.embeddings(spark, d))
     val cents = centroids(trainSample(e).map(_._2))
@@ -211,22 +223,20 @@ object Similarity {
       "nearest_cell",
       exprs => graft.functions.NearestCell(exprs.head, cents),
       "built-in")
-    // MATERIALIZED once (localCheckpoint): the scan + assignment subplan
-    // feeds the cap aggregate AND both self-join sides — without the
-    // barrier Catalyst would execute it three times, tripling the
-    // dominant cost at scale (same discipline as minhashPairs' sigs)
     val assigned = e
       .withColumn("cell", expr("nearest_cell(v)"))
-      .select($"cell", $"vec_id", $"v", $"norm")
+      .select($"cell", $"vec_id", $"label".cast("long").as("label"), $"v", $"norm")
       .localCheckpoint()
-    // bucket-cap: per-cell counts are a tiny (IvfCells-row) aggregate,
-    // broadcast back as a semi-filter — no window over the low-cardinality
-    // cell key
     val keep = assigned.groupBy($"cell")
       .agg(count(lit(1)).as("csz"))
       .filter($"csz" <= MaxCellBlock)
       .select($"cell")
-    val capped = assigned.join(broadcast(keep), "cell")
+    assigned.join(broadcast(keep), "cell")
+  }
+
+  def embedDupPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val capped = cappedCells(spark, d)
     val a = capped.select($"cell", $"vec_id".as("vec_a"), $"v".as("qv"), $"norm".as("qnorm"))
     val b = capped.select($"cell", $"vec_id".as("vec_b"), $"v".as("cv"), $"norm".as("cnorm"))
     a.join(b, "cell")
@@ -251,23 +261,7 @@ object Similarity {
     */
   def crossLabelMutual(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val e = withVec(Tables.embeddings(spark, d))
-    val cents = centroids(trainSample(e).map(_._2))
-    ivfFit(d) = cents
-    lastDir = Some(d)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_cell",
-      exprs => graft.functions.NearestCell(exprs.head, cents),
-      "built-in")
-    val assigned = e
-      .withColumn("cell", expr("nearest_cell(v)"))
-      .select($"cell", $"vec_id", $"label".cast("long").as("label"), $"v", $"norm")
-      .localCheckpoint() // feeds the cap aggregate and both join sides
-    val keep = assigned.groupBy($"cell")
-      .agg(count(lit(1)).as("csz"))
-      .filter($"csz" <= MaxCellBlock)
-      .select($"cell")
-    val capped = assigned.join(broadcast(keep), "cell")
+    val capped = cappedCells(spark, d)
     val a = capped.select($"cell", $"vec_id".as("vec_a"), $"label".as("label_a"),
       $"v".as("qv"), $"norm".as("qnorm"))
     val b = capped.select($"cell", $"vec_id".as("vec_b"), $"label".as("label_b"),
@@ -593,20 +587,13 @@ object Similarity {
        |WHERE rk <= $K""".stripMargin
   }
 
-  /** DuckDB twin of [[annIvf]], generated from the registry AFTER the
-    * query ran (Verify's dump order): the fitted centroids (plus their
-    * Scala-computed |c|² terms) and the driver-ranked probe→cell pairs
-    * are embedded as literals, so the SQL replays candidate assignment
-    * with the exact constants the Spark run used. The candidate argmin
-    * replicates [[graft.functions.NearestCell]] term for term
-    * (-2·dot + |c|², ties to the lowest cell) — list_dot_product matches
-    * the native left-to-right loop bit for bit (proven by the LSH and
-    * knn oracles), and the probe side skips ranking entirely because the
-    * (query_id, cell) pairs are literals.
-    */
   /** The shared centroid-literal assignment CTE chain (`e`/`n`/`cents`/
-    * `assign`) — composed into BOTH fitted oracles so the replicated
-    * -2·dot+|c|² argmin can never drift between them.
+    * `assign`) — composed into every fitted oracle so the replicated
+    * argmin can never drift between them. The candidate argmin
+    * replicates [[graft.functions.NearestCell]] term for term
+    * (-2·dot + |c|², ties to the lowest cell) — list_dot_product
+    * matches the native left-to-right loop bit for bit (proven by the
+    * LSH and knn oracles).
     */
   private def assignCtes(cents: Array[Array[Double]]): String = {
     val cn2 = graft.functions.NearestCell.cn2Of(cents)
@@ -626,6 +613,13 @@ object Similarity {
        |    FROM n CROSS JOIN cents) x WHERE r = 1)""".stripMargin
   }
 
+  /** DuckDB twin of [[annIvf]], generated from the registry AFTER the
+    * query ran (Verify's dump order): the fitted centroids and the
+    * driver-ranked probe→cell pairs embed as literals, so the SQL
+    * replays candidate assignment with the exact constants the Spark
+    * run used; the probe side skips ranking entirely because the
+    * (query_id, cell) pairs are literals.
+    */
   private def annIvfOracle(cents: Array[Array[Double]], probes: Seq[(Long, Int)]): String = {
     val probeRows = probes.map { case (id, c) => s"($id, $c)" }.mkString(", ")
     s"""${assignCtes(cents)},

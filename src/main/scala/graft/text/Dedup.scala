@@ -281,8 +281,12 @@ object Dedup {
     import spark.implicits._
     val flags = Tables.documents(spark, d)
       .select($"doc_id", ($"source" === IncrementalSource).as("is_new"))
+    // materialized: the pair-mining subplan feeds BOTH orientation
+    // branches of the union below — without the barrier the post-band
+    // joins and the 64-element estimate run once per branch
     val pairs = incrementalMinhashPairs(spark, d)
       .filter($"est_jaccard" * NumHashes >= AdmitMinMatches)
+      .localCheckpoint()
     // orient every pair as (new_id, other_id, other_is_new): new-corpus
     // pairs have exactly one new side; new-new pairs count from BOTH
     // sides, but only the (later, earlier) orientation survives the

@@ -25,6 +25,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderOrders masks both dims to 16 bits: out-of-range keys wrap, not corrupt") {
+    // synthetic orders rows straddling 2^16 on custkey and pre-epoch on
+    // date: the shipped key must equal the interleave of the MASKED
+    // values (pinning the documented wrap semantics; an unmasked cast
+    // would produce garbage bits above 2^16 / for negative datediff)
+    val tmp = java.nio.file.Files.createTempDirectory("graftzo")
+    Seq(
+      (1L, 65536L + 5L, "1995-03-01"), // custkey wraps to 5
+      (2L, 5L, "1995-03-01"), // in-range twin of row 1
+      (3L, 7L, "1994-12-31") // pre-epoch: datediff -1 wraps to 65535
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val z = graft.relational.Layout.zorderOrders(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z(1L) == z(2L), "custkey 65536+5 must alias custkey 5 (mask wrap)")
+    val wantPreEpoch = Layout
+      .zInterleave16(lit(7L), lit(65535L))
+    val want = spark.range(1).select(wantPreEpoch.as("z")).head().getLong(0)
+    assert(z(3L) == want, s"pre-epoch date must wrap to 65535: got ${z(3L)}, want $want")
+  }
+
   test("Z-clustered parquet prunes row groups on the dimension a linear sort can't") {
     // sf0.01, not the usual sf0.001: row-group pruning only bites once
     // groups (>= ~100 rows, parquet's min-record check) are DENSER than

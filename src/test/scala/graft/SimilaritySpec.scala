@@ -192,18 +192,22 @@ class SimilaritySpec extends SparkSpec {
       BigDecimal(dot / (norm(a._3) * norm(b._3)))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    got.foreach { case (la, lb, va, vb, sim) =>
-      val cell = byCell.find(_._2.exists(_._1 == va)).get
-      val as = cell._2.filter(_._2 == la)
-      val bs = cell._2.filter(_._2 == lb)
-      val aRow = as.find(_._1 == va).get
-      val bRow = bs.find(_._1 == vb).get
-      // b is a's argmax over label-lb cellmates (sim desc, vec_id asc) and vice versa
-      val bestB = bs.map(b => (simOf(aRow, b), b._1)).maxBy(t => (t._1, -t._2))
-      val bestA = as.map(a => (simOf(a, bRow), a._1)).maxBy(t => (t._1, -t._2))
-      assert(bestB._2 == vb && bestA._2 == va && sim == bestB._1,
-        s"pair ($va,$vb) not mutual argmax: bestB=$bestB bestA=$bestA sim=$sim")
-    }
+    // FULL expected set (completeness AND soundness): per capped cell
+    // and label pair, the mutual argmaxes under (sim desc, vec_id asc)
+    val want = (for {
+      (_, membersArr) <- byCell.toSeq
+      members = membersArr.toSeq
+      labels = members.map(_._2).distinct.sorted
+      la <- labels; lb <- labels.filter(_ > la)
+      as = members.filter(_._2 == la); bs = members.filter(_._2 == lb)
+      aRow <- as
+      bestB = bs.map(b => (simOf(aRow, b), b._1)).maxBy(t => (t._1, -t._2))
+      bRow = bs.find(_._1 == bestB._2).get
+      bestA = as.map(a => (simOf(a, bRow), a._1)).maxBy(t => (t._1, -t._2))
+      if bestA._2 == aRow._1
+    } yield (la, lb, aRow._1, bestB._2, bestB._1)).toSet
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
   }
 
   test("native quant_code == driver boundary-rank recompute (bit-for-bit)") {
@@ -269,9 +273,16 @@ class SimilaritySpec extends SparkSpec {
       assert(cellSizes(r.getLong(2)) <= Similarity.MaxCellBlock,
         s"cell ${r.getLong(2)} exceeds the block cap")
     }
-    // the blocking key must be geometric (cell), not the label column
-    val plan = Similarity.embedDupPairs(spark, sf).queryExecution.executedPlan.toString
-    assert(!plan.contains("label"), s"label survived as a blocking key; plan:\n$plan")
+    // the blocking key must be geometric (cell), not the label column:
+    // no join in the plan may reference label (it rides the shared
+    // cell-assignment frame as a passenger column only)
+    val lp = Similarity.embedDupPairs(spark, sf).queryExecution.optimizedPlan
+    val joinRefs = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.toSeq.flatMap(_.references.toSeq.map(_.name))
+    }.flatten
+    assert(joinRefs.nonEmpty && !joinRefs.contains("label"),
+      s"label must not be a blocking key; join refs: $joinRefs")
   }
 
   test("quantized knn: integer scores, full result shape, nontrivial recall vs exact") {
