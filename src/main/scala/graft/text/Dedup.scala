@@ -862,6 +862,76 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"span_len")
   }
 
+  /** Span SCRUBBING — the transformation Lee et al. actually ship:
+    * every token of a LATER doc covered by a duplicate span is removed
+    * (keep-first: the smallest doc_id keeps its copy) and the text
+    * re-assembled. One row per doc, untouched docs included:
+    * (doc_id, n_tokens, n_removed, scrubbed_text).
+    *
+    * The tokenized frame is checkpointed once and feeds BOTH the span
+    * miner and the reconstruction join (one documents scan, the
+    * training_mix discipline). Removal is index-set arithmetic inside
+    * one projection: filter(sequence(0, n-1)) keeps positions covered
+    * by no range — written with the same size(filter(..)) > 0 spelling
+    * the DuckDB twin uses, so coverage decisions are identical however
+    * ranges overlap. Per-doc range lists are bounded by doc length
+    * (every range is >= SpanMinTokens disjoint-start tokens of a doc).
+    */
+  def spanScrub(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", TextAnalysis.toks($"text").as("t"))
+      .localCheckpoint()
+    val ranges = spanExtentsOf(toks)
+      .groupBy($"doc_b".as("doc_id"))
+      .agg(collect_list(struct(
+        $"start_b".as("s"), ($"start_b" + $"span_len").as("e"))).as("rs"))
+    toks.join(ranges, Seq("doc_id"), "left_outer")
+      .withColumn("rs", coalesce($"rs", array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("kept", expr(
+        """transform(
+          |  filter(sequence(0L, size(t) - 1),
+          |         i -> size(filter(rs, r -> i >= r.s AND i < r.e)) = 0),
+          |  i -> element_at(t, cast(i + 1 as int)))""".stripMargin))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        (size($"t") - size($"kept")).cast("long").as("n_removed"),
+        array_join($"kept", " ").as("scrubbed_text"))
+  }
+
+  /** DuckDB twin of [[spanScrub]]: the span statement embeds as a CTE
+    * (nested-WITH derived table, as in the admission oracle) and the
+    * index-set filter replays with the same covered() spelling.
+    */
+  private def spanScrubOracle: String =
+    s"""WITH spans AS (
+       |SELECT * FROM (
+       |$spanOracle
+       |) s),
+       |rng AS (
+       |  SELECT doc_b AS doc_id,
+       |         list({'s': start_b, 'e': start_b + span_len}) AS rs
+       |  FROM spans GROUP BY doc_b),
+       |d0 AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |j AS (
+       |  SELECT d0.doc_id, d0.t, coalesce(rng.rs, []) AS rs
+       |  FROM d0 LEFT JOIN rng ON d0.doc_id = rng.doc_id),
+       |k AS (
+       |  SELECT doc_id, t,
+       |    list_transform(
+       |      list_filter(range(len(t)),
+       |                  i -> len(list_filter(rs, r -> i >= r.s AND i < r.e)) = 0),
+       |      i -> t[CAST(i + 1 AS BIGINT)]) AS kept
+       |  FROM j)
+       |SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       |  -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+       |  coalesce(array_to_string(kept, ' '), '') AS scrubbed_text
+       |FROM k""".stripMargin
+
   private def spanOracle: String =
     s"""WITH d0 AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -901,10 +971,12 @@ object Dedup {
     "dedup_prefix_jaccard" -> (prefixJaccardPairs _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_span_extents" -> (spanExtents _),
+    "dedup_span_scrub" -> (spanScrub _),
     "dedup_winnow_pairs" -> (winnowPairs _))
 
   val oracles: Map[String, String] = Map(
     "dedup_span_extents" -> spanOracle,
+    "dedup_span_scrub" -> spanScrubOracle,
     "dedup_prefix_jaccard" -> prefixJaccardOracle,
     "dedup_incremental_pairs" -> incrMinhashOracle,
     "dedup_incremental_admit" -> incrAdmitOracle,

@@ -47,6 +47,9 @@ class PlanBudgetSpec extends SparkSpec {
     // gram window on doc_id -> gram-hash buckets -> doc-pair diagonal
     // (island window + extent agg share the third exchange)
     "dedup_span_extents" -> 3,
+    // the span miner's three + per-doc range agg; the reconstruction
+    // join reuses the checkpointed tokenized frame
+    "dedup_span_scrub" -> 4,
     // cluster propagation feeds the survivor anti-join
     "dedup_survivors" -> 3,
     // user timeline window -> (from, to) grid -> source share

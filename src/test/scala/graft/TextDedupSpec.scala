@@ -321,6 +321,31 @@ class TextDedupSpec extends SparkSpec {
     assert(checkedPairs > 5, s"random corpus produced only $checkedPairs span pairs — weak test")
   }
 
+  test("span scrub: later doc loses the copied span, first keeper and bystanders intact") {
+    import graft.text.Dedup
+    val run = (1 to 12).map(i => s"shared$i")
+    val docA = (1 to 7).map(i => s"alpha$i") ++ run ++ (1 to 5).map(i => s"omega$i")
+    val docB = (1 to 3).map(i => s"beta$i") ++ run ++ (1 to 9).map(i => s"gamma$i")
+    val docC = (1 to 40).map(i => s"unrelated$i")
+    val tmp = java.nio.file.Files.createTempDirectory("graftscrub")
+    Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")), (3L, docC.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.spanScrub(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "one row per doc, untouched docs included")
+    // keeper (smaller id) intact
+    assert(out(1L) == (docA.length.toLong, 0L, docA.mkString(" ")))
+    // later doc loses exactly the copied run
+    val wantB = (1 to 3).map(i => s"beta$i") ++ (1 to 9).map(i => s"gamma$i")
+    assert(out(2L) == (docB.length.toLong, 12L, wantB.mkString(" ")),
+      s"scrub mismatch: ${out(2L)}")
+    // bystander untouched
+    assert(out(3L) == (docC.length.toLong, 0L, docC.mkString(" ")))
+  }
+
   test("chunking: full coverage, exact overlap, no redundant tails, clean edges") {
     import graft.text.TextExtras
     val (size0, stride) = (TextExtras.ChunkSize, TextExtras.ChunkStride)
