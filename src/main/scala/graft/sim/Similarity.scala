@@ -246,6 +246,45 @@ object Similarity {
       .select($"vec_a", $"vec_b", $"cell".cast("long").as("cell"), $"sim")
   }
 
+  /** Training-triplet mining for metric learning — per probe anchor:
+    * the nearest SAME-label vector (positive) and the nearest
+    * DIFFERENT-label vector (the HARD negative — the highest-similarity
+    * wrong-label candidate, the one that actually moves a contrastive
+    * loss), plus the margin between them. One broadcast probe pass
+    * (the [[knnExact]] shape), one window partitioned on
+    * (query_id, same-label?) — two rows survive per anchor and pivot
+    * into one via single-row max-of-struct (no ordering subtlety: the
+    * rank filter leaves at most one non-null struct per side).
+    * Rounded-then-ranked sims, vec_id tie-breaks; fully oracle-able.
+    */
+  def tripletMine(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+      .withColumn("label", $"label".cast("long"))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"v".as("qv"), $"norm".as("qnorm"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"label".as("clabel"),
+      $"v".as("cv"), $"norm".as("cnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id", $"same").orderBy($"sim".desc, $"neighbor_id")
+    c.crossJoin(broadcast(q))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("same", $"clabel" === $"qlabel")
+      .select($"query_id", $"qlabel", $"neighbor_id", $"sim", $"same")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .groupBy($"query_id", $"qlabel".as("anchor_label"))
+      .agg(
+        max(when($"same", struct($"neighbor_id", $"sim"))).as("p"),
+        max(when(!$"same", struct($"neighbor_id", $"sim"))).as("n"))
+      .select($"query_id", $"anchor_label",
+        $"p.neighbor_id".as("positive_id"), $"p.sim".as("sim_pos"),
+        $"n.neighbor_id".as("negative_id"), $"n.sim".as("sim_neg"),
+        round($"p.sim" - $"n.sim", 4).as("margin"))
+  }
+
   /** Cross-label MUTUAL nearest neighbors — the bitext/aligned-pair
     * mining shape (LASER/CCMatrix): labels play the two corpora
     * (languages), and a pair is emitted only when each side is the
@@ -553,6 +592,7 @@ object Similarity {
     "embed_label_centroids" -> (labelCentroids _),
     "embed_knn_quantized" -> (knnQuantized _),
     "embed_xlabel_mutual" -> (crossLabelMutual _),
+    "embed_triplets" -> (tripletMine _),
     "dedup_embed_pairs" -> (embedDupPairs _))
 
   /** The LSH ANN query IS DuckDB-expressible because the hyperplanes are
@@ -717,6 +757,29 @@ object Similarity {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "embed_triplets" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm
+         |      FROM n WHERE vec_id < $NumQueries),
+         |s AS (
+         |  SELECT q.query_id, q.qlabel, n.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.qv, n.v) / (q.qnorm * n.norm), 4) AS sim,
+         |         n.label = q.qlabel AS same
+         |  FROM q JOIN n ON n.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id, same
+         |                               ORDER BY sim DESC, neighbor_id) AS rk
+         |  FROM s)
+         |SELECT query_id, qlabel AS anchor_label,
+         |  max(CASE WHEN same THEN neighbor_id END) AS positive_id,
+         |  max(CASE WHEN same THEN sim END) AS sim_pos,
+         |  max(CASE WHEN NOT same THEN neighbor_id END) AS negative_id,
+         |  max(CASE WHEN NOT same THEN sim END) AS sim_neg,
+         |  round(max(CASE WHEN same THEN sim END)
+         |        - max(CASE WHEN NOT same THEN sim END), 4) AS margin
+         |FROM r WHERE rk = 1 GROUP BY query_id, qlabel""".stripMargin,
     "embed_norms" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |       CAST(len(v) AS BIGINT) AS n_dims,

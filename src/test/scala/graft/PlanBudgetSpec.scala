@@ -80,6 +80,7 @@ class PlanBudgetSpec extends SparkSpec {
     "decontam_embed", // broadcast eval-split constant
     "embed_knn", // probe-vector constant
     "embed_knn_quantized", // quantile-boundary constant
+    "embed_triplets", // probe-vector constant (the knn shape)
     "cms_dataflow_estimates", // inherits heavy_hitter's one-row threshold
     "heavy_hitter_tokens", // one-row total-count threshold
     "mixture_rates", // one-row corpus-total broadcast

@@ -168,6 +168,36 @@ class SimilaritySpec extends SparkSpec {
       s"identical payload twin must collide at hamming 0: ${planted.keys.take(5)}")
   }
 
+  test("triplet mining: positive/hard-negative are label-constrained argmaxes") {
+    import graft.sim.Similarity
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("long"), $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def simOf(a: Array[Double], b: Array[Double]) =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum / (norm(a) * norm(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.tripletMine(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet == (0L until Similarity.NumQueries).toSet)
+    got.foreach { case (qid, (alabel, pid, sp, nid, sn, margin)) =>
+      val (_, ql, qv) = rows.find(_._1 == qid).get
+      assert(ql == alabel)
+      def best(same: Boolean) = rows
+        .filter(r => r._1 != qid && (r._2 == ql) == same)
+        .map(r => (simOf(qv, r._3), r._1))
+        .maxBy(t => (t._1, -t._2))
+      val (wsp, wpid) = best(same = true)
+      val (wsn, wnid) = best(same = false)
+      assert((pid, sp, nid, sn) == (wpid, wsp, wnid, wsn),
+        s"anchor $qid: got ($pid,$sp,$nid,$sn) want ($wpid,$wsp,$wnid,$wsn)")
+      assert(margin == BigDecimal(sp - sn)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("cross-label mutual NN: pairs are mutual argmaxes within their cells") {
     import graft.sim.Similarity
     val got = Similarity.crossLabelMutual(spark, sf).collect()
