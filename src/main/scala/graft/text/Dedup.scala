@@ -281,12 +281,13 @@ object Dedup {
     import spark.implicits._
     val flags = Tables.documents(spark, d)
       .select($"doc_id", ($"source" === IncrementalSource).as("is_new"))
-    // materialized: the pair-mining subplan feeds BOTH orientation
-    // branches of the union below — without the barrier the post-band
-    // joins and the 64-element estimate run once per branch
+    // NOT checkpointed, deliberately: the mining subplan feeds both
+    // orientation branches, but every expensive stage sits behind an
+    // exchange that Spark REUSES across the union (bench taskMetrics:
+    // shuffle read > write by exactly the re-read; an eager
+    // localCheckpoint here measured 1.8x slower than the reuse)
     val pairs = incrementalMinhashPairs(spark, d)
       .filter($"est_jaccard" * NumHashes >= AdmitMinMatches)
-      .localCheckpoint()
     // orient every pair as (new_id, other_id, other_is_new): new-corpus
     // pairs have exactly one new side; new-new pairs count from BOTH
     // sides, but only the (later, earlier) orientation survives the
