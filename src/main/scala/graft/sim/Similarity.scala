@@ -109,18 +109,33 @@ object Similarity {
         round($"norm", 6).as("l2_norm"))
   }
 
-  /** Exact cosine top-K for each probe vector (DuckDB-oracled). */
-  def knnExact(spark: SparkSession, d: String): DataFrame = {
+  /** ONE implementation of the broadcast-probe scoring scaffold: every
+    * probe (vec_id < NumQueries) rounded-then-ranked against every
+    * candidate — (query_id, qlabel, neighbor_id, clabel, sim). Shared
+    * by [[knnExact]] and [[tripletMine]] so the scoring convention
+    * (native dot, 4dp round-before-rank) lives in one place.
+    */
+  private def probeScores(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = withVec(Tables.embeddings(spark, d))
+      .withColumn("label", $"label".cast("long"))
     val q = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
-    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"v".as("qv"), $"norm".as("qnorm"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"label".as("clabel"),
+      $"v".as("cv"), $"norm".as("cnorm"))
     c.crossJoin(broadcast(q))
       .filter($"neighbor_id" =!= $"query_id")
       .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .select($"query_id", $"qlabel", $"neighbor_id", $"clabel", $"sim")
+  }
+
+  /** Exact cosine top-K for each probe vector (DuckDB-oracled). */
+  def knnExact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    probeScores(spark, d)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= K)
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
@@ -259,18 +274,9 @@ object Similarity {
     */
   def tripletMine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val e = withVec(Tables.embeddings(spark, d))
-      .withColumn("label", $"label".cast("long"))
-    val q = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
-        $"v".as("qv"), $"norm".as("qnorm"))
-    val c = e.select($"vec_id".as("neighbor_id"), $"label".as("clabel"),
-      $"v".as("cv"), $"norm".as("cnorm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id", $"same").orderBy($"sim".desc, $"neighbor_id")
-    c.crossJoin(broadcast(q))
-      .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+    probeScores(spark, d)
       .withColumn("same", $"clabel" === $"qlabel")
       .select($"query_id", $"qlabel", $"neighbor_id", $"sim", $"same")
       .withColumn("rk", row_number().over(w))

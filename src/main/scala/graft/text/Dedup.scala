@@ -889,11 +889,15 @@ object Dedup {
         $"start_b".as("s"), ($"start_b" + $"span_len").as("e"))).as("rs"))
     toks.join(ranges, Seq("doc_id"), "left_outer")
       .withColumn("rs", coalesce($"rs", array().cast("array<struct<s:bigint,e:bigint>>")))
-      .withColumn("kept", expr(
-        """transform(
-          |  filter(sequence(0L, size(t) - 1),
-          |         i -> size(filter(rs, r -> i >= r.s AND i < r.e)) = 0),
-          |  i -> element_at(t, cast(i + 1 as int)))""".stripMargin))
+      // the empty-doc guard matters: sequence(0, -1) yields [0, -1], not
+      // [] (the DuckDB twin's range(0) IS empty), and element_at would
+      // throw on the empty token array
+      .withColumn("kept", when(size($"t") === 0, array().cast("array<string>"))
+        .otherwise(expr(
+          """transform(
+            |  filter(sequence(0L, size(t) - 1),
+            |         i -> size(filter(rs, r -> i >= r.s AND i < r.e)) = 0),
+            |  i -> element_at(t, cast(i + 1 as int)))""".stripMargin)))
       .select($"doc_id",
         size($"t").cast("long").as("n_tokens"),
         (size($"t") - size($"kept")).cast("long").as("n_removed"),

@@ -346,6 +346,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == (docC.length.toLong, 0L, docC.mkString(" ")))
   }
 
+  test("span scrub: overlapping ranges remove the union; empty docs survive") {
+    import graft.text.Dedup
+    // doc 10 carries two OVERLAPPING copied runs (one from doc 1, one
+    // from doc 2, sharing a middle section) — removed tokens must be
+    // the union of the covered index sets, not the sum of range lengths
+    val left = (1 to 10).map(i => s"L$i")
+    val mid = (1 to 6).map(i => s"M$i")
+    val right = (1 to 10).map(i => s"R$i")
+    val doc1 = (1 to 5).map(i => s"a$i") ++ left ++ mid ++ (1 to 5).map(i => s"b$i")
+    val doc2 = (1 to 5).map(i => s"c$i") ++ mid ++ right ++ (1 to 5).map(i => s"d$i")
+    val doc10 = (1 to 4).map(i => s"e$i") ++ left ++ mid ++ right ++ (1 to 4).map(i => s"f$i")
+    val tmp = java.nio.file.Files.createTempDirectory("graftscrub2")
+    Seq((1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")),
+      (10L, doc10.mkString(" ")), (11L, "")) // 11: zero-token doc
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.spanScrub(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 10 loses left+mid (spans vs doc 1) UNION mid+right (vs doc 2):
+    // the mid section counts once
+    val wantKept = (1 to 4).map(i => s"e$i") ++ (1 to 4).map(i => s"f$i")
+    val wantRemoved = left.length + mid.length + right.length
+    assert(out(10L) == (doc10.length.toLong, wantRemoved.toLong, wantKept.mkString(" ")),
+      s"overlap union mismatch: ${out(10L)}")
+    // the zero-token doc survives as an empty row (no crash, no drop)
+    assert(out(11L) == (0L, 0L, ""))
+  }
+
   test("chunking: full coverage, exact overlap, no redundant tails, clean edges") {
     import graft.text.TextExtras
     val (size0, stride) = (TextExtras.ChunkSize, TextExtras.ChunkStride)
