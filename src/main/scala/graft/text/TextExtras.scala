@@ -130,13 +130,88 @@ object TextExtras {
         array_join($"c.chunk", " ").as("chunk_text"))
   }
 
+  /** Tokens per overlap gram (between the span miner's 6 and
+    * decontamination's 8: long enough that shared grams mean copied
+    * phrasing, short enough to catch partial reuse).
+    */
+  val OverlapN = 6
+
+  /** Per-document n-gram overlap rate — the memorization/diversity
+    * diagnostic run before training: the share of a doc's distinct
+    * [[OverlapN]]-grams that appear in at least one OTHER document.
+    * High overlap marks boilerplate and near-copies that the whole-doc
+    * dedup tiers under-weight (they score the pair, not the doc).
+    *
+    * Dataflow: 60-bit gram hashes (8 shuffled bytes, the decontam
+    * trick) distinct per doc, gram document-frequency via one
+    * partial+final aggregate, join back on the hash, per-doc share.
+    * All counts integer; the ratio divides two identical BIGINTs on
+    * both engines. Docs shorter than the gram width carry zero grams
+    * and report 0.0 overlap.
+    */
+  def gramOverlap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val leads: Seq[org.apache.spark.sql.Column] =
+      (1 until OverlapN).map(i => lead($"tok", i).over(wDoc))
+    val grams = Tables.documents(spark, d)
+      .select($"doc_id", posexplode(TextAnalysis.toks($"text")).as(Seq("pos", "tok")))
+      .withColumn("lastTok", lead($"tok", OverlapN - 1).over(wDoc))
+      .withColumn("g", concat_ws(" ", ($"tok" +: leads): _*))
+      .filter($"lastTok".isNotNull)
+      .select($"doc_id",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val df = grams.groupBy($"h")
+      .agg(count(lit(1)).as("gdf"))
+    val perDoc = grams.join(df, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"gdf" > 1, 1L).otherwise(0L)).as("n_shared"))
+    Tables.documents(spark, d)
+      .select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        when(coalesce($"n_grams", lit(0L)) === 0, lit(0.0))
+          .otherwise($"n_shared".cast("double") / $"n_grams").as("overlap_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_topk" -> (ngramTopk _),
     "text_repetition" -> (repetition _),
     "text_chunks" -> (chunks _),
+    "text_gram_overlap" -> (gramOverlap _),
     "text_pii_redact" -> (piiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "text_gram_overlap" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(CASE WHEN len(t) >= $OverlapN THEN
+         |        list_transform(range(1, len(t) - $OverlapN + 2),
+         |          i -> array_to_string(t[i:i+${OverlapN - 1}], ' '))
+         |        ELSE [] END) AS gram
+         |    FROM d0) x),
+         |df AS (SELECT h, count(*) AS gdf FROM g GROUP BY h),
+         |per_doc AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |         CAST(sum(CASE WHEN df.gdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM g JOIN df ON g.h = df.h GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_grams, 0) AS n_grams,
+         |  coalesce(p.n_shared, 0) AS n_shared,
+         |  CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+         |       ELSE CAST(p.n_shared AS DOUBLE) / p.n_grams END AS overlap_ratio
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
     "text_chunks" ->
       s"""WITH d0 AS (
          |  SELECT doc_id,

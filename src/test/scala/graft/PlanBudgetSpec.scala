@@ -32,6 +32,8 @@ class PlanBudgetSpec extends SparkSpec {
     "ts_interpolate" -> 3,
     // token freq agg -> token join -> per-doc mean
     "text_unigram_logprob" -> 3,
+    // gram window on doc_id -> gram-df agg -> per-doc share
+    "text_gram_overlap" -> 3,
     // custkey grid -> (cohort, month) grid -> distinct actives
     "cohort_retention" -> 3,
     // counter-cell agg + the embedded heavy-hitter recount (distinct,

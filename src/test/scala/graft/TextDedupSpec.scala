@@ -404,6 +404,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("gram overlap: exact copies score 1.0, unique docs 0.0, shares bounded") {
+    import graft.text.TextExtras
+    val copied = (1 to 20).map(i => s"copy$i")
+    val tmp = java.nio.file.Files.createTempDirectory("graftov")
+    Seq(
+      (1L, copied.mkString(" ")),
+      (2L, copied.mkString(" ")), // exact duplicate of 1
+      (3L, (1 to 20).map(i => s"uniq$i").mkString(" ")),
+      (4L, "too short")) // below the gram width
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextExtras.gramOverlap(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val wantGrams = (copied.length - TextExtras.OverlapN + 1).toLong
+    assert(out(1L) == (wantGrams, wantGrams, 1.0) && out(2L) == out(1L),
+      s"exact copies must fully overlap: ${out(1L)} / ${out(2L)}")
+    assert(out(3L) == (wantGrams, 0L, 0.0), s"unique doc must not overlap: ${out(3L)}")
+    assert(out(4L) == (0L, 0L, 0.0), "gram-less doc reports zeros")
+  }
+
   test("token stats: ttr in (0,1], bpe count >= whitespace token count") {
     val st = TextAnalysis.textStats(spark, sf).collect()
     st.foreach { r =>
