@@ -404,6 +404,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("bucket-cap discipline: a degenerate all-duplicates corpus cannot go quadratic") {
+    import graft.text.Dedup
+    // 200 identical docs: every minhash band bucket and every span
+    // gram bucket holds all 200 — far over MaxBucket — so the pair
+    // tiers must emit NOTHING (the documented recall trade: capped,
+    // not exploded), while exact dedup still catches the whole group
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graftbomb")
+    (0 until 200).map(i => (i.toLong, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Dedup.minhashPairs(spark, tmp.toString).count() == 0,
+      "over-cap band buckets must be dropped, not exploded")
+    assert(Dedup.spanExtentsOf(
+      Tables.documents(spark, tmp.toString)
+        .select($"doc_id", TextAnalysis.toks($"text").as("t"))).count() == 0,
+      "over-cap gram buckets must be dropped, not exploded")
+    // the safety net: exact dedup groups all 200 under one fingerprint
+    val ex = Dedup.exact(spark, tmp.toString).collect()
+    assert(ex.length == 1 && ex.head.getLong(2) == 200L,
+      "exact dedup must still catch the capped-out duplicates")
+  }
+
   test("gram overlap: exact copies score 1.0, unique docs 0.0, shares bounded") {
     import graft.text.TextExtras
     val copied = (1 to 20).map(i => s"copy$i")
