@@ -130,9 +130,9 @@ object TextExtras {
         array_join($"c.chunk", " ").as("chunk_text"))
   }
 
-  /** Tokens per overlap gram (between the span miner's 6 and
-    * decontamination's 8: long enough that shared grams mean copied
-    * phrasing, short enough to catch partial reuse).
+  /** Tokens per overlap gram — the span miner's width (6): long enough
+    * that shared grams mean copied phrasing, shorter than
+    * decontamination's stricter 8 so partial reuse still registers.
     */
   val OverlapN = 6
 
@@ -156,8 +156,12 @@ object TextExtras {
       (1 until OverlapN).map(i => lead($"tok", i).over(wDoc))
     val grams = Tables.documents(spark, d)
       .select($"doc_id", posexplode(TextAnalysis.toks($"text")).as(Seq("pos", "tok")))
-      .withColumn("lastTok", lead($"tok", OverlapN - 1).over(wDoc))
+      // the last lead materializes as a COLUMN first: filtering on the
+      // window expression directly is "window function inside WHERE"
+      .withColumn("lastTok", leads.last)
       .withColumn("g", concat_ws(" ", ($"tok" +: leads): _*))
+      // concat_ws skips nulls, which would shorten tail grams — require
+      // the full width (the Decontam.gramsOf guard)
       .filter($"lastTok".isNotNull)
       .select($"doc_id",
         conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))

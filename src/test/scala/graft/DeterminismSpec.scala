@@ -39,7 +39,9 @@ class DeterminismSpec extends SparkSpec {
     val cols = df.columns.sorted
     df.selectExpr(cols.map(c => s"cast(`$c` as string)"): _*)
       .collect()
-      .map(_.mkString(""))
+      // non-printable separator: without one, (12, 3) and (1, 23) would
+      // serialize identically and a real divergence could false-pass
+      .map(_.mkString("\u0001"))
       .sorted
       .toSeq
   }
