@@ -239,7 +239,14 @@ object Multimodal {
     * composed into BOTH phash oracles so the two can never drift. Byte
     * reads replay as ascii(substr(..)): payloads are the text column,
     * whose fixture content is printable ASCII, so code point == byte
-    * everywhere the stub reads.
+    * everywhere the stub reads. That equivalence holds ONLY for
+    * pure-ASCII payloads (character-indexed substr + byte-length
+    * scaling diverge on any multi-byte code point), so the `n` column
+    * carries a guard: a non-ASCII row routes through a guaranteed
+    * BIGINT overflow, failing the oracle run loudly instead of letting
+    * the hash drift silently. (Data-dependent on purpose — a constant
+    * error expression could be constant-folded and fire even on clean
+    * fixtures.) SimilaritySpec also pins the fixture itself as ASCII.
     */
   private def phashCtes: String = {
     def half(lo: Int): String = (0 until 32).map { b =>
@@ -247,7 +254,11 @@ object Multimodal {
       s"(CASE WHEN cs[${i + 1}] * $PHashSamples >= s THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH m AS (
-       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  SELECT doc_id, text,
+       |    CASE WHEN octet_length(encode(text)) = length(text)
+       |         THEN CAST(octet_length(encode(text)) AS BIGINT)
+       |         ELSE (CAST(octet_length(encode(text)) AS BIGINT) + 1)
+       |              * 9223372036854775807 END AS n
        |  FROM documents WHERE octet_length(encode(text)) >= 1),
        |c AS (
        |  SELECT doc_id,

@@ -109,9 +109,19 @@ object Packing {
     * 11 of 80 groups wrong at sf0.1, correct when the same groups are
     * evaluated alone); scalar accumulators are unaffected (verified
     * against a driver replay on every group). cur <= max(SeqBudget,
-    * max n_chars) << PackAccBase, so the encoding is exact.
+    * max n_chars) << PackAccBase, so the encoding is exact — and that
+    * bound is ENFORCED, not assumed: the oracle's list elements route
+    * any n_chars >= PackAccBase through a guaranteed BIGINT overflow
+    * (data-dependent, so it cannot constant-fold), failing the gate
+    * loudly if the fixture ever grows a >1M-char document, and the
+    * SeqBudget half of the bound is a static require below.
     */
   val PackAccBase = 1L << 20
+
+  // cur never exceeds max(SeqBudget, one doc's n_chars); the n_chars arm
+  // is guarded row-wise in the oracle SQL, this pins the SeqBudget arm.
+  require(SeqBudget < PackAccBase,
+    s"SeqBudget $SeqBudget must stay below PackAccBase $PackAccBase or the packed fold corrupts")
 
   val oracles: Map[String, String] = Map(
     "pack_sequences" ->
@@ -125,7 +135,9 @@ object Packing {
          |  SELECT source, shard, count(*) AS n_docs,
          |    CAST(sum(n_chars) AS BIGINT) AS chars,
          |    list_reduce(
-         |      list(CAST(n_chars AS BIGINT) ORDER BY doc_id),
+         |      list(CASE WHEN n_chars < $PackAccBase THEN CAST(n_chars AS BIGINT)
+         |                ELSE (CAST(n_chars AS BIGINT) + 1) * 9223372036854775807
+         |           END ORDER BY doc_id),
          |      (acc, c) -> CASE WHEN acc % $PackAccBase + c <= $SeqBudget
          |                  THEN acc + c
          |                  ELSE acc - (acc % $PackAccBase) + $PackAccBase + c END

@@ -352,15 +352,24 @@ object Analytics {
     * formulation shuffles the item list three times (distinct, both
     * join branches), this shape shuffles once before the pair count's
     * own exchange (measured ~2x at sf0.1). Fan-out per order is
-    * C(items,2) and TPC-H-ish orders hold <= 7 items, so the blow-up
-    * is bounded by the data model. For baskets with unbounded size
-    * (carts, playlists), cap per-basket items first (the
-    * [[graft.text.Dedup.MaxBucket]] discipline) or switch to
-    * frequent-itemset sampling — same trade recorded there. Top-k
-    * compiles to TakeOrderedAndProject (per-partition heaps, no
+    * C(items,2), so the basket is HARD-CAPPED at [[MaxBasket]] items
+    * before pairing (`slice` of the ascending-sorted distinct basket =
+    * the [[graft.text.Dedup.MaxBucket]] discipline): one degenerate
+    * 100k-item cart at 100x scale would otherwise explode a single row
+    * into 5e9 pairs inside the explode. The cap keeps fan-out <=
+    * C(64,2) = 2016 pairs per order; the deterministic keep-lowest-ids
+    * rule is the same recall trade MaxBucket records, and TPC-H-ish
+    * orders (<= 7 items) are never touched by it.
+    * AnalyticsSpec plants a degenerate giant basket to prove the bound.
+    * Top-k compiles to TakeOrderedAndProject (per-partition heaps, no
     * global sort).
     */
   val BasketTopK = 20
+
+  /** Per-order basket cap: pairs are mined over at most this many
+    * (lowest-id) distinct parts per order.
+    */
+  val MaxBasket = 64
 
   /** Fixed-size-per-stratum deterministic sample: exactly K docs per
     * source, chosen by md5(doc_id) order — the fixed-N complement of
@@ -385,11 +394,15 @@ object Analytics {
       .filter($"rk" <= StratTopN)
   }
 
-  def basketPairs(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    Tables.lineitem(spark, d)
+  /** Pre-top-k pair counts over any (l_orderkey, l_partkey) frame —
+    * exposed so AnalyticsSpec can plant a degenerate 10k-item basket
+    * and assert the [[MaxBasket]] cap bounds the explode.
+    */
+  def basketPairCounts(lineitems: DataFrame): DataFrame = {
+    import lineitems.sparkSession.implicits._
+    lineitems
       .groupBy($"l_orderkey")
-      .agg(array_sort(collect_set($"l_partkey")).as("basket"))
+      .agg(slice(array_sort(collect_set($"l_partkey")), 1, MaxBasket).as("basket"))
       .select(explode(expr(
         """flatten(transform(basket,
           |  (x, i) -> transform(slice(basket, i + 2, size(basket) - i - 1),
@@ -397,6 +410,11 @@ object Analytics {
           .stripMargin)).as("p"))
       .groupBy($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
+  }
+
+  def basketPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    basketPairCounts(Tables.lineitem(spark, d))
       .orderBy($"n_orders".desc, $"part_a".asc, $"part_b".asc)
       .limit(BasketTopK)
   }
@@ -482,9 +500,15 @@ object Analytics {
          |LIMIT $SeqTopK""".stripMargin,
     "basket_pairs" ->
       s"""WITH items AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |capped AS (
+         |  SELECT ok, pk FROM (
+         |    SELECT ok, pk,
+         |           row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+         |    FROM items)
+         |  WHERE rn <= $MaxBasket)
          |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
-         |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
          |GROUP BY 1, 2
          |ORDER BY n_orders DESC, part_a, part_b
          |LIMIT $BasketTopK""".stripMargin,

@@ -359,12 +359,28 @@ object EventStreams {
     * state variables per key, and state-schema evolution, i.e. what a
     * long-lived production pipeline migrates to. Kept semantically
     * IDENTICAL to the v1 twin so the spec can assert v2 == v1 == batch.
+    *
+    * State retention is UNBOUNDED (per live user) as a DELIBERATE
+    * semantic choice, not an omission: an EWMA is a statistic over a
+    * user's ENTIRE event history, so evicting an idle user's cell via
+    * TTL would silently re-seed their average at the next event —
+    * divergence from the batch twin (and from v1) that no spec could
+    * pin without also modeling the eviction clock. Cost is one ~40 B
+    * cell per EVER-SEEN user in RocksDB — at 10⁹ users, ~40 GB across
+    * the whole cluster's state stores, which is the price of the
+    * statistic's definition. A pipeline that prefers bounded state over
+    * exact history must change semantics explicitly: arm
+    * `TimeMode.ProcessingTime` + `TTLConfig` the way
+    * [[RollingAvgProcessor]] does (its last-N window is naturally
+    * recency-scoped, so eviction there is semantics-preserving).
     */
   final class EwmaProcessor(alpha: Double)
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, Double), EwmaCell] {
     @transient private var cell: ValueState[EwmaCell] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // TTLConfig.NONE on purpose — see the class scaladoc: a TTL here
+      // would silently reset idle users' EWMA, changing the statistic.
       cell = getHandle.getValueState[EwmaCell]("ewma_cell",
         org.apache.spark.sql.Encoders.product[EwmaCell], TTLConfig.NONE)
 

@@ -254,12 +254,16 @@ object Dedup {
           |  (u, v) -> IF(u = v, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
           |  CAST(0 AS BIGINT), (acc, w) -> acc + w)""".stripMargin))
       .select($"doc_a", $"doc_b", $"pair_type",
-        ($"m".cast("double") / NumHashes).as("est_jaccard"))
+        ($"m".cast("double") / NumHashes).as("est_jaccard"),
+        $"m".as("n_match"))
   }
 
-  /** Matching-minima threshold for dropping a new doc: est_jaccard >=
-    * AdmitMinMatches/NumHashes, kept as the INTEGER minima count so the
-    * cross-engine comparison never touches a float.
+  /** Matching-minima threshold for dropping a new doc: the INTEGER
+    * count of matching signature minima (`n_match`, carried alongside
+    * est_jaccard) must reach this. Filtering on the integer column —
+    * never on est_jaccard * NumHashes, which round-trips m through a
+    * double and is exact only while NumHashes is a power of two —
+    * keeps the threshold engine-portable for ANY NumHashes.
     */
   val AdmitMinMatches = 32
 
@@ -287,7 +291,7 @@ object Dedup {
     // shuffle read > write by exactly the re-read; an eager
     // localCheckpoint here measured 1.8x slower than the reuse)
     val pairs = incrementalMinhashPairs(spark, d)
-      .filter($"est_jaccard" * NumHashes >= AdmitMinMatches)
+      .filter($"n_match" >= AdmitMinMatches)
     // orient every pair as (new_id, other_id, other_is_new): new-corpus
     // pairs have exactly one new side; new-new pairs count from BOTH
     // sides, but only the (later, earlier) orientation survives the
@@ -326,7 +330,7 @@ object Dedup {
     s"""WITH pairs AS (
        |SELECT * FROM (
        |$incrMinhashOracle
-       |) p WHERE est_jaccard * $NumHashes >= $AdmitMinMatches),
+       |) p WHERE n_match >= $AdmitMinMatches),
        |news AS (SELECT doc_id FROM documents WHERE source = '$IncrementalSource'),
        |oriented AS (
        |  SELECT doc_a AS new_id, doc_b AS other_id, pair_type FROM pairs
@@ -515,7 +519,9 @@ object Dedup {
        |       ELSE 'new-corpus' END AS pair_type,
        |  CAST(len(list_filter(range($NumHashes),
        |                       i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE)
-       |    / $NumHashes AS est_jaccard
+       |    / $NumHashes AS est_jaccard,
+       |  CAST(len(list_filter(range($NumHashes),
+       |                       i -> a.sig[i + 1] = b.sig[i + 1])) AS BIGINT) AS n_match
        |FROM cand a JOIN cand b
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |WHERE a.is_new OR b.is_new""".stripMargin

@@ -288,6 +288,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
   }
 
+  test("basket cap: a planted 10k-item basket cannot explode the pair stage") {
+    // Mirrors TextDedupSpec's all-duplicates bucket-cap stress: one
+    // degenerate cart with 10,000 distinct parts (C(10k,2) ~ 5e7 raw
+    // pairs) plus two normal orders. The MaxBasket slice must bound the
+    // degenerate order to C(MaxBasket,2) pairs over its LOWEST part ids,
+    // and leave small baskets untouched.
+    val giant = (1L to 10000L).map(p => (999999L, p))
+    val normal = Seq((1L, 50011L), (1L, 50012L), (1L, 50013L),
+      (2L, 50011L), (2L, 50012L))
+    val items = (giant ++ normal).toDF("l_orderkey", "l_partkey")
+    val counts = Analytics.basketPairCounts(items).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val m = Analytics.MaxBasket.toLong
+    // pairs from the giant order: exactly C(MaxBasket,2), ids 1..MaxBasket
+    val giantPairs = counts.keys.filter { case (a, b) => a <= m && b <= m }
+    assert(giantPairs.size == (m * (m - 1) / 2).toInt,
+      s"cap must bound the degenerate basket to C($m,2) pairs")
+    assert(counts.keys.forall { case (a, b) =>
+      (a <= m && b <= m) || (a >= 50011L && b <= 50013L)
+    }, "giant-order pairs must stay within the capped (lowest-id) basket")
+    // small baskets (under the cap) are untouched by the slice
+    assert(counts((50011L, 50012L)) == 2L && counts((50011L, 50013L)) == 1L)
+  }
+
   test("label centroids cover every (label, dim) cell exactly once") {
     val rows = graft.sim.Similarity.labelCentroids(spark, sf).collect()
     val labels = Tables.embeddings(spark, sf).select($"label").distinct().count()

@@ -138,6 +138,17 @@ class SimilaritySpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("phash fixture precondition: document payloads are pure ASCII (byte == code point)") {
+    // The DuckDB phash oracle replays byte reads as ascii(substr(...)),
+    // valid only while octet_length == char length on every payload; a
+    // fixture regression to multi-byte text must fail HERE, not as an
+    // unexplained hash drift in the correctness gate.
+    import org.apache.spark.sql.functions._
+    val bad = Tables.documents(spark, sf)
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(bad == 0L, s"$bad non-ASCII document payloads break the phash oracle replay")
+  }
+
   test("phash near-dup: identical payloads collide at hamming 0, hash == local recompute") {
     import spark.implicits._
     // catalog pass: every reported pair within the hamming bound, ids ordered

@@ -175,8 +175,8 @@ class TextDedupSpec extends SparkSpec {
       .filter($"source" === Dedup.IncrementalSource)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     val pairs = Dedup.incrementalMinhashPairs(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-      .filter(_._4 * Dedup.NumHashes >= Dedup.AdmitMinMatches)
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(4)))
+      .filter(_._4 >= Dedup.AdmitMinMatches)
     // driver replay of the admission rules
     val corpusMatch = scala.collection.mutable.Map.empty[Long, Long]
     val batchMatch = scala.collection.mutable.Map.empty[Long, Long]
