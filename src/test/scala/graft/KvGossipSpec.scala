@@ -92,6 +92,199 @@ class KvGossipSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  // ---- Linearizability (the porcupine port, srv/kvtest/porcupine.go) ----
+
+  /** One simulated concurrent run: the client-observed history, the
+    * server-side op-log (with duplicate sends from lost replies), and
+    * the server's final cells + verdict counts as ground truth.
+    */
+  private case class SimRun(
+      history: List[graft.kv.Linearize.Op],
+      oplog: List[KvOp],
+      cells: Map[String, graft.kv.KvCell])
+
+  /** Discrete-event clerk/server simulation cloning the reference's
+    * concurrency shape (srv/client.go:67-91): N clerks race Gets and
+    * CAS Puts on 2 keys; a Put's reply is lost with p=0.35, driving the
+    * clerk's resend loop — the duplicate lands in the op-log, and a
+    * resend answered ErrVersion surfaces to the application as
+    * ErrMaybe. Server slots are the linearization witness; client
+    * intervals span first send to final reply, so retried ops overlap
+    * everything processed in between.
+    */
+  private def simulate(seed: Int): SimRun = {
+    import graft.kv.Linearize.Op
+    val rnd = new scala.util.Random(seed)
+    val keys = Vector("a", "b")
+    val nClients = 2 + rnd.nextInt(3)
+    val value = scala.collection.mutable.Map.empty[String, String].withDefaultValue("")
+    val version = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val nOk = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val nEv = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val nEnk = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val view = scala.collection.mutable.Map.empty[(Int, String), Long].withDefaultValue(0L)
+    val oplog = scala.collection.mutable.ListBuffer.empty[KvOp]
+    val history = scala.collection.mutable.ListBuffer.empty[Op]
+    case class Pending(cli: Int, key: String, pv: String, attempt: Long, callT: Long, sends: Int)
+    var pending = List.empty[Pending]
+    val busy = scala.collection.mutable.Set.empty[Int]
+    var t = 0L
+    var issued = 0
+    val target = 25 + rnd.nextInt(15)
+
+    def serverPut(key: String, v: String, attempt: Long): String = {
+      oplog += KvOp(key, v, attempt, t)
+      if (attempt == version(key)) {
+        value(key) = v; version(key) += 1; nOk(key) += 1; "OK"
+      } else if (version(key) == 0L) { nEnk(key) += 1; "ErrNoKey" }
+      else { nEv(key) += 1; "ErrVersion" }
+    }
+
+    while (issued < target || pending.nonEmpty) {
+      t += 1
+      assert(t < 10000, "simulation failed to terminate")
+      val mustRetry = pending.nonEmpty &&
+        (busy.size == nClients || issued >= target || rnd.nextDouble() < 0.45)
+      if (mustRetry) {
+        val idx = rnd.nextInt(pending.size)
+        val p = pending(idx)
+        pending = pending.patch(idx, Nil, 1)
+        val verdict = serverPut(p.key, p.pv, p.attempt)
+        // after 3 sends the reply always arrives (bounds the loop)
+        if (verdict != "OK" && p.sends < 3 && rnd.nextDouble() < 0.25) {
+          pending :+= p.copy(sends = p.sends + 1)
+        } else {
+          val obs = verdict match {
+            case "OK" => "OK" // resend landed a version match
+            case "ErrVersion" => "ErrMaybe" // the reference's ambiguity
+            case other => other // ErrNoKey returns directly
+          }
+          history += Op(isGet = false, p.key, p.pv, p.attempt, "", obs,
+            2 * p.callT - 1, 2 * t + 1)
+          busy -= p.cli
+          if (obs == "OK") view((p.cli, p.key)) = p.attempt + 1
+        }
+      } else {
+        val free = (0 until nClients).filterNot(busy)
+        val cli = free(rnd.nextInt(free.size))
+        val key = keys(rnd.nextInt(keys.size))
+        if (rnd.nextDouble() < 0.35) {
+          history += Op(isGet = true, key, "", 0L, value(key), "OK",
+            2 * t - 1, 2 * t + 1)
+          view((cli, key)) = version(key)
+        } else {
+          issued += 1
+          val attempt =
+            if (rnd.nextDouble() < 0.7) view((cli, key)) else rnd.nextInt(4).toLong
+          val pv = s"c$cli-t$t"
+          val verdict = serverPut(key, pv, attempt)
+          if (rnd.nextDouble() < 0.35) { // reply lost: clerk will resend
+            pending :+= Pending(cli, key, pv, attempt, t, 1)
+            busy += cli
+          } else {
+            history += Op(isGet = false, key, pv, attempt, "", verdict,
+              2 * t - 1, 2 * t + 1)
+            if (verdict == "OK") view((cli, key)) = attempt + 1
+          }
+        }
+      }
+    }
+    val cells = keys.map { k =>
+      k -> graft.kv.KvCell(k, value(k), version(k), nOk(k), nEv(k), nEnk(k))
+    }.toMap
+    SimRun(history.toList, oplog.toList, cells)
+  }
+
+  test("porcupine: 120 random concurrent clerk histories with lost replies linearize, " +
+    "and the distributed replay matches every server ground truth") {
+    import graft.kv.Linearize
+    val runs = (0 until 120).map(simulate)
+    // generator effectiveness: the interesting regimes must actually occur
+    val errs = runs.flatMap(_.history.map(_.err))
+    assert(errs.contains("ErrMaybe"), "no lost-reply ambiguity generated")
+    assert(errs.contains("ErrVersion") && errs.contains("ErrNoKey") && errs.contains("OK"))
+    assert(runs.exists(r =>
+      r.oplog.map(o => (o.key, o.value, o.attempt)).distinct.size < r.oplog.size),
+      "no duplicate sends reached the op-log")
+    assert(runs.exists(_.history.exists(o => o.ret - o.call > 2)),
+      "no overlapping operations generated")
+    // every history linearizes under the reference model
+    runs.zipWithIndex.foreach { case (r, i) =>
+      assert(Linearize.linearizable(r.history), s"history $i not linearizable")
+    }
+    // ONE distributed replay over all 120 op-logs (keys prefixed by run):
+    // the per-key fold must reproduce each simulation's server cell
+    val allOps = runs.zipWithIndex.flatMap { case (r, i) =>
+      r.oplog.map(o => o.copy(key = s"h$i|${o.key}"))
+    }
+    val got = KVStore.replay(spark, spark.createDataset(allOps))
+      .as[graft.kv.KvCell].collect().map(c => c.key -> c).toMap
+    runs.zipWithIndex.foreach { case (r, i) =>
+      r.cells.foreach { case (k, want) =>
+        val g = got.get(s"h$i|$k")
+        if (r.oplog.exists(_.key == k))
+          assert(g.contains(want.copy(key = s"h$i|$k")),
+            s"run $i key $k: got $g, want $want")
+        else assert(g.isEmpty, s"run $i key $k: replay invented a cell")
+      }
+    }
+  }
+
+  test("porcupine checker rejects non-linearizable histories (negative controls)") {
+    import graft.kv.Linearize.{Op, linearizable}
+    // stale read: a get strictly after a completed put must see its value
+    assert(!linearizable(List(
+      Op(isGet = false, "k", "x", 0L, "", "OK", 1, 2),
+      Op(isGet = true, "k", "", 0L, "", "OK", 3, 4))))
+    // double OK at the same version: the second CAS must have failed
+    assert(!linearizable(List(
+      Op(isGet = false, "k", "x", 0L, "", "OK", 1, 2),
+      Op(isGet = false, "k", "y", 0L, "", "OK", 3, 4))))
+    // a read of a value nobody ever wrote
+    assert(!linearizable(List(
+      Op(isGet = false, "k", "x", 0L, "", "ErrMaybe", 1, 2),
+      Op(isGet = true, "k", "", 0L, "z", "OK", 3, 4))))
+    // ErrVersion on a FIRST try is definite: it cannot mask an applied put
+    assert(!linearizable(List(
+      Op(isGet = false, "k", "x", 0L, "", "ErrVersion", 1, 2),
+      Op(isGet = true, "k", "", 0L, "x", "OK", 3, 4))))
+  }
+
+  test("porcupine checker resolves ErrMaybe both ways and reorders overlapping ops") {
+    import graft.kv.Linearize.{Op, linearizable}
+    // applied branch: the lost reply hid a successful CAS
+    assert(linearizable(List(
+      Op(isGet = false, "k", "x", 0L, "", "ErrMaybe", 1, 2),
+      Op(isGet = false, "k", "y", 1L, "", "OK", 3, 4),
+      Op(isGet = true, "k", "", 0L, "y", "OK", 5, 6))))
+    // no-op branch: an ErrMaybe put whose resend window OVERLAPS a rival
+    // put may linearize after it (version now mismatched, so it never
+    // landed) — but only overlap permits that reordering; a completed
+    // ErrMaybe at version 0 before any rival MUST have applied (the
+    // model is deterministic per state), which the sim's retry
+    // intervals exercise constantly
+    assert(linearizable(List(
+      Op(isGet = false, "k", "x", 0L, "", "ErrMaybe", 1, 6),
+      Op(isGet = false, "k", "y", 0L, "", "OK", 2, 3),
+      Op(isGet = true, "k", "", 0L, "y", "OK", 4, 5))))
+    // ...and the non-overlapping variant is NOT linearizable: the
+    // ErrMaybe resend saw ErrVersion by t=2, so the only candidate
+    // apply is its own
+    assert(!linearizable(List(
+      Op(isGet = false, "k", "x", 0L, "", "ErrMaybe", 1, 2),
+      Op(isGet = false, "k", "y", 0L, "", "OK", 3, 4),
+      Op(isGet = true, "k", "", 0L, "y", "OK", 5, 6))))
+    // real-time overlap: a get that STARTED first may linearize after
+    // the put it overlaps (and read its value)
+    assert(linearizable(List(
+      Op(isGet = true, "k", "", 0L, "x", "OK", 1, 10),
+      Op(isGet = false, "k", "x", 0L, "", "OK", 2, 3))))
+    // but not when the get completed strictly before the put began
+    assert(!linearizable(List(
+      Op(isGet = true, "k", "", 0L, "x", "OK", 1, 2),
+      Op(isGet = false, "k", "x", 0L, "", "OK", 3, 4))))
+  }
+
   // ---- Gossip ----
 
   private val genObs: Gen[HealthObs] = for {
