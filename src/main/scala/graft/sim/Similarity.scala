@@ -440,8 +440,18 @@ object Similarity {
     * only shuffles left are the narrow cross-table distinct and the
     * final per-query top-k. Rows-only driver check; recall measured in
     * SimilaritySpec.
+    *
+    * `probes`/`k` parameterize the recall/cost knob (nprobe) and the
+    * result depth: the catalog query runs the defaults; SimilaritySpec
+    * sweeps probes on a synthetic clustered corpus and pins the
+    * recall-vs-probes curve (recall@10 >= 0.8 at probes=4, exact at
+    * probes=IvfCells — probing every cell IS brute force).
     */
-  def annIvf(spark: SparkSession, d: String): DataFrame = {
+  def annIvf(
+      spark: SparkSession,
+      d: String,
+      probes: Int = IvfProbes,
+      k: Int = K): DataFrame = {
     import spark.implicits._
     val e = withVec(Tables.embeddings(spark, d))
     val sample = trainSample(e)
@@ -461,25 +471,25 @@ object Similarity {
       val qnorm = math.sqrt(acc)
       cellScores(v, cents).zipWithIndex
         .sortBy { case (d2, c) => (d2, c) }
-        .take(IvfProbes)
+        .take(probes)
         .map { case (_, c) => (id, c, v.toSeq, qnorm) }
     }.toSeq
     // record the fitted constants for [[oracles]] (dumped after the run)
     ivfFit(d) = cents
     ivfProbeFit(d) = probeRows.map { case (id, c, _, _) => (id, c) }
     lastDir = Some(d)
-    val probes = broadcast(probeRows.toDF("query_id", "cell", "qv", "qnorm"))
+    val probesDf = broadcast(probeRows.toDF("query_id", "cell", "qv", "qnorm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
     // no distinct needed: each candidate has exactly ONE cell and a
     // probe's IvfProbes cells are distinct, so a (query, neighbor) pair
     // joins at most once — unlike the LSH path where a pair can collide
     // in several tables
-    cand.join(probes, "cell")
+    cand.join(probesDf, "cell")
       .filter($"neighbor_id" =!= $"query_id")
       .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= K)
+      .filter($"rk" <= k)
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
   }
 
@@ -594,7 +604,7 @@ object Similarity {
     "embed_knn" -> (knnExact _),
     "embed_norms" -> (embedNorms _),
     "embed_ann_lsh" -> (annLsh _),
-    "embed_ann_ivf" -> (annIvf _),
+    "embed_ann_ivf" -> ((s, dir) => annIvf(s, dir)),
     "embed_label_centroids" -> (labelCentroids _),
     "embed_knn_quantized" -> (knnQuantized _),
     "embed_xlabel_mutual" -> (crossLabelMutual _),
