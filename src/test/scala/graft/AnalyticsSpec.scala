@@ -28,6 +28,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("label propagation cuts lineage every round: plan size independent of round count") {
+    // The iterative paths checkpoint per round (DedupCluster loop; the
+    // PageRank iteration is a driver solve over the <=625-row
+    // contraction, so it has no lineage to grow). A regression that
+    // drops a localCheckpoint shows up as a logical plan that DEEPENS
+    // with every extra round — so compare a diameter-5 chain (~3
+    // rounds with pointer jumping) against a diameter-60 chain (~7
+    // rounds): the converged frame's plan must not scale with rounds.
+    def chain(n: Int) = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    def planLen(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.toString.length
+    val short = DedupCluster.clustersOfEdges(chain(5))
+    val long = DedupCluster.clustersOfEdges(chain(60))
+    assert(long.collect().map(_.getLong(1)).toSet == Set(0L), "chain must collapse to min id")
+    val (ls, ll) = (planLen(short), planLen(long))
+    assert(ll <= ls * 3 / 2 + 200,
+      s"plan grew with rounds (short=$ls chars, long=$ll chars): lineage cut regressed")
+    assert(ll < 10000, s"converged plan unexpectedly deep: $ll chars")
+  }
+
   test("CC labels match a union-find oracle on random graphs") {
     val rnd = new scala.util.Random(3)
     for (_ <- 1 to 3) {
