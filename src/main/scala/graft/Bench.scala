@@ -66,7 +66,16 @@ object Bench {
     val metricNames =
       Seq("tasks", "inputBytes", "inputRecords", "shuffleReadBytes",
         "shuffleWriteBytes", "spilledBytes")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (comma-separated names): the scale-rehearsal runs
+    // the heavy families at sf1 without paying for all 150+ queries.
+    // Unset = full catalog, the driver's contract.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val before = listener.snapshot
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every projected expression —

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: replicates a driver-generated SF
+  * directory Rx (default 10x — sf0.1 -> sf1) with foreign-key-consistent
+  * key shifts, so spill/skew behavior one rung above the graded SF can
+  * be rehearsed WITHOUT touching the read-only driver fixtures.
+  *
+  *   - Every key domain shifts by `rep * ceil(domain)` with the SAME
+  *     ceil on both sides of each FK (orders.o_custkey moves in lockstep
+  *     with customer.c_custkey), so join fan-outs and key cardinalities
+  *     scale linearly — exactly what a 10x crawl does.
+  *   - Fixed dims (region, nation) stay fixed, like TPC-H.
+  *   - Document text gets a per-replica suffix token and embeddings a
+  *     per-replica epsilon: replicas are NEAR-duplicates, not byte
+  *     twins, so the dedup/similarity tiers face the workload they
+  *     exist for (banded near-dup groups) rather than a degenerate
+  *     all-identical corpus (that regime is spec-stressed separately).
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor]
+  * Defaults: /root/testdata/sf0.1 /tmp/sf1 10
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/sf1")
+    val r = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+
+    def ceilOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).first().getLong(0) + 1L
+
+    // replicate Rx, shifting the named key columns by rep * ceil and
+    // preserving every column's name, order, and type
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+      val cols = df.schema.fields.map { f =>
+        shifts.get(f.name) match {
+          case Some(m) => (col(f.name) + col("rep") * m).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      df.withColumn("rep", explode(sequence(lit(0L), lit(r - 1L))))
+        .select(cols.toIndexedSeq: _*)
+    }
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    val custCeil = ceilOf(tbl("customer"), "c_custkey")
+    val suppCeil = ceilOf(tbl("supplier"), "s_suppkey")
+    val partCeil = ceilOf(tbl("part"), "p_partkey")
+    val orderCeil = ceilOf(tbl("orders"), "o_orderkey")
+    val eventCeil = ceilOf(tbl("events"), "event_id")
+    val userCeil = ceilOf(tbl("events"), "user_id")
+    val docCeil = ceilOf(tbl("documents"), "doc_id")
+    val vecCeil = ceilOf(tbl("embeddings"), "vec_id")
+
+    write(tbl("region"), "region")
+    write(tbl("nation"), "nation")
+    write(replicate(tbl("customer"), Map("c_custkey" -> custCeil)), "customer")
+    write(replicate(tbl("supplier"), Map("s_suppkey" -> suppCeil)), "supplier")
+    write(replicate(tbl("part"), Map("p_partkey" -> partCeil)), "part")
+    write(replicate(tbl("orders"),
+      Map("o_orderkey" -> orderCeil, "o_custkey" -> custCeil)), "orders")
+    write(replicate(tbl("lineitem"),
+      Map("l_orderkey" -> orderCeil, "l_partkey" -> partCeil,
+        "l_suppkey" -> suppCeil)), "lineitem")
+    write(replicate(tbl("events"),
+      Map("event_id" -> eventCeil, "user_id" -> userCeil)), "events")
+    // near-dup text replicas: suffix token for rep > 0, n_chars kept
+    // consistent with the transformed text
+    val docs = tbl("documents")
+      .withColumn("rep", explode(sequence(lit(0L), lit(r - 1L))))
+      .select(
+        (col("doc_id") + col("rep") * docCeil).as("doc_id"),
+        when(col("rep") === 0L, col("text"))
+          .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(docs, "documents")
+    // near-identical embedding replicas: epsilon per replica keeps
+    // cosine structure while avoiding byte-equal vectors
+    val embs = tbl("embeddings")
+      .withColumn("rep", explode(sequence(lit(0L), lit(r - 1L))))
+      .select(
+        (col("vec_id") + col("rep") * vecCeil).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + rep * 0.001 AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    write(embs, "embeddings")
+
+    val counts = Seq("customer", "orders", "lineitem", "events",
+      "documents", "embeddings")
+      .map(t => s"$t=${spark.read.parquet(s"$out/$t.parquet").count()}")
+    println(s"SCALEGEN done r=$r out=$out ${counts.mkString(" ")}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: max cosine similarity of a vector column
+  * against a BOUNDED reference matrix (the broadcast-fit discipline of
+  * [[NearestCell]]) — one fused narrow scan, no join.
+  *
+  * Replaces the BroadcastNestedLoopJoin + aggregate formulation in
+  * decontam_embed, which materialized train×bench JoinedRows (copying
+  * both 64-double arrays per pair) before the max ever ran: the sf1
+  * scale rehearsal measured 28 s for 18k×2k pairs — memory traffic,
+  * not FLOPs. This expression runs the same multiply-adds in-register
+  * per train row: 1.3 s on the same corpus (~22x), zero shuffle, and
+  * the cost is linear in the corpus because the reference side is
+  * capped.
+  *
+  * Per-pair arithmetic replays the column formulation EXACTLY:
+  * left-to-right dots, norm = sqrt(dot(v,v)). The oracle takes
+  * max(round(sim, 4)) per row; HALF_UP rounding is MONOTONE
+  * non-decreasing, so max-of-rounded equals round-of-max — the raw
+  * maximum is tracked in-register and rounded ONCE per row (Spark
+  * `round` = scala BigDecimal HALF_UP on the decimal repr). A
+  * per-pair BigDecimal (Double.toString + parse each) measured 18 s
+  * at sf1 vs 1.3 s for the fold-then-round form.
+  */
+case class MaxCosine(child: Expression, bench: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val dim = if (bench.nonEmpty) bench(0).length else 0
+  private val norms: Array[Double] =
+    bench.map(b => math.sqrt(b.foldLeft(0.0)((a, x) => a + x * x)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"max_cosine expects array<double>, got ${other.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  def compute(v: ArrayData): Any = {
+    if (bench.isEmpty || v.numElements() != dim) return null
+    val x = v.toDoubleArray()
+    var acc = 0.0
+    var j = 0
+    while (j < x.length) { acc += x(j) * x(j); j += 1 }
+    val nm = math.sqrt(acc)
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < bench.length) {
+      val b = bench(c)
+      var dot = 0.0
+      j = 0
+      while (j < dim) { dot += x(j) * b(j); j += 1 }
+      val sim = dot / (nm * norms(c))
+      if (sim > best) best = sim
+      c += 1
+    }
+    BigDecimal(best).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("maxCosine", this, classOf[MaxCosine].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("maxSim")
+      s"""
+         |Object $tmp = $self.compute($v);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $tmp).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

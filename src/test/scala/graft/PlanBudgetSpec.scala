@@ -79,7 +79,6 @@ class PlanBudgetSpec extends SparkSpec {
   private val nljWhitelist: Set[String] = Set(
     "anomaly_zscore", // one-row global stats
     "bm25_search", // one-row corpus stats
-    "decontam_embed", // broadcast eval-split constant
     "embed_knn", // probe-vector constant
     "embed_knn_quantized", // quantile-boundary constant
     "embed_triplets", // probe-vector constant (the knn shape)
