@@ -77,8 +77,17 @@ object ScaleGen {
     write(replicate(tbl("lineitem"),
       Map("l_orderkey" -> orderCeil, "l_partkey" -> partCeil,
         "l_suppkey" -> suppCeil)), "lineitem")
-    write(replicate(tbl("events"),
-      Map("event_id" -> eventCeil, "user_id" -> userCeil)), "events")
+    // the fixture stores ts as timestamp[ns], which the nanosAsLong conf
+    // surfaces as LONG nanos; write a real timestamp[us] (same micro
+    // truncation Tables.events applies) so BOTH Spark and the DuckDB
+    // oracle read the scaled table without the legacy shim
+    val events = replicate(tbl("events"),
+      Map("event_id" -> eventCeil, "user_id" -> userCeil))
+    val eventsTs =
+      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        events.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else events
+    write(eventsTs.select(events.columns.map(col).toIndexedSeq: _*), "events")
     // near-dup text replicas: suffix token for rep > 0, n_chars kept
     // consistent with the transformed text
     val docs = tbl("documents")
