@@ -518,6 +518,17 @@ object Similarity {
     * spec's cross-check.) Probe×candidate scoring is the same broadcast
     * shape as [[knnExact]]; the fitted boundaries are registered for the
     * generated DuckDB oracle, same technique as the IVF centroids.
+    *
+    * RESOLUTION CONTRACT (SimilaritySpec pins both halves): 4-bit codes
+    * rank reliably only down to sim deltas of the quantization step —
+    * they separate CLUSTERS perfectly (cross-cluster leakage 0 on the
+    * clustered spec corpus) but genuinely tie within a tight cluster
+    * (integer dots equal ⇒ neighbor_id order; recall@5 vs exact fine
+    * ranking ~0.04 there, ~0.62 on the spread fixture). That is the
+    * inherent SQ trade, not a code-book defect: the production pattern
+    * is shortlist-by-code then exact-rerank the top R — compose this
+    * operator with [[knnExact]]'s scorer over the shortlist when fine
+    * order matters.
     */
   val QuantBuckets = 16
 

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Bench output contract the round-6 verdict depends on: the
+  * LAST stdout line must carry the adjudication summary whole through
+  * the driver's 2000-char tail capture, for any catalog size — the
+  * round-5 timings were lost to exactly this truncation.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val metricNames =
+    Seq("tasks", "inputBytes", "inputRecords", "shuffleReadBytes",
+      "shuffleWriteBytes", "spilledBytes")
+
+  /** Worst-case-shaped catalog: long names, sub-ms to multi-second
+    * timings with many decimals, large counters.
+    */
+  private def fakeResults(n: Int): Seq[(String, Double, Seq[Long])] =
+    (0 until n).map { i =>
+      (f"some_quite_long_query_name_family_variant_$i%03d",
+        i * 0.0317 + 1.0 / (i + 3),
+        Seq(12345L, 987654321L, 1234567L, 55555555L, 44444444L, 0L))
+    }
+
+  test("summary line fits the 2000-char tail capture at 3x today's catalog") {
+    for (n <- Seq(1, 12, 151, 450)) {
+      val line = Bench.summaryLine(fakeResults(n), "/root/testdata/sf0.1")
+      assert(line.length < 1500,
+        s"summary line ${line.length} chars at n=$n risks tail truncation")
+      assert(line.startsWith("{\"metric\":\"summary\"") && line.endsWith("}"))
+    }
+  }
+
+  test("summary reports total, counts, max, and the slowest queries with timings") {
+    val rs = fakeResults(40)
+    val line = Bench.summaryLine(rs, "sfX")
+    val slowest = rs.maxBy(_._2)
+    assert(line.contains(s""""n":40"""))
+    assert(line.contains(s""""${slowest._1}":"""), "slowest query must be named with a timing")
+    // every slowest-list entry is name:seconds — parseable shape
+    assert(""""slowest":\{("[a-z0-9_]+":\d+\.\d{3},?){1,12}\}""".r
+      .findFirstIn(line.replaceAll(" ", "")).isDefined, line)
+  }
+
+  test("contract line keeps taskMetrics BEFORE queries (tail keeps the timings)") {
+    val line = Bench.contractLine(fakeResults(5), metricNames, "sfX")
+    val tmAt = line.indexOf("\"taskMetrics\":")
+    val qsAt = line.indexOf("\"queries\":")
+    assert(tmAt >= 0 && qsAt > tmAt,
+      "queries map must follow taskMetrics or tail capture loses per-query seconds")
+    assert(line.startsWith("{\"metric\":\"total\""))
+  }
+}

@@ -110,52 +110,87 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall too low: $recall")
   }
 
-  test("IVF recall-vs-probes on a clustered corpus: recall@10 >= 0.8 at nprobe=4, exact at nprobe=16") {
-    import spark.implicits._
-    // 8 well-separated Gaussian clusters x 50 vectors in 64 dims — the
-    // regime IVF is built for (the sf fixture's embeddings are too
-    // uniform to discriminate probe counts). Queries 0..9 cover all 8
-    // clusters. Stored as float like the real table, so the cast path
-    // is identical.
+  // 8 well-separated Gaussian clusters x 50 vectors in 64 dims — the
+  // regime coarse quantizers are built for (the sf fixture's embeddings
+  // are too uniform to discriminate probe counts / code books). Queries
+  // 0..9 cover all 8 clusters. Stored as float like the real table, so
+  // the cast path is identical. Shared by the IVF probe sweep and the
+  // quantized-KNN recall bar.
+  private lazy val clusteredVecs: Seq[(Long, Array[Float], Int)] = {
     val rnd = new scala.util.Random(7)
     val centers = Array.fill(8, 64)((rnd.nextGaussian() * 5).toFloat)
-    val vecs: Seq[(Long, Array[Float], Int)] = (0L until 400L).map { id =>
+    (0L until 400L).map { id =>
       val c = (id % 8).toInt
       val v = Array.tabulate(64)(j => centers(c)(j) + (rnd.nextGaussian() * 0.1).toFloat)
       (id, v, c)
     }
+  }
+  private lazy val clusteredDir: String = {
+    import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graftivf")
-    vecs.toDF("vec_id", "embedding", "label")
+    clusteredVecs.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    // driver-exact top-10 under the SAME discipline annIvf ranks with
-    // (double cast, round-4 sim, neighbor_id tiebreak), so nprobe=16 —
-    // probing every cell — must reproduce it verbatim
-    val dv = vecs.map { case (id, v, _) => id -> v.map(_.toDouble) }.toMap
+    tmp.toString
+  }
+
+  /** Driver-exact cosine top-k per probe, under the SAME discipline the
+    * catalog rankers use (double cast, round-4 sim, neighbor_id
+    * tiebreak) — the ground truth for the recall bars.
+    */
+  private def clusteredExact(k: Int): Map[Long, Set[Long]] = {
+    val dv = clusteredVecs.map { case (id, v, _) => id -> v.map(_.toDouble) }.toMap
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var j = 0
       while (j < a.length) { s += a(j) * b(j); j += 1 }; s
     }
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val exact: Map[Long, Set[Long]] = (0L until 10L).map { q =>
+    (0L until 10L).map { q =>
       val qv = dv(q); val qn = math.sqrt(dot(qv, qv))
       q -> dv.keys.filter(_ != q).toSeq
         .map(n => (n, r4(dot(qv, dv(n)) / (qn * math.sqrt(dot(dv(n), dv(n)))))))
-        .sortBy { case (n, s) => (-s, n) }.take(10).map(_._1).toSet
+        .sortBy { case (n, s) => (-s, n) }.take(k).map(_._1).toSet
     }.toMap
-    def recallAt(probes: Int): Double = {
-      val got = graft.sim.Similarity.annIvf(spark, tmp.toString, probes, 10)
+  }
+
+  private def recallOf(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double =
+    want.map { case (q, w) =>
+      got.getOrElse(q, Set.empty).intersect(w).size.toDouble / w.size
+    }.sum / want.size
+
+  test("IVF recall-vs-probes on a clustered corpus: recall@10 >= 0.8 at nprobe=4, exact at nprobe=16") {
+    val exact = clusteredExact(10)
+    def recallAt(probes: Int): Double = recallOf(
+      graft.sim.Similarity.annIvf(spark, clusteredDir, probes, 10)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
-      exact.map { case (q, want) =>
-        got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
-      }.sum / exact.size
-    }
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet },
+      exact)
     val r2 = recallAt(2); val r4p = recallAt(4); val r16 = recallAt(16)
     assert(r4p >= 0.8, s"recall@10 at nprobe=4 is $r4p, expected >= 0.8")
     assert(r16 == 1.0, s"nprobe=IvfCells must equal brute force, got $r16")
     // candidate sets grow with nprobe, so recall is weakly monotone
     assert(r2 <= r4p && r4p <= r16, s"recall not monotone: $r2, $r4p, $r16")
+  }
+
+  test("quantized knn separates clusters perfectly (coarse-code contract on clustered corpus)") {
+    // What 4-bit scalar quantization CAN and CANNOT do, asserted
+    // separately: on separable clusters every same-cluster vector maps
+    // to a near-identical code vector, so (a) all top-5 hits MUST come
+    // from the query's own cluster — a code-book regression (centering,
+    // boundary fit) craters this — while (b) WITHIN-cluster order at
+    // sim deltas below the quantization step is genuinely tied (integer
+    // dots equal, neighbor_id breaks it): measured recall@5 vs exact
+    // fine ranking is ~0.04 here, which is the resolution limit of the
+    // code, not a defect — production SQ reranks the shortlist exactly
+    // (see knnQuantized scaladoc). The fixture test keeps the fine-rank
+    // bar where quantization error is small vs the sim spread.
+    val label = clusteredVecs.map { case (id, _, c) => id -> c }.toMap
+    val got = graft.sim.Similarity.knnQuantized(spark, clusteredDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.length == 10 * graft.sim.Similarity.K)
+    val wrongCluster = got.filter { case (q, n) => label(q) != label(n) }
+    assert(wrongCluster.isEmpty,
+      s"quantized codes leaked ${wrongCluster.length} cross-cluster hits: ${wrongCluster.take(5).toSeq}")
   }
 
   test("knn plan broadcasts the probe side") {
