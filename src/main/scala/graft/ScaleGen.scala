@@ -55,8 +55,15 @@ object ScaleGen {
         .select(cols.toIndexedSeq: _*)
     }
 
+    // scaled tables repartition before write: the explode would otherwise
+    // inherit the source's 1-2 splits and every downstream scan of the
+    // rehearsal data runs 5-10 tasks — unrealistically narrow vs the
+    // thousands of splits a real 10x table ships with
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      df.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    def writeDim(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name.parquet")
 
     val custCeil = ceilOf(tbl("customer"), "c_custkey")
     val suppCeil = ceilOf(tbl("supplier"), "s_suppkey")
@@ -67,8 +74,8 @@ object ScaleGen {
     val docCeil = ceilOf(tbl("documents"), "doc_id")
     val vecCeil = ceilOf(tbl("embeddings"), "vec_id")
 
-    write(tbl("region"), "region")
-    write(tbl("nation"), "nation")
+    writeDim(tbl("region"), "region")
+    writeDim(tbl("nation"), "nation")
     write(replicate(tbl("customer"), Map("c_custkey" -> custCeil)), "customer")
     write(replicate(tbl("supplier"), Map("s_suppkey" -> suppCeil)), "supplier")
     write(replicate(tbl("part"), Map("p_partkey" -> partCeil)), "part")

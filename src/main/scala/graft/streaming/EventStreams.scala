@@ -151,9 +151,14 @@ object EventStreams {
     * `mapGroupsWithState` is the unbounded-stream form of
     * KVStore.replay's batch fold.
     */
-  def kvStream(events: DataFrame): Dataset[KvCell] = {
-    import events.sparkSession.implicits._
-    val ops = graft.kv.KVStore.opsFrom(events)
+  def kvStream(events: DataFrame): Dataset[KvCell] =
+    kvStreamOps(graft.kv.KVStore.opsFrom(events))
+
+  /** The op-log form (shared with the porcupine property: simulated
+    * clerk histories replay through this exactly as events do).
+    */
+  def kvStreamOps(ops: Dataset[KvOp]): Dataset[KvCell] = {
+    import ops.sparkSession.implicits._
     ops.groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[KvOp], state: GroupState[KvCell]) =>

@@ -271,6 +271,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("porcupine histories through the STREAMING CAS twin: lost-reply op-logs across micro-batches == simulated server") {
+    // The third replay surface for the same simulated clerk histories
+    // KvGossipSpec checks (sequential interpreter, distributed batch
+    // fold): the mapGroupsWithState stream must carry CAS state — and
+    // the duplicate sends from lost replies — across micro-batch
+    // boundaries and land on each simulation's exact server cell.
+    val runs = (0 until 10).map(KvSim.simulate)
+    val allOps = runs.zipWithIndex.flatMap { case (r, i) =>
+      r.oplog.map(o => o.copy(key = s"h$i|${o.key}"))
+    }
+    // three seq-tercile files, one per trigger: every key's log spans
+    // batches, so retried duplicates arrive in LATER batches than the
+    // op they duplicate
+    val landing = java.nio.file.Files.createTempDirectory("graftporc").toString
+    val seqs = allOps.map(_.seq).sorted
+    val (t1, t2) = (seqs(seqs.length / 3), seqs(2 * seqs.length / 3))
+    val opsDs = spark.createDataset(allOps)
+    opsDs.filter($"seq" <= t1).coalesce(1).write.parquet(s"$landing/a")
+    opsDs.filter($"seq" > t1 && $"seq" <= t2).coalesce(1).write.parquet(s"$landing/b")
+    opsDs.filter($"seq" > t2).coalesce(1).write.parquet(s"$landing/c")
+    val stream = spark.readStream.schema(opsDs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", true)
+      .parquet(landing)
+      .as[graft.kv.KvOp]
+    val q = EventStreams.kvStreamOps(stream)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("kv_porc_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "expected the three files to arrive in separate micro-batches")
+      val got = spark.table("kv_porc_out").collect()
+        .map(r => r.getString(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap // Update mode: later batches overwrite a key's earlier rows
+      runs.zipWithIndex.foreach { case (r, i) =>
+        r.cells.foreach { case (k, want) =>
+          if (r.oplog.exists(_.key == k)) {
+            val g = got.get(s"h$i|$k")
+            assert(g.contains((want.value, want.version, want.n_ok,
+              want.n_errversion, want.n_errnokey)),
+              s"run $i key $k: got $g, want $want")
+          }
+        }
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions: emit on close, state evicted by event-time timeout") {
     // feed in two time-ordered files so sessions span micro-batches and
     // the open tail only closes once later events advance the watermark
