@@ -32,7 +32,11 @@ class DeterminismSpec extends SparkSpec {
     "embed_triplets",
     "embed_xlabel_mutual",
     "ewma_user_value",
-    "kv_cas_replay")
+    "kv_cas_replay",
+    // r6: driver-collected eval-matrix fit (sort+limit) inside MaxCosine
+    "decontam_embed",
+    // r6: capped-basket slice must not depend on partitioning
+    "basket_pairs")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
