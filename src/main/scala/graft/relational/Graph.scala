@@ -147,13 +147,20 @@ object Graph {
     * table inside a subquery, so unrolling is the faithful encoding).
     * Same FP ops per term; the <= 25-term contribution sums may
     * associate differently, which round(6) absorbs.
+    *
+    * Every CTE is `AS MATERIALIZED`: DuckDB inlines plain CTEs per
+    * REFERENCE, and the unrolled chain references `trans`/`pr{k-1}`
+    * multiply — at sf1 the inlined re-evaluations of the 6M-row
+    * contraction join blew past 100 GB before the sf1 rehearsal caught
+    * it. Materialized, the big join runs once and the iterations touch
+    * <= 625 rows, mirroring the Spark side's localCheckpoint contract.
     */
   private def pagerankOracle: String = {
     val iterCtes = (1 to PrIters).map { k =>
-      s"""dm$k AS (
+      s"""dm$k AS MATERIALIZED (
          |  SELECT coalesce(sum(rank), 0.0) AS dm FROM pr${k - 1}
          |  WHERE node NOT IN (SELECT src FROM trans)),
-         |pr$k AS (
+         |pr$k AS MATERIALIZED (
          |  SELECT nodes.node AS node,
          |    $Teleport / (SELECT n FROM nn) +
          |    $Damping * (coalesce(c.in_rank, 0.0)
@@ -163,7 +170,7 @@ object Graph {
          |    FROM trans t JOIN pr${k - 1} p ON p.node = t.src
          |    GROUP BY t.dst) c ON c.dst = nodes.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT n1.n_name AS src, n2.n_name AS dst,
        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS DOUBLE)/10000 AS w
        |  FROM lineitem, orders, customer, supplier, nation n1, nation n2
@@ -175,7 +182,7 @@ object Graph {
        |ow AS (
        |  SELECT src, sum(CAST(round(w*10000,0) AS BIGINT)) AS ow
        |  FROM edges GROUP BY src),
-       |trans AS (
+       |trans AS MATERIALIZED (
        |  SELECT edges.src, edges.dst,
        |    CAST(CAST(round(w*10000,0) AS BIGINT) AS DOUBLE) / CAST(ow AS DOUBLE) AS p
        |  FROM edges JOIN ow ON edges.src = ow.src),
