@@ -27,6 +27,11 @@ object ScaleGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sf1")
     val r = args.lift(2).map(_.toInt).getOrElse(10)
+    // under ScalaTest getOrCreate() returns the suite's shared session —
+    // stopping THAT would kill every later suite, so only stop a
+    // session this main itself created
+    val ownsSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isEmpty
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -121,6 +126,6 @@ object ScaleGen {
       "documents", "embeddings")
       .map(t => s"$t=${spark.read.parquet(s"$out/$t.parquet").count()}")
     println(s"SCALEGEN done r=$r out=$out ${counts.mkString(" ")}")
-    spark.stop()
+    if (ownsSession) spark.stop()
   }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Guards the scale-rehearsal generator: the sf1/sf3 evidence is only
+  * as good as ScaleGen's invariants, so they are pinned here on a
+  * small factor — FK consistency (same ceil on both sides of every
+  * key domain), schema equality with the source, exact row scaling,
+  * near-dup (never byte-equal) replica content, and a timestamp-typed
+  * events.ts.
+  */
+class ScaleGenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val outDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graftscale").toString
+    graft.ScaleGen.main(Array(sf, tmp, "3"))
+    tmp
+  }
+
+  private def src(t: String) = spark.read.parquet(s"$sf/$t.parquet")
+  private def out(t: String) = spark.read.parquet(s"$outDir/$t.parquet")
+
+  test("row counts scale exactly Rx for scaled tables, 1x for dims") {
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings"))
+      assert(out(t).count() == 3 * src(t).count(), t)
+    for (t <- Seq("region", "nation"))
+      assert(out(t).count() == src(t).count(), t)
+  }
+
+  test("every foreign key resolves after scaling (no dangling references)") {
+    def dangling(fact: String, fk: String, dim: String, pk: String): Long =
+      out(fact).select(col(fk).as("k"))
+        .join(out(dim).select(col(pk).as("k")), Seq("k"), "left_anti").count()
+    assert(dangling("orders", "o_custkey", "customer", "c_custkey") == 0L)
+    assert(dangling("lineitem", "l_orderkey", "orders", "o_orderkey") == 0L)
+    assert(dangling("lineitem", "l_partkey", "part", "p_partkey") == 0L)
+    assert(dangling("lineitem", "l_suppkey", "supplier", "s_suppkey") == 0L)
+  }
+
+  test("key shifts preserve per-replica join fan-out (FK ceils move in lockstep)") {
+    // the orders-per-customer distribution must be EXACTLY the source's,
+    // replicated: a mismatched ceil on one side would re-wire orders to
+    // the wrong replica's customers and change the histogram
+    val want = src("orders").groupBy($"o_custkey").count()
+      .groupBy($"count").count().as[(Long, Long)].collect()
+      .map { case (k, n) => k -> 3 * n }.toMap
+    val got = out("orders").groupBy($"o_custkey").count()
+      .groupBy($"count").count().as[(Long, Long)].collect().toMap
+    assert(got == want, s"orders-per-customer histogram drifted: $got vs $want")
+  }
+
+  test("document replicas are near-duplicates, never byte twins; n_chars consistent") {
+    val texts = out("documents").select($"text").as[String].collect()
+    assert(texts.distinct.length == texts.length, "byte-equal replica text defeats the dedup workload")
+    val badChars = out("documents")
+      .filter(length($"text").cast("long") =!= $"n_chars").count()
+    assert(badChars == 0L, "n_chars out of sync with transformed text")
+    // replica of doc 0 shares its prefix (near-dup, not unrelated)
+    val base = src("documents").filter($"doc_id" === 0).select($"text").as[String].head()
+    val ceil = src("documents").agg(max($"doc_id")).as[Long].head() + 1
+    val rep = out("documents").filter($"doc_id" === ceil).select($"text").as[String].head()
+    assert(rep.startsWith(base) && rep != base)
+  }
+
+  test("embedding replicas are perturbed, probe set intact, events.ts is a timestamp") {
+    val vecs = out("embeddings").select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(vecs.map(_._2).distinct.length == vecs.length, "byte-equal embedding replicas")
+    // probe contract: vec_id < NumQueries exists only in replica 0
+    assert(vecs.count(_._1 < graft.sim.Similarity.NumQueries) ==
+      graft.sim.Similarity.NumQueries)
+    assert(out("events").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "events.ts must be a real timestamp for the DuckDB oracle")
+  }
+}
