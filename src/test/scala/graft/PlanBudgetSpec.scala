@@ -91,6 +91,16 @@ class PlanBudgetSpec extends SparkSpec {
     "range_join_tiers", // 3-row tier table
     "tfidf_topk") // one-row corpus doc count
 
+  test("decontam_embed is a ZERO-exchange narrow scan (the MaxCosine contract)") {
+    // The r6 rewrite put the bounded eval matrix inside the expression;
+    // any join, exchange, or aggregate reappearing here means the
+    // quadratic JoinedRow formulation regressed
+    val plan = pipeline.Decontam.flagEmbedContaminated(spark, sf)
+      .queryExecution.executedPlan.toString
+    for (op <- Seq("Exchange", "Join", "HashAggregate", "Window"))
+      assert(!plan.contains(op), s"$op reappeared in decontam_embed:\n$plan")
+  }
+
   test("training_mix reads documents ONCE: both pipeline branches consume the checkpoint") {
     val plan = pipeline.Curation.trainingMix(spark, sf)
       .queryExecution.executedPlan.toString
