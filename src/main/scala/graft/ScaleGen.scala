@@ -75,7 +75,6 @@ object ScaleGen {
     val partCeil = ceilOf(tbl("part"), "p_partkey")
     val orderCeil = ceilOf(tbl("orders"), "o_orderkey")
     val eventCeil = ceilOf(tbl("events"), "event_id")
-    val userCeil = ceilOf(tbl("events"), "user_id")
     val docCeil = ceilOf(tbl("documents"), "doc_id")
     val vecCeil = ceilOf(tbl("embeddings"), "vec_id")
 
@@ -93,8 +92,11 @@ object ScaleGen {
     // surfaces as LONG nanos; write a real timestamp[us] (same micro
     // truncation Tables.events applies) so BOTH Spark and the DuckDB
     // oracle read the scaled table without the legacy shim
+    // user_id is an FK to customer.c_custkey (the segment-enrich joins),
+    // so it must move by the CUSTOMER ceil — shifting it by its own ceil
+    // would re-wire replicated events to wrong or missing customers
     val events = replicate(tbl("events"),
-      Map("event_id" -> eventCeil, "user_id" -> userCeil))
+      Map("event_id" -> eventCeil, "user_id" -> custCeil))
     val eventsTs =
       if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         events.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -61,6 +61,11 @@ case class MaxCosine(child: Expression, bench: Array[Array[Double]])
       if (sim > best) best = sim
       c += 1
     }
+    // a zero-norm train or bench vector makes sim NaN and best never
+    // advances past -Inf; BigDecimal(-Inf) throws, which would crash the
+    // whole query — return null instead (the old cross-join formulation
+    // propagated NaN, which the comparisons below treat the same way)
+    if (best.isNaN || best.isInfinite) return null
     BigDecimal(best).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 

@@ -119,12 +119,10 @@ object Decontam {
     val benchArr: Array[Array[Double]] = e.filter($"vec_id" % 10 === 0)
       .select($"vec_id", $"v").sort($"vec_id").limit(BenchCap)
       .collect().map(_.getSeq[Double](1).toArray)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "max_cosine",
-      exprs => graft.functions.MaxCosine(exprs.head, benchArr),
-      "built-in")
+    val maxCos = graft.functions.FittedExpr.bind(spark, "max_cosine",
+      exprs => graft.functions.MaxCosine(exprs.head, benchArr), $"v")
     e.filter($"vec_id" % 10 =!= 0)
-      .select($"vec_id", expr("max_cosine(v)").as("max_sim"))
+      .select($"vec_id", maxCos.as("max_sim"))
       .select($"vec_id", $"max_sim",
         ($"max_sim" >= EmbThreshold).cast("long").as("contaminated"))
   }

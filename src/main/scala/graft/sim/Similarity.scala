@@ -234,12 +234,10 @@ object Similarity {
     val cents = centroids(trainSample(e).map(_._2))
     ivfFit(d) = cents
     lastDir = Some(d)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_cell",
-      exprs => graft.functions.NearestCell(exprs.head, cents),
-      "built-in")
+    val nearestCell = graft.functions.FittedExpr.bind(spark, "nearest_cell",
+      exprs => graft.functions.NearestCell(exprs.head, cents), $"v")
     val assigned = e
-      .withColumn("cell", expr("nearest_cell(v)"))
+      .withColumn("cell", nearestCell)
       .select($"cell", $"vec_id", $"label".cast("long").as("label"), $"v", $"norm")
       .localCheckpoint()
     val keep = assigned.groupBy($"cell")
@@ -456,12 +454,10 @@ object Similarity {
     val e = withVec(Tables.embeddings(spark, d))
     val sample = trainSample(e)
     val cents = centroids(sample.map(_._2))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_cell",
-      exprs => graft.functions.NearestCell(exprs.head, cents),
-      "built-in")
+    val nearestCell = graft.functions.FittedExpr.bind(spark, "nearest_cell",
+      exprs => graft.functions.NearestCell(exprs.head, cents), $"v")
     val cand = e
-      .withColumn("cell", expr("nearest_cell(v)"))
+      .withColumn("cell", nearestCell)
       .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"), $"cell")
     // probe cells ranked locally: (d2 asc, cell asc), top IvfProbes
     val probeRows = sample.filter(_._1 < NumQueries).flatMap { case (id, v) =>
@@ -564,13 +560,11 @@ object Similarity {
     val bounds = fitQuantBounds(spark, d)
     quantFit(d) = bounds
     lastDir = Some(d)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "quant_code16",
+    val quantCode = graft.functions.FittedExpr.bind(spark, "quant_code16",
       exprs => graft.functions.QuantCode(exprs.head, bounds),
-      "built-in")
+      expr("cast(embedding as array<double>)"))
     Tables.embeddings(spark, d)
-      .select($"vec_id",
-        expr("quant_code16(cast(embedding as array<double>))").as("q"))
+      .select($"vec_id", quantCode.as("q"))
   }
 
   /** The boundary matrix the last [[knnQuantizedCodes]] fit for a dir

@@ -701,17 +701,17 @@ object Dedup {
       .orderBy($"df".desc, $"tok")
       .limit(PrefixHotCap)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hot_weight",
-      exprs => graft.functions.HotWeight(exprs.head, hot),
-      "built-in")
+    // fitted per corpus, so bound under a fresh name (inside a lambda,
+    // hence bindName + SQL splice rather than a Column)
+    val hotFn = graft.functions.FittedExpr.bindName(spark, "hot_weight",
+      exprs => graft.functions.HotWeight(exprs.head, hot))
     val prefixes = docs
       .withColumn("n", size($"dt").cast("long"))
       // prefix length |d| - ceil(t*|d|) + 1, ceil in integer arithmetic
       .withColumn("plen", expr(s"n - (n * $num + $den - 1) DIV $den + 1"))
       .withColumn("srt", expr(
-        """sort_array(transform(dt, t -> named_struct(
-          |  'w', coalesce(hot_weight(t),
+        s"""sort_array(transform(dt, t -> named_struct(
+          |  'w', coalesce($hotFn(t),
           |               cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
           |  'tok', t)))""".stripMargin))
       .select($"doc_id", $"dt",

@@ -37,6 +37,12 @@ class ScaleGenSpec extends SparkSpec {
     assert(dangling("lineitem", "l_orderkey", "orders", "o_orderkey") == 0L)
     assert(dangling("lineitem", "l_partkey", "part", "p_partkey") == 0L)
     assert(dangling("lineitem", "l_suppkey", "supplier", "s_suppkey") == 0L)
+    // events.user_id is an FK to customer.c_custkey (segment-enrich joins);
+    // shifting it by its own ceil instead of custCeil left it resolvable
+    // (user_id's domain is a strict subset of custkey's) but re-wired to
+    // the WRONG replica's customers — so a left-anti check alone is not
+    // enough; the histogram test below pins the wiring
+    assert(dangling("events", "user_id", "customer", "c_custkey") == 0L)
   }
 
   test("key shifts preserve per-replica join fan-out (FK ceils move in lockstep)") {
@@ -49,6 +55,15 @@ class ScaleGenSpec extends SparkSpec {
     val got = out("orders").groupBy($"o_custkey").count()
       .groupBy($"count").count().as[(Long, Long)].collect().toMap
     assert(got == want, s"orders-per-customer histogram drifted: $got vs $want")
+    // same lockstep requirement for events: user_id must shift by the
+    // CUSTOMER ceil, so each customer replica keeps exactly the source's
+    // events-per-user distribution
+    val wantEv = src("events").groupBy($"user_id").count()
+      .groupBy($"count").count().as[(Long, Long)].collect()
+      .map { case (k, n) => k -> 3 * n }.toMap
+    val gotEv = out("events").groupBy($"user_id").count()
+      .groupBy($"count").count().as[(Long, Long)].collect().toMap
+    assert(gotEv == wantEv, s"events-per-customer histogram drifted: $gotEv vs $wantEv")
   }
 
   test("document replicas are near-duplicates, never byte twins; n_chars consistent") {
