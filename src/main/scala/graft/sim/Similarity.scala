@@ -522,9 +522,9 @@ object Similarity {
     * (integer dots equal ⇒ neighbor_id order; recall@5 vs exact fine
     * ranking ~0.04 there, ~0.62 on the spread fixture). That is the
     * inherent SQ trade, not a code-book defect: the production pattern
-    * is shortlist-by-code then exact-rerank the top R — compose this
-    * operator with [[knnExact]]'s scorer over the shortlist when fine
-    * order matters.
+    * is shortlist-by-code then exact-rerank the top R, which is
+    * [[knnRerank]] (`embed_knn_rerank` in the catalog) — SimilaritySpec
+    * pins its recall@K ≥ 0.9 on the exact corpus where raw codes tie.
     */
   val QuantBuckets = 16
 
@@ -589,6 +589,60 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rk", $"score")
   }
 
+  /** Shortlist depth for the SQ→exact composite: wide enough to cover
+    * the whole tie set 4-bit codes produce inside a tight cluster
+    * (integer dots equal there, so the true top-K hides anywhere in the
+    * tied run), small enough that the exact rerank touches
+    * NumQueries×R rows — noise next to the corpus scan.
+    */
+  val RerankShortlist = 50
+
+  /** SQ shortlist → exact rerank — the production composition the
+    * [[knnQuantized]] scaladoc promises: 4-bit integer-dot scoring
+    * generates a cheap [[RerankShortlist]]-deep candidate list per
+    * probe (8× less memory traffic than float scoring — at 100 TB the
+    * code table is what fits in page cache), then ONLY those pairs are
+    * re-scored with the exact [[knnExact]] convention (double cosine,
+    * 4dp round-before-rank, neighbor_id ties).
+    *
+    * Scale shape: one coded-corpus scan for the shortlist (broadcast
+    * probe codes), then one full-vector scan joined against the
+    * BROADCAST shortlist (NumQueries×R id pairs) — no shuffle of
+    * vectors anywhere; both windows rank bounded per-probe sets.
+    * SimilaritySpec pins recall@K ≥ 0.9 vs exact on the clustered
+    * corpus where raw SQ fine-ranking bottoms out at ~0.04 — the
+    * measured proof that the rerank recovers what quantization ties
+    * away.
+    */
+  def knnRerank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val codes = knnQuantizedCodes(spark, d)
+    val probeCodes = codes.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qq"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"iscore".desc, $"neighbor_id")
+    val shortlist = codes.select($"vec_id".as("neighbor_id"), $"q".as("cq"))
+      .crossJoin(broadcast(probeCodes))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("iscore", expr("dot_f64(qq, cq)").cast("long"))
+      .withColumn("srk", row_number().over(wShort))
+      .filter($"srk" <= RerankShortlist)
+      .select($"query_id", $"neighbor_id")
+    val e = withVec(Tables.embeddings(spark, d))
+    val probeVecs = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(probeVecs), Seq("query_id"))
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= K)
+      .select($"query_id", $"neighbor_id", $"rk", $"sim")
+  }
+
   /** Per-label centroids, long form (label, dim, c): one posexplode +
     * one (label, dim) aggregate — the building block for IVF coarse
     * quantizers, class prototypes, and drift monitors. Bounded output
@@ -612,6 +666,7 @@ object Similarity {
     "embed_ann_ivf" -> ((s, dir) => annIvf(s, dir)),
     "embed_label_centroids" -> (labelCentroids _),
     "embed_knn_quantized" -> (knnQuantized _),
+    "embed_knn_rerank" -> (knnRerank _),
     "embed_xlabel_mutual" -> (crossLabelMutual _),
     "embed_triplets" -> (tripletMine _),
     "dedup_embed_pairs" -> (embedDupPairs _))
@@ -717,6 +772,10 @@ object Similarity {
       d <- lastDir
       bounds <- quantFit.get(d)
     } yield "embed_knn_quantized" -> knnQuantizedOracle(bounds)
+    val rerank = for {
+      d <- lastDir
+      bounds <- quantFit.get(d)
+    } yield "embed_knn_rerank" -> knnRerankOracle(bounds)
     val dup = for {
       d <- lastDir
       cents <- ivfFit.get(d)
@@ -725,7 +784,7 @@ object Similarity {
       d <- lastDir
       cents <- ivfFit.get(d)
     } yield "embed_xlabel_mutual" -> xlabelOracle(cents)
-    (ivf ++ quant ++ dup ++ xl).toMap
+    (ivf ++ quant ++ rerank ++ dup ++ xl).toMap
   }
 
   /** DuckDB twin of [[embedDupPairs]]: same centroid-literal cell
@@ -751,7 +810,7 @@ object Similarity {
     * round-trip double literals, so the codes are bit-exact across
     * engines and the integer-dot ranking needs no rounding at all.
     */
-  private def knnQuantizedOracle(bounds: Array[Array[Double]]): String = {
+  private def quantCodeCtes(bounds: Array[Array[Double]]): String = {
     val bndRows = bounds.zipWithIndex.map { case (bs, j) =>
       s"($j, [${bs.map(dlit).mkString(",")}])"
     }.mkString(",\n")
@@ -767,13 +826,47 @@ object Similarity {
        |  FROM x JOIN bnd ON x.dim = bnd.dim),
        |q AS (
        |  SELECT vec_id, list(CAST(code AS DOUBLE) ORDER BY dim) AS qv
-       |  FROM c GROUP BY vec_id)
+       |  FROM c GROUP BY vec_id)""".stripMargin
+  }
+
+  private def knnQuantizedOracle(bounds: Array[Array[Double]]): String = {
+    s"""${quantCodeCtes(bounds)}
        |SELECT query_id, neighbor_id, rk, score FROM (
        |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
        |         CAST(list_dot_product(p.qv, n.qv) AS BIGINT) AS score,
        |         row_number() OVER (PARTITION BY p.vec_id
        |                            ORDER BY list_dot_product(p.qv, n.qv) DESC, n.vec_id) AS rk
        |  FROM q p JOIN q n ON p.vec_id < $NumQueries AND n.vec_id <> p.vec_id) t
+       |WHERE rk <= $K""".stripMargin
+  }
+
+  /** DuckDB twin of [[knnRerank]], from the same boundary fit: the
+    * integer-dot shortlist replays over the code CTEs, then the exact
+    * cosine rerank replays [[knnExact]]'s convention over only the
+    * shortlisted id pairs.
+    */
+  private def knnRerankOracle(bounds: Array[Array[Double]]): String = {
+    s"""${quantCodeCtes(bounds)},
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |                              ORDER BY list_dot_product(p.qv, n.qv) DESC, n.vec_id) AS srk
+       |    FROM q p JOIN q n ON p.vec_id < $NumQueries AND n.vec_id <> p.vec_id) t
+       |  WHERE srk <= $RerankShortlist),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_dot_product(qn.v, nn.v) / (qn.norm * nn.norm), 4) AS sim
+       |  FROM short s
+       |  JOIN nv qn ON qn.vec_id = s.query_id
+       |  JOIN nv nn ON nn.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, rk, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored) t
        |WHERE rk <= $K""".stripMargin
   }
 

@@ -193,6 +193,30 @@ class SimilaritySpec extends SparkSpec {
       s"quantized codes leaked ${wrongCluster.length} cross-cluster hits: ${wrongCluster.take(5).toSeq}")
   }
 
+  test("SQ shortlist -> exact rerank recovers the order raw codes tie away (recall@5 >= 0.9)") {
+    // the regime where raw 4-bit codes bottom out (~0.04 fine-rank
+    // recall inside tight clusters): the composite must shortlist the
+    // whole tied run and let the exact scorer restore true order
+    val exact = clusteredExact(Similarity.K)
+    def recallAt(rows: Array[org.apache.spark.sql.Row]): Double = recallOf(
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet },
+      exact)
+    val raw = recallAt(Similarity.knnQuantized(spark, clusteredDir).collect())
+    val rr = Similarity.knnRerank(spark, clusteredDir).collect()
+    val reranked = recallAt(rr)
+    assert(reranked >= 0.9, s"rerank recall@${Similarity.K} = $reranked, expected >= 0.9")
+    assert(raw < 0.5, s"raw SQ recall moved to $raw — the corpus no longer exercises the tie regime")
+    assert(reranked > raw, s"rerank ($reranked) must beat raw codes ($raw)")
+    // reranked sims are the EXACT scorer's values (not quantized scores)
+    val exactSim = Similarity.knnExact(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    rr.foreach { r =>
+      exactSim.get((r.getLong(0), r.getLong(1)))
+        .foreach(s => assert(s == r.getDouble(3), s"sim drifted for pair ${(r.getLong(0), r.getLong(1))}"))
+    }
+  }
+
   test("knn plan broadcasts the probe side") {
     val p = Similarity.knnExact(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
