@@ -115,6 +115,23 @@ class PlanBudgetSpec extends SparkSpec {
       s"expected checkpoint-backed scans; plan:\n$plan")
   }
 
+  test("salted operators actually engage the salt: partial stage keys on (k, _salt)") {
+    // the skewed-rehearsal claim rests on these paths being REAL in the
+    // plan, not just present in source: the salted agg's first exchange
+    // must partition on both the key and the salt (that IS the fan-out),
+    // and the salted join must shuffle on a key set including _salt
+    val aggPlan = relational.Skew.skewSaltedAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(aggPlan).isDefined,
+      s"salted agg does not exchange on _salt:\n$aggPlan")
+    val joinPlan = relational.Skew.skewSaltedJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(joinPlan.contains("ShuffledHashJoin"),
+      s"salted join collapsed to a non-shuffle join:\n$joinPlan")
+    assert("ShuffledHashJoin \\[[^\\]]*_salt".r.findFirstIn(joinPlan).isDefined,
+      s"salted join keys do not include _salt:\n$joinPlan")
+  }
+
   test("every catalog query stays within its exchange budget, NLJ whitelist, no global sort") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -79,6 +79,58 @@ class ScaleGenSpec extends SparkSpec {
     assert(rep.startsWith(base) && rep != base)
   }
 
+  // ---- skew mode: the planted hot keys, fractions, and invariants ----
+
+  private lazy val skewDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graftskew").toString
+    graft.ScaleGen.main(Array(sf, tmp, "3", "skew"))
+    tmp
+  }
+  private def sk(t: String) = spark.read.parquet(s"$skewDir/$t.parquet")
+
+  test("skew mode: one customer owns ~20% of orders AND events, FKs still resolve") {
+    val hot = src("customer").agg(min($"c_custkey")).as[Long].head()
+    val o = sk("orders")
+    val oTot = o.count()
+    val oHot = o.filter($"o_custkey" === hot).count()
+    // 20% planted + the hot customer's own organic orders
+    assert(oHot >= oTot / 5 && oHot < oTot / 3, s"hot customer owns $oHot of $oTot orders")
+    val ev = sk("events")
+    val eTot = ev.count()
+    val eHot = ev.filter($"user_id" === hot).count()
+    assert(eHot >= eTot / 5 && eHot < eTot / 3, s"hot user owns $eHot of $eTot events")
+    // planting must never break FK resolution
+    def dangling(fact: String, fk: String, dim: String, pk: String): Long =
+      sk(fact).select(col(fk).as("k"))
+        .join(sk(dim).select(col(pk).as("k")), Seq("k"), "left_anti").count()
+    assert(dangling("orders", "o_custkey", "customer", "c_custkey") == 0L)
+    assert(dangling("events", "user_id", "customer", "c_custkey") == 0L)
+  }
+
+  test("skew mode: hot token rides half the docs, n_chars stays consistent") {
+    val d = sk("documents")
+    val n = d.count()
+    val hot = d.filter($"text".endsWith("graftskewhot")).count()
+    assert(hot * 2 >= n - 1 && hot * 2 <= n + 1, s"hot token in $hot of $n docs")
+    assert(d.filter(length($"text").cast("long") =!= $"n_chars").count() == 0L)
+  }
+
+  test("skew mode: one embedding ball holds 20% of vectors within epsilon") {
+    val base = src("embeddings").filter($"vec_id" === 0)
+      .select($"embedding").as[Seq[Float]].head().map(_.toDouble)
+    val vecs = sk("embeddings").select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val inBall = vecs.count { case (_, v) =>
+      v.zip(base).map { case (a, b) => math.abs(a - b) }.max <= 5e-4
+    }
+    assert(inBall >= vecs.length / 5, s"ball holds $inBall of ${vecs.length}")
+    // exactly the vec_id % 5 == 0 rows were collapsed
+    vecs.foreach { case (id, v) =>
+      val near = v.zip(base).map { case (a, b) => math.abs(a - b) }.max <= 5e-4
+      assert(near == (id % 5 == 0), s"vec $id ball membership wrong")
+    }
+  }
+
   test("embedding replicas are perturbed, probe set intact, events.ts is a timestamp") {
     val vecs = out("embeddings").select($"vec_id", $"embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
