@@ -49,6 +49,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(ll < 10000, s"converged plan unexpectedly deep: $ll chars")
   }
 
+  test("pointer jumping IS the large-component escape: 4096-hop path converges in O(log d) rounds") {
+    // An adversarial diameter far beyond anything the bucket-capped pair
+    // generators can emit — plain hash-min propagation would need 4096
+    // rounds and abort at MaxRounds=20; the jump's horizon doubling must
+    // land it in ~log2(4096)=12, proving the loop needs no
+    // large-star/small-star variant for ANY input diameter the round
+    // bound admits (2^18+). See DedupCluster scaladoc for the
+    // adjudication this test anchors.
+    val n = 4096
+    val path = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val got = DedupCluster.clustersOfEdges(path)
+    assert(got.collect().map(_.getLong(1)).toSet == Set(0L),
+      "path must collapse to its min id")
+    val rounds = DedupCluster.lastRounds
+    assert(rounds <= 15, s"converged in $rounds rounds — horizon doubling regressed")
+  }
+
   test("CC labels match a union-find oracle on random graphs") {
     val rnd = new scala.util.Random(3)
     for (_ <- 1 to 3) {
