@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Streaming state-store evidence at rehearsal volume — answers the one
+  * question fixture-scale StreamingSpec micro-batches cannot: does
+  * operator state PLATEAU under watermark eviction when a month of
+  * rehearsal events flows through, or does it grow with the stream?
+  *
+  * Drives the three stateful legs whose state could in principle grow
+  * without bound — session aggregation (open sessions),
+  * dropDuplicatesWithinWatermark (seen keys), and the stream-stream
+  * interval join (buffered rows on both sides) — from an sf directory's
+  * events table, replayed through a MemoryStream in EVENT-TIME ORDER in
+  * fixed-size chunks (the arrival pattern a landing zone produces, and
+  * the one that lets watermarks advance steadily). After every
+  * micro-batch the StreamingQueryProgress state metrics are recorded:
+  * numRowsTotal, memoryUsedBytes, and the watermark.
+  *
+  * The emitted JSON ([[outFile]], one object per leg) carries the full
+  * per-batch series plus two adjudication scalars per leg:
+  *   - `drift_ratio` = mean(state rows, last quarter of batches) /
+  *     mean(state rows, first quarter). ~1.0 = the state is
+  *     watermark-bounded from the start (flat series); a leak that
+  *     accumulates keys shows up as a ratio tracking the batch count.
+  *   - `final_vs_input` = final state rows / total input rows. With
+  *     eviction working this is << 1 (state holds only the horizon, the
+  *     stream holds the month).
+  * (`plateau_ratio` — last-quarter max over global max — is also kept,
+  * but it is the weaker signal: a monotone leak ALSO peaks late, so
+  * read it with drift_ratio.)
+  *
+  * Usage: runMain graft.streaming.StreamScale [sfDir] [outFile] [chunks]
+  * Defaults: /tmp/sf1 STREAM_sf1.json 60
+  */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/tmp/sf1")
+    val outFile = args.lift(1).getOrElse("STREAM_sf1.json")
+    val chunks = args.lift(2).map(_.toInt).getOrElse(60)
+    val ownsSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isEmpty
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // the whole month of events, event-time ordered, staged on the
+    // driver once (the rehearsal volume is ~1M rows — a harness-side
+    // fit, not a catalog-operator pattern)
+    val staged: Array[(Long, Long, Long, String, Double)] =
+      graft.Tables.events(spark, sfDir)
+        .select($"event_id", expr("unix_micros(ts)").as("tsus"),
+          $"user_id", $"event_type", $"value")
+        .orderBy($"tsus", $"event_id")
+        .as[(Long, Long, Long, String, Double)]
+        .collect()
+    val chunkSize = math.max(1, staged.length / chunks)
+
+    def runLeg(
+        name: String,
+        build: DataFrame => DataFrame): String = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, Long, Long, String, Double)]
+      val events = input.toDF()
+        .toDF("event_id", "tsus", "user_id", "event_type", "value")
+        .withColumn("ts", expr("timestamp_micros(tsus)"))
+        .drop("tsus")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graftss_$name").toString
+      val q: StreamingQuery = build(events).writeStream
+        .outputMode(OutputMode.Append())
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val wm = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        staged.grouped(chunkSize).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+          val p = q.lastProgress
+          if (p != null && p.stateOperators.nonEmpty) {
+            rows += p.stateOperators.map(_.numRowsTotal).sum
+            mem += p.stateOperators.map(_.memoryUsedBytes).sum
+            wm += Option(p.eventTime.get("watermark")).getOrElse("")
+          }
+        }
+      } finally q.stop()
+      val quarter = rows.drop(rows.length * 3 / 4)
+      val firstQ = rows.take(math.max(1, rows.length / 4))
+      val peak = if (rows.nonEmpty) rows.max else 0L
+      val plateau =
+        if (peak == 0L) 0.0 else quarter.max.toDouble / peak
+      def meanOf(xs: scala.collection.Seq[Long]): Double =
+        if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.length
+      val drift =
+        if (meanOf(firstQ) == 0.0) 0.0 else meanOf(quarter) / meanOf(firstQ)
+      val finalVsInput =
+        if (rows.isEmpty) 0.0 else rows.last.toDouble / staged.length
+      println(f"STREAMSCALE $name%-14s batches=${rows.length} peakRows=$peak " +
+        f"finalRows=${if (rows.nonEmpty) rows.last else 0} plateau=$plateau%.3f " +
+        f"drift=$drift%.3f finalVsInput=$finalVsInput%.4f")
+      s""""$name":{"batches":${rows.length},"input_rows":${staged.length},""" +
+        s""""state_rows":[${rows.mkString(",")}],""" +
+        s""""state_bytes":[${mem.mkString(",")}],""" +
+        s""""peak_rows":$peak,"final_rows":${if (rows.nonEmpty) rows.last else 0},""" +
+        s""""plateau_ratio":$plateau,"drift_ratio":$drift,""" +
+        s""""final_vs_input":$finalVsInput,""" +
+        s""""last_watermark":"${wm.lastOption.getOrElse("")}"}"""
+    }
+
+    val legs = Seq(
+      "session_agg" -> ((e: DataFrame) => EventStreams.sessionAggStream(e)),
+      "dedup_watermark" -> ((e: DataFrame) => EventStreams.dedupStream(e)),
+      "interval_join" -> ((e: DataFrame) => EventStreams.purchaseClickJoinStream(e)))
+    val parts = legs.map { case (n, b) => runLeg(n, b) }
+    val json = s"""{"sf":"$sfDir","chunks":$chunks,${parts.mkString(",")}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json.take(500))
+    if (ownsSession) spark.stop()
+  }
+}

@@ -85,6 +85,13 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  // NOTE on the two 0.3 floors below: they run on the UNIFORM sf
+  // fixture, where hashing/coarse-quantizer ANN legitimately bottoms
+  // out (no cluster structure to exploit) — they are smoke floors, not
+  // the published recall bars. The load-bearing bars live on the
+  // clustered corpus further down: IVF recall@10 >= 0.8 at nprobe=4
+  // (exact at nprobe=16) and the SQ->rerank composite at recall@5
+  // >= 0.9.
   test("ANN recall@5 vs exact knn is usable (> 0.3 on clustered data)") {
     val exact = Similarity.knnExact(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
