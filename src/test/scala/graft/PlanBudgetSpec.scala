@@ -56,6 +56,10 @@ class PlanBudgetSpec extends SparkSpec {
     "dedup_survivors" -> 3,
     // user timeline window -> (from, to) grid -> source share
     "event_transitions" -> 3,
+    // bucketed interval join (one exchange per side on (user, bucket))
+    // + the per-purchase count, whose key set no longer aligns with the
+    // join partitioning once the bucket is in it
+    "events_click_attribution" -> 3,
     // the (key, salt) exchange IS the operator's point
     "skew_salted_join" -> 3,
     // oriented two-path join + closing join
@@ -130,6 +134,21 @@ class PlanBudgetSpec extends SparkSpec {
       s"salted join collapsed to a non-shuffle join:\n$joinPlan")
     assert("ShuffledHashJoin \\[[^\\]]*_salt".r.findFirstIn(joinPlan).isDefined,
       s"salted join keys do not include _salt:\n$joinPlan")
+  }
+
+  test("interval-join twins key the join on (user, hour-bucket), not user alone") {
+    // the sf1skew fix: a hot user's events must spread across time-keyed
+    // join groups. At fixture scale the purchase side broadcasts (no
+    // exchange to inspect), so assert on the equi-join KEY SET — that is
+    // what becomes the shuffle partitioning when both sides are large.
+    for (name <- Seq("events_purchase_click_join", "events_click_attribution")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(
+        "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*_pb".r
+          .findFirstIn(plan).isDefined,
+        s"$name joins on user alone (no bucket in the join keys):\n$plan")
+    }
   }
 
   test("every catalog query stays within its exchange budget, NLJ whitelist, no global sort") {

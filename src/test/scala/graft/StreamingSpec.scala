@@ -632,6 +632,70 @@ class StreamingSpec extends SparkSpec {
     assert(mv == want)
   }
 
+  test("bucketed interval join == plain spelling: boundaries, hot user, random") {
+    // The batch interval-join twins use the (user, hour-bucket) equi-key
+    // decomposition (the sf1skew fix); this pins exact pair-set parity
+    // with the plain user-keyed spelling on (a) inclusive/exclusive
+    // boundary timestamps at microsecond resolution, (b) a planted hot
+    // user whose events straddle bucket edges, (c) a seeded random corpus.
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000L * 1000000L // µs
+    val h = 3600L * 1000000L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    var id = 0L
+    def ev(user: Long, tsMicros: Long, typ: String): Unit = {
+      rows += ((id, tsMicros * 1000L, user, typ)); id += 1 // ts stored as ns
+    }
+    // (a) boundaries around purchase at base+10h: click exactly 1h before
+    // (inclusive match), 1h+1µs before (miss), equal ts (match), 1µs after (miss)
+    val p0 = base + 10 * h
+    ev(100L, p0, "purchase")
+    ev(100L, p0 - h, "click"); ev(100L, p0 - h - 1, "click")
+    ev(100L, p0, "click"); ev(100L, p0 + 1, "click")
+    // (b) hot user: 120 purchases + 120 clicks scattered across 3 buckets
+    for (_ <- 0 until 120) {
+      ev(1L, base + rnd.nextLong(3 * h), "purchase")
+      ev(1L, base + rnd.nextLong(3 * h), "click")
+    }
+    // (c) random corpus: 5 users, 4 days, second-to-microsecond jitter
+    for (_ <- 0 until 1500) {
+      val typ = Seq("purchase", "click", "view")(rnd.nextInt(3))
+      ev(rnd.nextInt(5).toLong + 2L, base + rnd.nextLong(96L * h), typ)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftbij").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type")
+      .selectExpr("event_id", "ts", "user_id", "event_type",
+        "0.0 AS value", "'{}' AS props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventStreams.purchaseClickJoinBatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.events(spark, dir)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+    val want = p.join(c,
+      $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL '1' HOUR"))
+      .select($"p_id", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // the boundary cases landed as designed
+    assert(got.contains((0L, 1L)) && got.contains((0L, 3L)))
+    assert(!got.contains((0L, 2L)) && !got.contains((0L, 4L)))
+    assert(got.size > 1000, s"hot user should mass-match, got ${got.size}")
+    // attribution twin: per-purchase click counts match the plain outer agg
+    val gotAttr = EventStreams.clickAttributionBatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val wantAttr = p.join(c,
+      $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL '1' HOUR"), "left_outer")
+      .groupBy($"p_id").agg(count($"c_id").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotAttr === wantAttr)
+    assert(gotAttr.values.exists(_ == 0L), "no zero-click purchase in corpus")
+  }
+
   test("parquet schema evolution: mergeSchema unions per-file schemas") {
     val dir = java.nio.file.Files.createTempDirectory("graftse").toString
     Tables.events(spark, sf).select($"event_id", $"event_type")
