@@ -46,9 +46,23 @@ object Bench {
     // per-task agg/sort state divides across shuffle partitions, so the
     // spill experiment sweeps this independently of the core count
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // The sf3 lever sweep showed shuffle.partitions alone is NOT the
+    // per-task-state lever once AQE coalescing is on: AQE re-merges
+    // reduce partitions to the 64 MB advisory target, so the effective
+    // task count (and spill) barely moves. The operative guard is the
+    // advisory size itself — sweeping it is what divides per-task state.
+    val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+    advisoryMb.foreach(mb => builder.config(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m"))
+    // Map-side partial-agg state (basket_pairs' pair counts after the
+    // C(k,2) explode) is governed by the SCAN split size, not by any
+    // reduce-side partition count — the companion lever in the sweep.
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_MB").foreach(mb => builder.config(
+      "spark.sql.files.maxPartitionBytes", s"${mb}m"))
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
