@@ -574,9 +574,24 @@ object EventStreams {
     * in the preceding hour. Both sides are watermarked and the join
     * condition is time-bounded, so Spark can evict join state — the
     * unbounded-stream form of the as-of/window join family.
+    *
+    * Uses the same (user, hour-bucket) equi-key decomposition as the
+    * batch twin: the symmetric hash join buffers and probes state BY THE
+    * EQUI-KEY, so under a hot user the plain spelling probes that user's
+    * entire live click horizon (watermark delay + interval ≈ 2–3 h of a
+    * key that owns 20% of the stream) on EVERY hot purchase, from one
+    * state-store partition. With the bucket in the key a probe touches
+    * exactly the two hour-keyed slices the interval can reach, and the
+    * hot user's state spreads across the live buckets. The cost is the
+    * purchase side buffering each row under two bucket keys (the explode)
+    * — state ×2 on the smaller side, bounded probes in exchange. The
+    * pair set is identical (each click carries one bucket, so a pair
+    * matches at most one probe); the StreamingSpec convergence test pins
+    * streaming == batch-twin output, and the watermark/eviction behavior
+    * is unchanged because the range condition still bounds both sides.
     */
   def purchaseClickJoinStream(events: DataFrame): DataFrame =
-    intervalJoin(
+    bucketedIntervalJoin(
       purchaseSide(events).withWatermark("p_ts", "1 hour"),
       clickSide(events).withWatermark("c_ts", "2 hours"))
 
@@ -604,6 +619,15 @@ object EventStreams {
     * in the inner form; the outer rows are the watermark's closure of
     * the join. StreamingSpec drives it with a flush sentinel and checks
     * the full outer pair set equals the batch twin's.
+    *
+    * Stays on the PLAIN user-keyed spelling, unlike the inner stream:
+    * the bucketed decomposition emits one null-padded row per UNMATCHED
+    * PROBE (two per unmatched purchase), which changes outer row
+    * multiplicity — fine under the attribution aggregate's count(c_id),
+    * wrong for a raw outer pair stream. The hot-key exposure is accepted
+    * and measured (STREAM_sf1skew.json drives the skewed corpus through
+    * the inner leg; the outer leg shares its state shape plus the
+    * unmatched-row timers).
     */
   def purchaseClickJoinOuterStream(events: DataFrame): DataFrame =
     intervalJoinOuter(

@@ -84,6 +84,7 @@ object StreamScale {
       val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
       val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
       val wm = scala.collection.mutable.ArrayBuffer.empty[String]
+      val dur = scala.collection.mutable.ArrayBuffer.empty[Long]
       try {
         staged.grouped(chunkSize).foreach { chunk =>
           input.addData(chunk.toIndexedSeq)
@@ -93,6 +94,10 @@ object StreamScale {
             rows += p.stateOperators.map(_.numRowsTotal).sum
             mem += p.stateOperators.map(_.memoryUsedBytes).sum
             wm += Option(p.eventTime.get("watermark")).getOrElse("")
+            // wall time of the batch: the straggler signal a hot key
+            // produces even when state stays plateaued (one partition
+            // doing quadratic probe work shows up here first)
+            dur += p.batchDuration
           }
         }
       } finally q.stop()
@@ -107,12 +112,17 @@ object StreamScale {
         if (meanOf(firstQ) == 0.0) 0.0 else meanOf(quarter) / meanOf(firstQ)
       val finalVsInput =
         if (rows.isEmpty) 0.0 else rows.last.toDouble / staged.length
+      val totalMs = dur.sum
+      val maxMs = if (dur.nonEmpty) dur.max else 0L
       println(f"STREAMSCALE $name%-14s batches=${rows.length} peakRows=$peak " +
         f"finalRows=${if (rows.nonEmpty) rows.last else 0} plateau=$plateau%.3f " +
-        f"drift=$drift%.3f finalVsInput=$finalVsInput%.4f")
+        f"drift=$drift%.3f finalVsInput=$finalVsInput%.4f " +
+        f"totalMs=$totalMs maxBatchMs=$maxMs")
       s""""$name":{"batches":${rows.length},"input_rows":${staged.length},""" +
         s""""state_rows":[${rows.mkString(",")}],""" +
         s""""state_bytes":[${mem.mkString(",")}],""" +
+        s""""batch_ms":[${dur.mkString(",")}],""" +
+        s""""total_ms":$totalMs,"max_batch_ms":$maxMs,""" +
         s""""peak_rows":$peak,"final_rows":${if (rows.nonEmpty) rows.last else 0},""" +
         s""""plateau_ratio":$plateau,"drift_ratio":$drift,""" +
         s""""final_vs_input":$finalVsInput,""" +
