@@ -1,0 +1,186 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{BpeMerge, FittedExpr}
+
+/** Distributed BPE vocabulary learning — the tokenizer-construction step
+  * of a training-data pipeline (Sennrich et al. 2016, the subword
+  * algorithm behind GPT-2/LLaMA-family tokenizers), run corpus-scale on
+  * Spark. The reference's text tier stops at token COUNTING (its wc
+  * pipeline, mrapps/wc.go); learning the token vocabulary itself is the
+  * natural next operator up, and the shape is pure map-reduce:
+  *
+  *   1. one corpus pass folds the stream to a (word, freq) table — the
+  *      only data-sized aggregate; everything after runs on the VOCAB,
+  *      which is the classic BPE trick (count once, merge on distinct
+  *      words weighted by frequency, never rescan the corpus);
+  *   2. per round: adjacent-pair counts (explode → partial+final sum —
+  *      map-side combine collapses the heavy pairs before the shuffle),
+  *      argmax under a total order (count desc, then pair lexicographic
+  *      — deterministic under ties), then one greedy leftmost merge
+  *      pass over every word via the native [[BpeMerge]] expression;
+  *   3. the learned merge table is K rows (a bounded driver fit, the
+  *      MG-candidates discipline); the SEGMENTED VOCABULARY stays fully
+  *      distributed — `bpe_vocab` re-derives it as one scan → one
+  *      exchange, with the K merges folded into a codegen'd expression
+  *      chain.
+  *
+  * At 100 TB the corpus pass is the cost; the merge rounds touch only
+  * distinct words (bounded by vocabulary, not corpus size) and each
+  * round's pair aggregate shuffles a few bytes per distinct pair. The
+  * rounds re-run the short expression chain over the cached word table
+  * instead of checkpointing per round — plan depth grows by one
+  * expression per merge, not one stage (the lineage-growth discipline
+  * from DedupCluster).
+  *
+  * The DuckDB oracle re-derives the SAME K rounds unrolled: pair counts
+  * via generate_series over symbol positions, the argmax with the same
+  * total order, and the greedy merge as a recursive CTE that walks each
+  * word left-to-right (pos += 2 on a match, += 1 otherwise) — the exact
+  * leftmost non-overlapping semantics of [[BpeMerge]]. Every CTE is
+  * MATERIALIZED (DuckDB inlines plain CTEs per reference; the pagerank
+  * lesson).
+  */
+object Bpe {
+
+  /** Merge rounds learned. Six keeps the unrolled oracle tractable while
+    * exercising multi-round behavior (later rounds merge MERGED symbols
+    * — pairs whose sides are themselves multi-char).
+    */
+  val Rounds = 6
+
+  /** Learned merges per data dir: (lhs, rhs, pair_count) in round order.
+    * Memoized so the two catalog queries share one fit (the ivfFit
+    * registry discipline).
+    */
+  private val fit =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String, Long)]]
+
+  private def chars(c: org.apache.spark.sql.Column) =
+    filter(split(c, ""), x => x =!= "")
+
+  /** The (word, freq, symbols) vocabulary table: one corpus pass. */
+  private def words(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(explode(TextAnalysis.toks($"text")).as("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("f"))
+      .withColumn("s", chars($"w"))
+  }
+
+  /** Run the K merge rounds once per dir. Each round is two jobs over
+    * the cached vocabulary (pair argmax, then nothing — the merge is
+    * folded lazily into the next round's expression chain).
+    */
+  private def learn(spark: SparkSession, d: String): Seq[(String, String, Long)] =
+    fit.getOrElseUpdate(d, {
+      import spark.implicits._
+      val base = words(spark, d).persist()
+      try {
+        var cur = base
+        val merges = Seq.newBuilder[(String, String, Long)]
+        var k = 0
+        var exhausted = false
+        while (k < Rounds && !exhausted) {
+          val top = cur
+            .filter(size($"s") >= 2)
+            .select($"f", explode(expr(
+              "transform(sequence(1, size(s) - 1), i -> " +
+                "named_struct('lhs', element_at(s, i), 'rhs', element_at(s, i + 1)))"))
+              .as("p"))
+            .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+            .agg(sum($"f").as("cnt"))
+            .orderBy($"cnt".desc, $"lhs", $"rhs")
+            .limit(1)
+            .collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (l, r, c) =
+              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((l, r, c))
+            cur = cur.withColumn("s", FittedExpr.bind(
+              spark, "bpe_merge", es => BpeMerge(es.head, l, r), $"s"))
+          }
+          k += 1
+        }
+        merges.result()
+      } finally base.unpersist()
+    })
+
+  /** The learned merge table: (step, lhs, rhs, pair_count). K rows,
+    * assembled driver-side from the bounded fit — the ≤625-row
+    * contracted-PageRank precedent for small derived results.
+    */
+  def bpeMerges(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    learn(spark, d).zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      .toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** Every distinct word segmented by the learned merges — the
+    * distributed deliverable (what a tokenizer ships as its vocab). One
+    * scan, one exchange; the K merges run as a native expression chain
+    * inside codegen.
+    */
+  def bpeVocab(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val seg = learn(spark, d).foldLeft(chars($"w")) { case (col, (l, r, _)) =>
+      FittedExpr.bind(spark, "bpe_merge", es => BpeMerge(es.head, l, r), col)
+    }
+    words(spark, d).drop("s")
+      .select($"w".as("word"), $"f", array_join(seg, " ").as("seg"))
+  }
+
+  /** One unrolled oracle round: pair counts from w{k-1}, argmax t{k},
+    * recursive greedy merge m{k}, re-segmented vocab w{k}.
+    */
+  private def oracleRound(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS MATERIALIZED (
+       |  SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (SELECT f, s, unnest(generate_series(1, len(s) - 1)) AS i FROM $prev)
+       |  GROUP BY 1, 2),
+       |t$k AS MATERIALIZED (
+       |  SELECT CAST($k AS BIGINT) AS step, lhs, rhs, cnt
+       |  FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+       |m$k AS (
+       |  SELECT w, f, s, 1 AS pos, CAST([] AS VARCHAR[]) AS acc FROM $prev
+       |  UNION ALL
+       |  SELECT m.w, m.f, m.s,
+       |    CASE WHEN m.pos < len(m.s) AND m.s[m.pos] = t.lhs AND m.s[m.pos + 1] = t.rhs
+       |         THEN m.pos + 2 ELSE m.pos + 1 END,
+       |    list_append(m.acc,
+       |      CASE WHEN m.pos < len(m.s) AND m.s[m.pos] = t.lhs AND m.s[m.pos + 1] = t.rhs
+       |           THEN m.s[m.pos] || m.s[m.pos + 1] ELSE m.s[m.pos] END)
+       |  FROM m$k m, t$k t WHERE m.pos <= len(m.s)),
+       |w$k AS MATERIALIZED (
+       |  SELECT w, f, acc AS s FROM m$k WHERE pos = len(s) + 1)""".stripMargin
+  }
+
+  private def oraclePrefix: String = {
+    val rounds = (1 to Rounds).map(oracleRound).mkString(",\n")
+    s"""WITH RECURSIVE w0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS f,
+       |         list_transform(generate_series(1, length(w)), i -> w[i]) AS s
+       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                                  x -> x <> '')) AS w
+       |        FROM documents)
+       |  GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> (bpeMerges _),
+    "bpe_vocab" -> (bpeVocab _))
+
+  val oracles: Map[String, String] = Map(
+    "bpe_merges" -> (oraclePrefix + "\n" +
+      (1 to Rounds).map(k => s"SELECT step, lhs, rhs, cnt AS pair_count FROM t$k")
+        .mkString("", "\nUNION ALL\n", "")),
+    "bpe_vocab" -> (oraclePrefix + "\n" +
+      s"SELECT w AS word, f, array_to_string(s, ' ') AS seg FROM w$Rounds"))
+}
