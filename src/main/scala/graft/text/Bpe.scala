@@ -135,6 +135,30 @@ object Bpe {
       .select($"w".as("word"), $"f", array_join(seg, " ").as("seg"))
   }
 
+  /** The learned vocabulary APPLIED as a tokenizer: per-document BPE
+    * token count and chars-per-token compression — the acceptance metric
+    * for a trained subword vocab. Pure composition: the corpus re-joins
+    * its own distinct-word table (word → segment length), so the
+    * expensive merge chain runs once per DISTINCT word, never per
+    * occurrence; the vocab side broadcasts when small and otherwise
+    * aligns with its own word-keyed aggregate exchange. Documents with
+    * zero tokens drop (inner join), matching the oracle.
+    */
+  def bpeEncodeStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val vocab = bpeVocab(spark, d)
+      .select($"word".as("w"), size(split($"seg", " ")).as("wtoks"))
+    Tables.documents(spark, d)
+      .select($"doc_id", $"n_chars", explode(TextAnalysis.toks($"text")).as("w"))
+      .join(vocab, "w")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"wtoks").as("n_tokens_bpe"),
+        max($"n_chars").as("n_chars"),
+        round(max($"n_chars").cast("double") / sum($"wtoks"), 4)
+          .as("chars_per_token"))
+  }
+
   /** One unrolled oracle round: pair counts from w{k-1}, argmax t{k},
     * recursive greedy merge m{k}, re-segmented vocab w{k}.
     */
@@ -175,12 +199,25 @@ object Bpe {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
-    "bpe_vocab" -> (bpeVocab _))
+    "bpe_vocab" -> (bpeVocab _),
+    "bpe_encode_stats" -> (bpeEncodeStats _))
 
   val oracles: Map[String, String] = Map(
     "bpe_merges" -> (oraclePrefix + "\n" +
       (1 to Rounds).map(k => s"SELECT step, lhs, rhs, cnt AS pair_count FROM t$k")
         .mkString("", "\nUNION ALL\n", "")),
     "bpe_vocab" -> (oraclePrefix + "\n" +
-      s"SELECT w AS word, f, array_to_string(s, ' ') AS seg FROM w$Rounds"))
+      s"SELECT w AS word, f, array_to_string(s, ' ') AS seg FROM w$Rounds"),
+    "bpe_encode_stats" -> (oraclePrefix + "\n" +
+      s"""SELECT d.doc_id,
+         |  CAST(sum(len(v.s)) AS BIGINT) AS n_tokens_bpe,
+         |  max(d.n_chars) AS n_chars,
+         |  round(CAST(max(d.n_chars) AS DOUBLE) / sum(len(v.s)), 4)
+         |    AS chars_per_token
+         |FROM (SELECT doc_id, n_chars,
+         |        unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                           x -> x <> '')) AS w
+         |      FROM documents) d
+         |JOIN w$Rounds v USING (w)
+         |GROUP BY d.doc_id""".stripMargin))
 }

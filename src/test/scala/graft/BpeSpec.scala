@@ -104,5 +104,15 @@ class BpeSpec extends SparkSpec {
       }.mkString(" ")
       assert(vocab(w) === ((f, seg)), s"word=$w")
     }
+
+    // the tokenizer application: per-doc BPE token counts from the vocab
+    val segLen = vocab.map { case (w, (_, seg)) => (w, seg.split(" ").length.toLong) }
+    val gotEnc = Bpe.bpeEncodeStats(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    for ((docId, text) <- docs) {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val wantTokens = toks.map(segLen).sum
+      assert(gotEnc(docId) === ((wantTokens, text.length.toLong)), s"doc=$docId")
+    }
   }
 }
