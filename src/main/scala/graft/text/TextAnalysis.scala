@@ -152,8 +152,53 @@ object TextAnalysis {
           .as("avg_surprise"))
   }
 
+  /** Interpolated bigram-LM surprise — the conditional tier above
+    * [[unigramLogprob]] (the shape of a CCNet-style perplexity filter:
+    * swap the counting model for a real LM and the dataflow is
+    * unchanged). Per-doc mean of -ln(0.75·P(w2|w1) + 0.25·P(w2)):
+    * the interpolation keeps unseen-context mass nonzero without a
+    * backoff table, and both mixture terms are exact BIGINT-count
+    * ratios, so the 4 dp round sits far above FP sum-order noise (the
+    * unigram precedent, green at five scale factors).
+    *
+    * Scale shape: bigrams come from an in-array transform over the
+    * token list (no per-doc window exchange); the unigram/bigram
+    * frequency tables are classic map-side-combined aggregates; the
+    * join-back is frequency-keyed (broadcast when the vocab is small,
+    * aligned with the frequency tables' own exchanges otherwise); the
+    * final per-doc mean is one doc_id aggregate. Docs with fewer than
+    * two tokens drop (no bigram to score), matching the oracle's
+    * inner-join semantics.
+    */
+  def bigramLogprob(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).withColumn("t", toks($"text"))
+    val big = docs.filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))"))
+        .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val uni = docs.select(explode($"t").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum($"cu").as("tt"))
+    val bigf = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val p = lit(0.75) * ($"cb".cast("double") / $"c1") +
+      lit(0.25) * ($"c2".cast("double") / $"tt")
+    big
+      .join(bigf, Seq("w1", "w2"))
+      .join(uni.select($"tok".as("w1"), $"cu".as("c1")), Seq("w1"))
+      .join(uni.select($"tok".as("w2"), $"cu".as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 4).as("avg_surprise"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_logprob" -> (unigramLogprob _),
+    "text_bigram_logprob" -> (bigramLogprob _),
     "text_stats" -> (textStats _),
     "text_lang_id" -> (langId _),
     "text_quality" -> (quality _),
@@ -162,6 +207,33 @@ object TextAnalysis {
     "text_corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_logprob" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |big AS MATERIALIZED (
+        |  SELECT doc_id, b.w1, b.w2
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(len(t) - 1),
+        |            i -> struct_pack(w1 := t[i + 1], w2 := t[i + 2]))) AS b
+        |        FROM d) x),
+        |uni AS MATERIALIZED (
+        |  SELECT tok, count(*) AS cu
+        |  FROM (SELECT unnest(t) AS tok FROM d) GROUP BY tok),
+        |tot AS (SELECT sum(cu) AS tt FROM uni),
+        |bigf AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2)
+        |SELECT big.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(
+        |    0.75e0 * (CAST(cb AS DOUBLE) / c1) +
+        |    0.25e0 * (CAST(c2 AS DOUBLE) / tt))), 4) AS avg_surprise
+        |FROM big
+        |JOIN bigf USING (w1, w2)
+        |JOIN (SELECT tok AS w1, cu AS c1 FROM uni) u1 USING (w1)
+        |JOIN (SELECT tok AS w2, cu AS c2 FROM uni) u2 USING (w2)
+        |CROSS JOIN tot
+        |GROUP BY big.doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),

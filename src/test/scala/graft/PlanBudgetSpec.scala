@@ -32,6 +32,11 @@ class PlanBudgetSpec extends SparkSpec {
     "ts_interpolate" -> 3,
     // token freq agg -> token join -> per-doc mean
     "text_unigram_logprob" -> 3,
+    // unigram agg + bigram agg + corpus-total agg + the occurrence
+    // stream's (w1,w2) shuffle into the frequency join -> per-doc mean;
+    // every exchange payload is token-frequency-keyed (vocab-bounded)
+    // except the occurrence stream, which shuffles ids+hashes once
+    "text_bigram_logprob" -> 5,
     // gram window on doc_id -> gram-df agg -> per-doc share
     "text_gram_overlap" -> 3,
     // custkey grid -> (cohort, month) grid -> distinct actives
@@ -91,6 +96,7 @@ class PlanBudgetSpec extends SparkSpec {
     "heavy_hitter_tokens", // one-row total-count threshold
     "mixture_rates", // one-row corpus-total broadcast
     "text_unigram_logprob", // one-row token-total broadcast
+    "text_bigram_logprob", // one-row token-total broadcast
     "q11_important_parts", // one-row global total
     "q22_wealthy_inactive", // one-row avg-balance scalar
     "range_join_tiers", // 3-row tier table
