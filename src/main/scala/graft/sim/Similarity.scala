@@ -50,6 +50,8 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Int)]]
   private val quantFit =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private val pqFit =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
   @volatile private var lastDir: Option[String] = None
 
   /** Round-trip double literal for DuckDB SQL. `Double.toString` is the
@@ -643,6 +645,146 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
   }
 
+  /** Product quantization — the third compression scheme of the ANN
+    * tier (FAISS's workhorse next to IVF coarse cells and the scalar
+    * quantizer): the 64-dim vector splits into [[PqSubspaces]] 8-dim
+    * subvectors, each coded against its own [[PqCentroids]]-centroid
+    * codebook (k-means on the same bounded train sample the IVF fit
+    * uses), so a vector stores as 8 six-bit codes instead of 64
+    * doubles — ~85× compression. Codebook size matters: at 16 centroids
+    * per subspace the codes collapse to cluster identifiers on a
+    * clustered corpus (every member of a tight cluster shares all 8
+    * nearest sub-centroids and ties — recall 0.08, the SQ-tie
+    * phenomenon amplified); 64 centroids resolve within-cluster
+    * variation and recall jumps — the measured form of the "PQ needs
+    * multi-bit codebooks" rule (production FAISS defaults to 8-bit).
+    *
+    * Retrieval reconstructs each candidate from its codebook entries
+    * (xhat = concat of the coded centroids) and ranks by rounded
+    * reconstructed cosine against the RAW probe (asymmetric scoring,
+    * the standard ADC form) — probe-side precision is free, only the
+    * corpus side is compressed. Code assignment reuses the native
+    * [[graft.functions.NearestCell]] argmin per subspace (ties to the
+    * lowest code, the IVF discipline), and reconstruction is a pure
+    * literal lookup (element_at on the codebook literal), so the whole
+    * coding + reconstruction pass is ONE narrow codegen'd scan — no
+    * shuffle until the top-K window. The DuckDB oracle replays
+    * assignment/reconstruction/ranking from the registered codebook
+    * literals exactly as the IVF/SQ oracles do.
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCentroids = 64
+
+  /** Seeded per-subspace Lloyd fit (5 iterations, the [[centroids]]
+    * shape generalized to sub-dimension k-means).
+    */
+  private def pqCodebooks(sample: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    Array.tabulate(PqSubspaces) { m =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim))
+      val rnd = new scala.util.Random(42 + m)
+      val cents = Array.fill(PqCentroids)(sub(rnd.nextInt(sub.length)).clone())
+      val assign = new Array[Int](sub.length)
+      for (_ <- 0 until 5) {
+        var i = 0
+        while (i < sub.length) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < PqCentroids) {
+            var d2 = 0.0; var j = 0
+            val cv = cents(c); val x = sub(i)
+            while (j < PqSubDim) { val df = x(j) - cv(j); d2 += df * df; j += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          assign(i) = best
+          i += 1
+        }
+        val sums = Array.fill(PqCentroids)(new Array[Double](PqSubDim))
+        val counts = new Array[Int](PqCentroids)
+        var n = 0
+        while (n < sub.length) {
+          val c = assign(n); counts(c) += 1
+          var j = 0
+          while (j < PqSubDim) { sums(c)(j) += sub(n)(j); j += 1 }
+          n += 1
+        }
+        var c = 0
+        while (c < PqCentroids) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < PqSubDim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          }
+          c += 1
+        }
+      }
+      cents
+    }
+
+  /** The coded-and-reconstructed corpus (vec_id, xhat, xnorm) — one
+    * narrow scan: 8 per-subspace NearestCell argmins on slices, then a
+    * literal codebook lookup per code. Exposed for the parity spec.
+    */
+  def pqReconstructed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+    val books = pqFit.getOrElseUpdate(d, pqCodebooks(trainSample(e).map(_._2)))
+    lastDir = Some(d)
+    val codeCols = (0 until PqSubspaces).map { m =>
+      graft.functions.FittedExpr.bind(spark, s"pq_code$m",
+        exprs => graft.functions.NearestCell(exprs.head, books(m)),
+        slice($"v", m * PqSubDim + 1, PqSubDim)).as(s"c$m")
+    }
+    val coded = e.select(($"vec_id" +: codeCols): _*)
+    val xhat = flatten(array((0 until PqSubspaces).map { m =>
+      element_at(typedLit(books(m).map(_.toSeq).toSeq), col(s"c$m") + 1)
+    }: _*))
+    coded
+      .withColumn("xhat", xhat)
+      .withColumn("xnorm", sqrt(expr("dot_f64(xhat, xhat)")))
+      .select($"vec_id", $"xhat", $"xnorm")
+  }
+
+  /** The registered codebooks for a dir (spec access). */
+  def lastPqBooks(d: String): Option[Array[Array[Array[Double]]]] = pqFit.get(d)
+
+  /** PQ top-K in the production composition (IVF-PQ's retrieval half):
+    * ADC shortlist — raw probe against the reconstructed corpus, top
+    * [[RerankShortlist]] by rounded reconstructed cosine — then exact
+    * rerank of the shortlist, the [[knnRerank]] discipline. Raw PQ
+    * fine-ranking ties inside tight clusters exactly like the scalar
+    * quantizer (measured recall@5 0.26 at 64 centroids on this 10-
+    * cluster fixture; 0.08 at 16); the shortlist covers the tie set and
+    * the exact pass recovers the order — SimilaritySpec pins the
+    * composite's recall and the reconstruction's bit-parity.
+    */
+  def knnPq(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val probes = withVec(Tables.embeddings(spark, d))
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"psim".desc, $"neighbor_id")
+    val shortlist = pqReconstructed(spark, d)
+      .select($"vec_id".as("neighbor_id"), $"xhat", $"xnorm")
+      .crossJoin(broadcast(probes))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("psim", round(expr("dot_f64(qv, xhat)") / ($"qnorm" * $"xnorm"), 4))
+      .withColumn("srk", row_number().over(wShort))
+      .filter($"srk" <= RerankShortlist)
+      .select($"query_id", $"neighbor_id")
+    val e = withVec(Tables.embeddings(spark, d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("query_id"))
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= K)
+      .select($"query_id", $"neighbor_id", $"rk", $"sim")
+  }
+
   /** Per-label centroids, long form (label, dim, c): one posexplode +
     * one (label, dim) aggregate — the building block for IVF coarse
     * quantizers, class prototypes, and drift monitors. Bounded output
@@ -667,6 +809,7 @@ object Similarity {
     "embed_label_centroids" -> (labelCentroids _),
     "embed_knn_quantized" -> (knnQuantized _),
     "embed_knn_rerank" -> (knnRerank _),
+    "embed_knn_pq" -> (knnPq _),
     "embed_xlabel_mutual" -> (crossLabelMutual _),
     "embed_triplets" -> (tripletMine _),
     "dedup_embed_pairs" -> (embedDupPairs _))
@@ -756,6 +899,65 @@ object Similarity {
        |WHERE rk <= $K""".stripMargin
   }
 
+  /** DuckDB twin of [[knnPq]], generated from the registered codebooks:
+    * per-subspace argmin replays the [[graft.functions.NearestCell]]
+    * score (-2·dot + |c|², ties to the lowest code) on list_slice'd
+    * subvectors against the 128 codebook literals, reconstruction is
+    * list(c ORDER BY m) flattened, and scoring/ranking reuse the knn
+    * conventions (round-before-rank, neighbor_id ties).
+    */
+  private def knnPqOracle(books: Array[Array[Array[Double]]]): String = {
+    val rows = for {
+      m <- 0 until PqSubspaces
+      cn2 = graft.functions.NearestCell.cn2Of(books(m))
+      (c, i) <- books(m).zipWithIndex
+    } yield s"($m, $i, [${c.map(dlit).mkString(",")}], ${dlit(cn2(i))})"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |subcents(m, cell, c, cn2) AS (VALUES
+       |${rows.mkString(",\n")}),
+       |sub AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT n.vec_id, sc.m, sc.c,
+       |           row_number() OVER (
+       |             PARTITION BY n.vec_id, sc.m
+       |             ORDER BY -2 * list_dot_product(
+       |                        list_slice(n.v, sc.m * $PqSubDim + 1, sc.m * $PqSubDim + $PqSubDim),
+       |                        sc.c) + sc.cn2,
+       |                      sc.cell) AS r
+       |    FROM n CROSS JOIN subcents sc) x WHERE r = 1),
+       |xh AS (
+       |  SELECT vec_id, flatten(list(c ORDER BY m)) AS xhat
+       |  FROM sub GROUP BY vec_id),
+       |xn AS (
+       |  SELECT vec_id, xhat, sqrt(list_dot_product(xhat, xhat)) AS xnorm FROM xh),
+       |p AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+       |  FROM n WHERE vec_id < $NumQueries),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, xn.vec_id AS neighbor_id,
+       |           row_number() OVER (
+       |             PARTITION BY p.query_id
+       |             ORDER BY round(list_dot_product(p.qv, xn.xhat)
+       |                            / (p.qnorm * xn.xnorm), 4) DESC,
+       |                      xn.vec_id) AS srk
+       |    FROM p CROSS JOIN xn
+       |    WHERE xn.vec_id <> p.query_id) s WHERE srk <= $RerankShortlist),
+       |pairs AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |         round(list_dot_product(p.qv, c.v) / (p.qnorm * c.norm), 4) AS sim
+       |  FROM short
+       |  JOIN p ON p.query_id = short.query_id
+       |  JOIN n c ON c.vec_id = short.neighbor_id)
+       |SELECT query_id, neighbor_id, rk, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM pairs) t
+       |WHERE rk <= $K""".stripMargin
+  }
+
   /** A def, not a val: the data-fitted entries (IVF) exist only after
     * their query ran and registered its constants — Verify evaluates
     * this AFTER the query loop, so the fit is always present there.
@@ -784,7 +986,11 @@ object Similarity {
       d <- lastDir
       cents <- ivfFit.get(d)
     } yield "embed_xlabel_mutual" -> xlabelOracle(cents)
-    (ivf ++ quant ++ rerank ++ dup ++ xl).toMap
+    val pq = for {
+      d <- lastDir
+      books <- pqFit.get(d)
+    } yield "embed_knn_pq" -> knnPqOracle(books)
+    (ivf ++ quant ++ rerank ++ dup ++ xl ++ pq).toMap
   }
 
   /** DuckDB twin of [[embedDupPairs]]: same centroid-literal cell

@@ -66,7 +66,17 @@ object StreamScale {
 
     def runLeg(
         name: String,
-        build: DataFrame => DataFrame): String = {
+        build: DataFrame => DataFrame,
+        mode: OutputMode = OutputMode.Append(),
+        rocksdb: Boolean = false): String = {
+      // transformWithState needs multi-column-family state, which only
+      // the RocksDB provider supports (the StreamingSpec discipline:
+      // set per leg, restore after, so the watermark legs keep the
+      // default HDFS-backed provider their metrics were recorded on)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      if (rocksdb) spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val input = MemoryStream[(Long, Long, Long, String, Double)]
@@ -77,7 +87,7 @@ object StreamScale {
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graftss_$name").toString
       val q: StreamingQuery = build(events).writeStream
-        .outputMode(OutputMode.Append())
+        .outputMode(mode)
         .format("noop")
         .option("checkpointLocation", ckpt)
         .start()
@@ -100,7 +110,13 @@ object StreamScale {
             dur += p.batchDuration
           }
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        if (rocksdb) prevProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
       val quarter = rows.drop(rows.length * 3 / 4)
       val firstQ = rows.take(math.max(1, rows.length / 4))
       val peak = if (rows.nonEmpty) rows.max else 0L
@@ -129,11 +145,17 @@ object StreamScale {
         s""""last_watermark":"${wm.lastOption.getOrElse("")}"}"""
     }
 
-    val legs = Seq(
-      "session_agg" -> ((e: DataFrame) => EventStreams.sessionAggStream(e)),
-      "dedup_watermark" -> ((e: DataFrame) => EventStreams.dedupStream(e)),
-      "interval_join" -> ((e: DataFrame) => EventStreams.purchaseClickJoinStream(e)))
-    val parts = legs.map { case (n, b) => runLeg(n, b) }
+    val parts = Seq(
+      runLeg("session_agg", e => EventStreams.sessionAggStream(e)),
+      runLeg("dedup_watermark", e => EventStreams.dedupStream(e)),
+      runLeg("interval_join", e => EventStreams.purchaseClickJoinStream(e)),
+      // the ADJUDICATED unbounded-retention leg: EWMA state is one cell
+      // per distinct user FOREVER (a TTL would silently re-seed idle
+      // users). The series should plateau at the user count — growth
+      // tracking USERS, not events, is the measured form of that
+      // adjudication (final_vs_input here is bounded by users/events).
+      runLeg("ewma_v2", e => EventStreams.ewmaStreamV2(e).toDF(),
+        OutputMode.Update(), rocksdb = true))
     val json = s"""{"sf":"$sfDir","chunks":$chunks,${parts.mkString(",")}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

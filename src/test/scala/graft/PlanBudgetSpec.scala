@@ -91,6 +91,7 @@ class PlanBudgetSpec extends SparkSpec {
     "embed_knn", // probe-vector constant
     "embed_knn_quantized", // quantile-boundary constant
     "embed_knn_rerank", // probe-code constant (the quantized shape)
+    "embed_knn_pq", // probe-vector constant (the knn shape)
     "embed_triplets", // probe-vector constant (the knn shape)
     "cms_dataflow_estimates", // inherits heavy_hitter's one-row threshold
     "heavy_hitter_tokens", // one-row total-count threshold

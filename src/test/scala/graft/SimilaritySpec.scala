@@ -458,4 +458,46 @@ class SimilaritySpec extends SparkSpec {
     // bound is deliberately loose (quantization is lossy by design)
     assert(recall >= 0.4, s"quantized recall@${Similarity.K} = $recall")
   }
+
+  test("pq reconstruction: Spark xhat == driver replay of the codebook argmin") {
+    val got = Similarity.pqReconstructed(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val books = Similarity.lastPqBooks(sf).get
+    val raw = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for (id <- raw.keys.take(25)) {
+      val v = raw(id)
+      val want = (0 until Similarity.PqSubspaces).flatMap { m =>
+        val sub = v.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
+        // the NearestCell score: -2·dot + |c|², strict <, ties keep the
+        // lowest code
+        val cn2 = graft.functions.NearestCell.cn2Of(books(m))
+        var best = 0; var bestS = Double.MaxValue
+        for (c <- books(m).indices) {
+          var dot = 0.0
+          for (j <- 0 until Similarity.PqSubDim) dot += sub(j) * books(m)(c)(j)
+          val s = -2 * dot + cn2(c)
+          if (s < bestS) { bestS = s; best = c }
+        }
+        books(m)(best)
+      }.toArray
+      assert(java.util.Arrays.equals(got(id), want), s"vec $id reconstruction drifted")
+    }
+  }
+
+  test("pq knn composite: full result shape, shortlist+rerank recall vs exact >= 0.9") {
+    val pq = Similarity.knnPq(spark, sf).collect()
+    assert(pq.length == Similarity.NumQueries * Similarity.K)
+    val exact = Similarity.knnExact(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val got = pq.groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recall = got.map { case (k, ids) =>
+      ids.intersect(exact(k)).size.toDouble / Similarity.K
+    }.sum / got.size
+    // raw PQ codes tie inside tight clusters (0.26 measured at 64
+    // centroids); the 50-deep shortlist covers the tie set and the
+    // exact rerank recovers the order — the same bar as embed_knn_rerank
+    assert(recall >= 0.9, s"pq composite recall@${Similarity.K} = $recall")
+  }
 }
