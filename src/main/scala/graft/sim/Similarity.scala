@@ -721,32 +721,48 @@ object Similarity {
       cents
     }
 
-  /** The coded-and-reconstructed corpus (vec_id, xhat, xnorm) — one
-    * narrow scan: 8 per-subspace NearestCell argmins on slices, then a
-    * literal codebook lookup per code. Exposed for the parity spec.
+  /** Adds `xhat`/`xnorm` (PQ-coded-and-reconstructed vector + norm) to a
+    * frame carrying `v`, keeping every existing column: 8 per-subspace
+    * NearestCell argmins on slices, then a literal codebook lookup per
+    * code — still one narrow codegen'd pass over the input, whatever
+    * else the frame carries (the IVF cell column, for the composite).
     */
-  def pqReconstructed(spark: SparkSession, d: String): DataFrame = {
+  private def withPqRecon(
+      spark: SparkSession,
+      df: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
-    val e = withVec(Tables.embeddings(spark, d))
-    val books = pqFit.getOrElseUpdate(d, pqCodebooks(trainSample(e).map(_._2)))
-    lastDir = Some(d)
     val codeCols = (0 until PqSubspaces).map { m =>
       graft.functions.FittedExpr.bind(spark, s"pq_code$m",
         exprs => graft.functions.NearestCell(exprs.head, books(m)),
         slice($"v", m * PqSubDim + 1, PqSubDim)).as(s"c$m")
     }
-    val coded = e.select(($"vec_id" +: codeCols): _*)
+    val coded = df.select((df.columns.map(col).toSeq ++ codeCols): _*)
     val xhat = flatten(array((0 until PqSubspaces).map { m =>
       element_at(typedLit(books(m).map(_.toSeq).toSeq), col(s"c$m") + 1)
     }: _*))
     coded
       .withColumn("xhat", xhat)
       .withColumn("xnorm", sqrt(expr("dot_f64(xhat, xhat)")))
-      .select($"vec_id", $"xhat", $"xnorm")
+      .drop((0 until PqSubspaces).map(m => s"c$m"): _*)
+  }
+
+  /** The coded-and-reconstructed corpus (vec_id, xhat, xnorm). Exposed
+    * for the parity spec.
+    */
+  def pqReconstructed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+    val books = pqFit.getOrElseUpdate(d, pqCodebooks(trainSample(e).map(_._2)))
+    lastDir = Some(d)
+    withPqRecon(spark, e, books).select($"vec_id", $"xhat", $"xnorm")
   }
 
   /** The registered codebooks for a dir (spec access). */
   def lastPqBooks(d: String): Option[Array[Array[Array[Double]]]] = pqFit.get(d)
+
+  /** The registered probe→cell pairs for a dir (spec access). */
+  def lastIvfProbes(d: String): Option[Seq[(Long, Int)]] = ivfProbeFit.get(d)
 
   /** PQ top-K in the production composition (IVF-PQ's retrieval half):
     * ADC shortlist — raw probe against the reconstructed corpus, top
@@ -785,6 +801,75 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
   }
 
+  /** IVF-PQ — the production FAISS composition, and the actual 100 TB
+    * retrieval shape: the coarse quantizer prunes the corpus to the
+    * probe's [[IvfProbes]] nearest cells (so the ADC scan touches
+    * ~nprobe/[[IvfCells]] of the data instead of all of it — the knob
+    * that keeps a brute-force-free search sublinear), PQ codes stand in
+    * for the vectors inside the probed cells (the memory side: codes
+    * live in RAM where raw vectors cannot), and the exact rerank of the
+    * ADC shortlist recovers the order the lossy codes tie on. Cell
+    * assignment AND PQ reconstruction happen in ONE narrow codegen'd
+    * scan (NearestCell for the cell + 8 sub-argmins + literal lookups);
+    * the probe side reuses [[annIvf]]'s driver-ranked broadcast cells,
+    * so the only exchanges are the two per-query top-k windows —
+    * recall is bounded by the IVF cell pruning (the shortlist+rerank
+    * recovers everything inside the probed cells; SimilaritySpec pins
+    * parity with [[annIvf]] on the fixture).
+    */
+  def annIvfPq(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+    val sample = trainSample(e)
+    val cents = centroids(sample.map(_._2))
+    val books = pqFit.getOrElseUpdate(d, pqCodebooks(sample.map(_._2)))
+    val probeRows = sample.filter(_._1 < NumQueries).flatMap { case (id, v) =>
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) { acc += v(j) * v(j); j += 1 }
+      val qnorm = math.sqrt(acc)
+      cellScores(v, cents).zipWithIndex
+        .sortBy { case (d2, c) => (d2, c) }
+        .take(IvfProbes)
+        .map { case (_, c) => (id, c, v.toSeq, qnorm) }
+    }.toSeq
+    ivfFit(d) = cents
+    ivfProbeFit(d) = probeRows.map { case (id, c, _, _) => (id, c) }
+    lastDir = Some(d)
+    val nearestCell = graft.functions.FittedExpr.bind(spark, "nearest_cell",
+      exprs => graft.functions.NearestCell(exprs.head, cents), $"v")
+    val cand = withPqRecon(spark, e.withColumn("cell", nearestCell), books)
+      .select($"vec_id".as("neighbor_id"), $"cell", $"xhat", $"xnorm")
+    val probesDf = broadcast(probeRows.toDF("query_id", "cell", "qv", "qnorm"))
+    val probeVecs = broadcast(
+      sample.filter(_._1 < NumQueries).map { case (id, v) =>
+        var acc = 0.0
+        var j = 0
+        while (j < v.length) { acc += v(j) * v(j); j += 1 }
+        (id, v.toSeq, math.sqrt(acc))
+      }.toSeq.toDF("query_id", "qv", "qnorm"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"psim".desc, $"neighbor_id")
+    // a (query, neighbor) pair joins at most once (one cell per
+    // candidate, distinct probe cells — the annIvf argument), so the
+    // shortlist needs no distinct
+    val shortlist = cand.join(probesDf, "cell")
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("psim", round(expr("dot_f64(qv, xhat)") / ($"qnorm" * $"xnorm"), 4))
+      .withColumn("srk", row_number().over(wShort))
+      .filter($"srk" <= RerankShortlist)
+      .select($"query_id", $"neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(probeVecs, Seq("query_id"))
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= K)
+      .select($"query_id", $"neighbor_id", $"rk", $"sim")
+  }
+
   /** Per-label centroids, long form (label, dim, c): one posexplode +
     * one (label, dim) aggregate — the building block for IVF coarse
     * quantizers, class prototypes, and drift monitors. Bounded output
@@ -810,6 +895,7 @@ object Similarity {
     "embed_knn_quantized" -> (knnQuantized _),
     "embed_knn_rerank" -> (knnRerank _),
     "embed_knn_pq" -> (knnPq _),
+    "embed_ann_ivfpq" -> (annIvfPq _),
     "embed_xlabel_mutual" -> (crossLabelMutual _),
     "embed_triplets" -> (tripletMine _),
     "dedup_embed_pairs" -> (embedDupPairs _))
@@ -906,15 +992,18 @@ object Similarity {
     * list(c ORDER BY m) flattened, and scoring/ranking reuse the knn
     * conventions (round-before-rank, neighbor_id ties).
     */
-  private def knnPqOracle(books: Array[Array[Array[Double]]]): String = {
+  /** The shared PQ coding/reconstruction CTE block (`subcents`/`sub`/
+    * `xh`/`xn`) — assumes an `n`(vec_id, v, norm) CTE is already in
+    * scope, so both the flat-PQ and the IVF-PQ oracles replay the
+    * same per-subspace argmin against the same codebook literals.
+    */
+  private def pqCtes(books: Array[Array[Array[Double]]]): String = {
     val rows = for {
       m <- 0 until PqSubspaces
       cn2 = graft.functions.NearestCell.cn2Of(books(m))
       (c, i) <- books(m).zipWithIndex
     } yield s"($m, $i, [${c.map(dlit).mkString(",")}], ${dlit(cn2(i))})"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
-       |subcents(m, cell, c, cn2) AS (VALUES
+    s"""subcents(m, cell, c, cn2) AS (VALUES
        |${rows.mkString(",\n")}),
        |sub AS (
        |  SELECT vec_id, m, c FROM (
@@ -930,20 +1019,25 @@ object Similarity {
        |  SELECT vec_id, flatten(list(c ORDER BY m)) AS xhat
        |  FROM sub GROUP BY vec_id),
        |xn AS (
-       |  SELECT vec_id, xhat, sqrt(list_dot_product(xhat, xhat)) AS xnorm FROM xh),
-       |p AS (
-       |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
-       |  FROM n WHERE vec_id < $NumQueries),
-       |short AS (
+       |  SELECT vec_id, xhat, sqrt(list_dot_product(xhat, xhat)) AS xnorm FROM xh)""".stripMargin
+  }
+
+  /** The shared shortlist→exact-rerank SQL tail: ADC ranking over a
+    * `cand`(query_id, neighbor_id, xhat, xnorm) CTE against `p`, then
+    * the exact-cosine rerank from `n` — identical between the flat-PQ
+    * and IVF-PQ oracles by construction.
+    */
+  private def pqRerankTail: String =
+    s"""short AS (
        |  SELECT query_id, neighbor_id FROM (
-       |    SELECT p.query_id, xn.vec_id AS neighbor_id,
+       |    SELECT c.query_id, c.neighbor_id,
        |           row_number() OVER (
-       |             PARTITION BY p.query_id
-       |             ORDER BY round(list_dot_product(p.qv, xn.xhat)
-       |                            / (p.qnorm * xn.xnorm), 4) DESC,
-       |                      xn.vec_id) AS srk
-       |    FROM p CROSS JOIN xn
-       |    WHERE xn.vec_id <> p.query_id) s WHERE srk <= $RerankShortlist),
+       |             PARTITION BY c.query_id
+       |             ORDER BY round(list_dot_product(p.qv, c.xhat)
+       |                            / (p.qnorm * c.xnorm), 4) DESC,
+       |                      c.neighbor_id) AS srk
+       |    FROM cand c JOIN p ON p.query_id = c.query_id) s
+       |  WHERE srk <= $RerankShortlist),
        |pairs AS (
        |  SELECT p.query_id, c.vec_id AS neighbor_id,
        |         round(list_dot_product(p.qv, c.v) / (p.qnorm * c.norm), 4) AS sim
@@ -956,6 +1050,43 @@ object Similarity {
        |                            ORDER BY sim DESC, neighbor_id) AS rk
        |  FROM pairs) t
        |WHERE rk <= $K""".stripMargin
+
+  private def knnPqOracle(books: Array[Array[Array[Double]]]): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |${pqCtes(books)},
+       |p AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+       |  FROM n WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT p.query_id, xn.vec_id AS neighbor_id, xn.xhat, xn.xnorm
+       |  FROM p CROSS JOIN xn
+       |  WHERE xn.vec_id <> p.query_id),
+       |$pqRerankTail""".stripMargin
+
+  /** DuckDB twin of [[annIvfPq]]: [[assignCtes]]' centroid-literal cell
+    * assignment prunes to the probe-literal cells, [[pqCtes]]'
+    * codebook replay supplies the reconstructed candidates inside them,
+    * and the shared [[pqRerankTail]] replays shortlist + exact rerank.
+    */
+  private def ivfPqOracle(
+      cents: Array[Array[Double]],
+      probes: Seq[(Long, Int)],
+      books: Array[Array[Array[Double]]]): String = {
+    val probeRows = probes.map { case (id, c) => s"($id, $c)" }.mkString(", ")
+    s"""${assignCtes(cents)},
+       |${pqCtes(books)},
+       |probes(query_id, cell) AS (VALUES $probeRows),
+       |p AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+       |  FROM n WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT pr.query_id, a.vec_id AS neighbor_id, xn.xhat, xn.xnorm
+       |  FROM probes pr
+       |  JOIN assign a ON a.cell = pr.cell
+       |  JOIN xn ON xn.vec_id = a.vec_id
+       |  WHERE a.vec_id <> pr.query_id),
+       |$pqRerankTail""".stripMargin
   }
 
   /** A def, not a val: the data-fitted entries (IVF) exist only after
@@ -990,7 +1121,13 @@ object Similarity {
       d <- lastDir
       books <- pqFit.get(d)
     } yield "embed_knn_pq" -> knnPqOracle(books)
-    (ivf ++ quant ++ rerank ++ dup ++ xl ++ pq).toMap
+    val ivfpq = for {
+      d <- lastDir
+      cents <- ivfFit.get(d)
+      probes <- ivfProbeFit.get(d)
+      books <- pqFit.get(d)
+    } yield "embed_ann_ivfpq" -> ivfPqOracle(cents, probes, books)
+    (ivf ++ quant ++ rerank ++ dup ++ xl ++ pq ++ ivfpq).toMap
   }
 
   /** DuckDB twin of [[embedDupPairs]]: same centroid-literal cell
