@@ -52,6 +52,8 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   private val pqFit =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  private val kmInitFit =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   @volatile private var lastDir: Option[String] = None
 
   /** Round-trip double literal for DuckDB SQL. `Double.toString` is the
@@ -870,6 +872,70 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
   }
 
+  /** Full-corpus Lloyd rounds refining the sample-trained quantizer. */
+  val KmRounds = 2
+
+  /** Distributed k-means refinement — the "train on ALL the data, not a
+    * driver sample" scale path (the Spark MLlib KMeans loop shape): the
+    * sample-fitted quantizer warm-starts, then [[KmRounds]] full-corpus
+    * Lloyd rounds each cost ONE narrow assignment scan (the native
+    * NearestCell argmin) + ONE bounded (cell, dim) aggregate — the
+    * exchange payload is cells×dims rows regardless of corpus size, and
+    * the per-round driver collect is the same ≤1024-row bounded fit the
+    * IVF registry uses. At 100 TB each round is a single map-side-
+    * combined pass; rounds are few and fixed.
+    *
+    * Cross-engine exactness WITHOUT a rounding cascade: coordinate sums
+    * accumulate as 1e-6 FIXED-POINT BIGINTs (round(x·1e6) per value),
+    * so the per-cell sums are order-independent integers and the
+    * refined centroids — (s/1e6)/n evaluated in that association both
+    * sides — are bit-identical doubles in Spark and DuckDB; the next
+    * round's argmin then agrees bit for bit (the exact-BIGINT-ratio
+    * discipline of the LM mixture queries). Fixed-point headroom:
+    * |x| ≤ ~1 ⇒ the BIGINT sum overflows only past ~9e12 members per
+    * cell — document, don't defend. A cell left empty by a round keeps
+    * its previous centroid (the MLlib dead-cluster convention — the
+    * skewed rehearsal's hot embedding ball actually produces one), so
+    * the argmin index space never renumbers; the oracle replays the
+    * keep via a LEFT JOIN back to the prior round's centroids.
+    *
+    * Output: the final round's aggregate AS the distributed result —
+    * (cell, dim, c, n) long form, c rounded 4dp at the leaf only.
+    */
+  def kmeansRefine(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+    val sample = trainSample(e)
+    val init = centroids(sample.map(_._2))
+    kmInitFit(d) = init
+    lastDir = Some(d)
+    var cents = init
+    for (r <- 1 until KmRounds) {
+      val nearest = graft.functions.FittedExpr.bind(spark, s"km_cell_r$r",
+        exprs => graft.functions.NearestCell(exprs.head, cents), $"v")
+      val rows = e.withColumn("cell", nearest)
+        .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim")
+        .agg(sum(round($"x" * 1e6).cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      // empty cells keep the previous centroid (dead-cluster convention)
+      val next = Array.tabulate(cents.length)(i => cents(i).clone())
+      rows.foreach { row =>
+        next(row.getInt(0))(row.getInt(1)) =
+          (row.getLong(2) / 1e6) / row.getLong(3)
+      }
+      cents = next
+    }
+    val nearest = graft.functions.FittedExpr.bind(spark, s"km_cell_r$KmRounds",
+      exprs => graft.functions.NearestCell(exprs.head, cents), $"v")
+    e.withColumn("cell", nearest)
+      .select($"cell".cast("long").as("cell"),
+        posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"cell", $"dim".cast("long").as("dim"))
+      .agg(round((sum(round($"x" * 1e6).cast("long")) / lit(1e6)) / count(lit(1)), 4).as("c"),
+        count(lit(1)).as("n"))
+  }
+
   /** Per-label centroids, long form (label, dim, c): one posexplode +
     * one (label, dim) aggregate — the building block for IVF coarse
     * quantizers, class prototypes, and drift monitors. Bounded output
@@ -896,6 +962,7 @@ object Similarity {
     "embed_knn_rerank" -> (knnRerank _),
     "embed_knn_pq" -> (knnPq _),
     "embed_ann_ivfpq" -> (annIvfPq _),
+    "embed_kmeans" -> (kmeansRefine _),
     "embed_xlabel_mutual" -> (crossLabelMutual _),
     "embed_triplets" -> (tripletMine _),
     "dedup_embed_pairs" -> (embedDupPairs _))
@@ -1089,6 +1156,61 @@ object Similarity {
        |$pqRerankTail""".stripMargin
   }
 
+  /** DuckDB twin of [[kmeansRefine]], from the registered warm-start
+    * centroids: each unrolled round replays the argmin (same
+    * -2·dot + |c|² score, ties to the lowest cell; derived-round |c|²
+    * via `list_dot_product(c, c)` — bit-equal to `cn2Of`'s
+    * left-to-right fold) and re-derives centroids from the 1e-6
+    * fixed-point BIGINT sums in the same `(s / 1e6) / n` association
+    * the Spark side uses, so every intermediate centroid is
+    * bit-identical across engines. All round CTEs MATERIALIZED (the
+    * pagerank CTE-inlining lesson).
+    */
+  private def kmeansOracle(init: Array[Array[Double]]): String = {
+    val cn2 = graft.functions.NearestCell.cn2Of(init)
+    val initRows = init.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(",")}], ${dlit(cn2(i))})"
+    }.mkString(",\n")
+    def assignSql(name: String, prev: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, $prev.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY -2 * list_dot_product(e.v, $prev.c) + $prev.cn2,
+         |                      $prev.cell) AS rk
+         |    FROM e CROSS JOIN $prev) x WHERE rk = 1)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents0(cell, c, cn2) AS (VALUES
+         |$initRows)""".stripMargin)
+    for (r <- 1 until KmRounds) {
+      val prev = if (r == 1) "cents0" else s"c${r - 1}n"
+      sb.append(s""",
+         |${assignSql(s"a$r", prev)},
+         |s$r AS MATERIALIZED (
+         |  SELECT cell, r.range AS dim,
+         |         CAST(sum(CAST(round(v[r.range + 1] * 1e6) AS BIGINT)) AS BIGINT) AS s,
+         |         count(*) AS n
+         |  FROM a$r, range(64) r GROUP BY cell, r.range),
+         |c$r AS MATERIALIZED (
+         |  SELECT cell, list((s / 1e6) / n ORDER BY dim) AS c FROM s$r GROUP BY cell),
+         |c${r}n AS MATERIALIZED (
+         |  SELECT p.cell, COALESCE(c$r.c, p.c) AS c,
+         |         list_dot_product(COALESCE(c$r.c, p.c), COALESCE(c$r.c, p.c)) AS cn2
+         |  FROM $prev p LEFT JOIN c$r ON c$r.cell = p.cell)""".stripMargin)
+    }
+    val last = if (KmRounds == 1) "cents0" else s"c${KmRounds - 1}n"
+    sb.append(s""",
+       |${assignSql("af", last)}
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(r.range AS BIGINT) AS dim,
+       |       round((CAST(sum(CAST(round(v[r.range + 1] * 1e6) AS BIGINT)) AS BIGINT)
+       |              / 1e6) / count(*), 4) AS c,
+       |       count(*) AS n
+       |FROM af, range(64) r GROUP BY cell, r.range""".stripMargin)
+    sb.toString
+  }
+
   /** A def, not a val: the data-fitted entries (IVF) exist only after
     * their query ran and registered its constants — Verify evaluates
     * this AFTER the query loop, so the fit is always present there.
@@ -1127,7 +1249,11 @@ object Similarity {
       probes <- ivfProbeFit.get(d)
       books <- pqFit.get(d)
     } yield "embed_ann_ivfpq" -> ivfPqOracle(cents, probes, books)
-    (ivf ++ quant ++ rerank ++ dup ++ xl ++ pq ++ ivfpq).toMap
+    val km = for {
+      d <- lastDir
+      init <- kmInitFit.get(d)
+    } yield "embed_kmeans" -> kmeansOracle(init)
+    (ivf ++ quant ++ rerank ++ dup ++ xl ++ pq ++ ivfpq ++ km).toMap
   }
 
   /** DuckDB twin of [[embedDupPairs]]: same centroid-literal cell

@@ -521,6 +521,50 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.9, s"ivf-pq overlap with plain IVF = $overlap")
   }
 
+  test("distributed k-means: Spark refinement == driver replay (fixed-point rounds, keep convention)") {
+    val got = Similarity.kmeansRefine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val raw = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    var cents = Similarity.fitCentroids(spark, sf)
+    def assign(): Array[Int] = {
+      val cn2 = graft.functions.NearestCell.cn2Of(cents)
+      raw.map { v =>
+        val s = graft.functions.NearestCell.scores(v, cents, cn2)
+        s.indices.minBy(i => (s(i), i))
+      }
+    }
+    def fixedSums(a: Array[Int]): Map[Int, (Array[Long], Long)] =
+      a.zip(raw).groupBy(_._1).map { case (c, vs) =>
+        val s = new Array[Long](64)
+        vs.foreach { case (_, v) =>
+          for (j <- 0 until 64) s(j) += math.rint(
+            BigDecimal(v(j) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+        }
+        c -> (s, vs.length.toLong)
+      }
+    for (_ <- 1 until Similarity.KmRounds) {
+      val sums = fixedSums(assign())
+      cents = Array.tabulate(cents.length) { c =>
+        sums.get(c).map { case (s, n) =>
+          Array.tabulate(64)(j => (s(j) / 1e6) / n)
+        }.getOrElse(cents(c)) // dead cluster keeps its centroid
+      }
+    }
+    val want = fixedSums(assign()).flatMap { case (c, (s, n)) =>
+      (0 until 64).map { j =>
+        (c.toLong, j.toLong) ->
+          (BigDecimal((s(j) / 1e6) / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, n)
+      }
+    }
+    assert(got.size == want.size)
+    for ((k, (c, n)) <- want) {
+      assert(got(k)._2 == n, s"member count drifted at $k")
+      assert(got(k)._1 == c, s"centroid drifted at $k: got ${got(k)._1}, want $c")
+    }
+  }
+
   test("pq knn composite: full result shape, shortlist+rerank recall vs exact >= 0.9") {
     val pq = Similarity.knnPq(spark, sf).collect()
     assert(pq.length == Similarity.NumQueries * Similarity.K)
