@@ -156,8 +156,36 @@ object Curation {
             $"n_tokens".cast("double")), 4).as("sample_rate"))
   }
 
+  /** Deterministic stratified sampling — the DRAW that applies
+    * [[mixtureRates]]' per-source rates (the step a training run
+    * actually executes after computing its mixture): keep a document
+    * iff a hash-uniform u(doc_id) falls under its source's rate.
+    * u = the first 60 bits of md5(doc_id) scaled to [0,1) — a
+    * deterministic, seedless, rerun-stable Bernoulli draw that needs NO
+    * shuffle and no RNG state: the sample is a pure function of the
+    * corpus, so re-running (or re-executing a failed 100 TB stage)
+    * reproduces it exactly, and adding documents never flips existing
+    * verdicts (the property `rand()` sampling loses). One narrow scan
+    * joined to the broadcast 20-row rate table; both engines compare
+    * the SAME correctly-rounded double (string→double parse in Spark,
+    * int→double cast in DuckDB, of the same 60-bit integer).
+    */
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val rates = mixtureRates(spark, d).select($"source", $"sample_rate")
+    Tables.documents(spark, d)
+      .select($"doc_id", $"source")
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("u",
+        expr("conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)")
+          .cast("double") / lit(1152921504606846976e0))
+      .filter($"u" < $"sample_rate")
+      .select($"doc_id", $"source", round($"u", 6).as("u"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mixture_rates" -> (mixtureRates _),
+    "mixture_sample" -> (stratifiedSample _),
     "range_join_tiers" -> (rangeJoinTiers _),
     "sql_orders_above_avg" -> (sqlOrdersAboveAvg _),
     "corpus_curation" -> (corpusCuration _),
@@ -181,6 +209,31 @@ object Curation {
          |    (sqrt(CAST(n_tokens AS DOUBLE)) / z) / CAST(n_tokens AS DOUBLE)), 4)
          |    AS sample_rate
          |FROM src, tot""".stripMargin,
+    "mixture_sample" ->
+      s"""WITH src AS (
+         |  SELECT source,
+         |    CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> x <> ''))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |         sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z
+         |  FROM src),
+         |rates AS (
+         |  SELECT source,
+         |    round(least(1.0,
+         |      (CAST(total_tokens AS DOUBLE) * $MixBudgetNum / $MixBudgetDen) *
+         |      (sqrt(CAST(n_tokens AS DOUBLE)) / z) / CAST(n_tokens AS DOUBLE)), 4)
+         |      AS sample_rate
+         |  FROM src, tot),
+         |draws AS (
+         |  SELECT doc_id, source,
+         |    CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |              AS BIGINT) AS DOUBLE) / 1152921504606846976e0 AS u
+         |  FROM documents)
+         |SELECT d.doc_id, d.source, round(d.u, 6) AS u
+         |FROM draws d JOIN rates r ON d.source = r.source
+         |WHERE d.u < r.sample_rate""".stripMargin,
     "range_join_tiers" ->
       """SELECT tier, count(*) AS n,
         |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_value

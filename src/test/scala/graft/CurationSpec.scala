@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipeline.Curation
+
+/** Stratified sampling: the draw must track the fitted mixture rates
+  * statistically AND be a pure per-document function (rerun-stable,
+  * verdict-stable under corpus growth) — the properties that make it
+  * safe to re-execute on a failed 100 TB stage.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified_sample: kept fraction tracks the fitted rate per source") {
+    val rates = Curation.mixtureRates(spark, sf)
+      .select($"source", $"sample_rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val totals = Tables.documents(spark, sf)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.stratifiedSample(spark, sf)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- totals if n >= 200) {
+      val got = kept.getOrElse(src, 0L).toDouble / n
+      val want = rates(src)
+      // a 60-bit hash-uniform over n>=200 draws: generous 3-sigma-ish bar
+      assert(math.abs(got - want) <= 0.1,
+        s"$src kept $got vs rate $want over $n docs")
+    }
+  }
+
+  test("stratified_sample verdicts are per-document pure: subsetting the corpus never flips them") {
+    val full = Curation.stratifiedSample(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    // same rates applied to a half-corpus: every surviving doc's verdict
+    // must match the full run (u is a pure function of doc_id; rates are
+    // held fixed — the corpus-growth-stability property rand() loses)
+    val rates = Curation.mixtureRates(spark, sf)
+      .select($"source", $"sample_rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val half = Tables.documents(spark, sf)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"source").collect()
+    for (r <- half.take(500)) {
+      val id = r.getLong(0)
+      val u = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 15), 16).toDouble / 1152921504606846976e0
+      assert((u < rates(r.getString(1))) == full.contains(id),
+        s"doc $id verdict drifted")
+    }
+  }
+}
