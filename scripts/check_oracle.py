@@ -63,16 +63,38 @@ def main(sf_dir, out_dir):
         for c in got.columns:
             a, b = got[c], want[c]
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                eq = np.isclose(a.astype(float), b.astype(float),
-                                rtol=0, atol=0, equal_nan=True)
-                exact = bool(eq.all())
-                close = bool(np.isclose(a.astype(float), b.astype(float),
+                af = a.astype(float).to_numpy()
+                bf = b.astype(float).to_numpy()
+                eq = np.isclose(af, bf, rtol=0, atol=0, equal_nan=True)
+                # The driver hashes BYTES, where -0.0 != +0.0; np.isclose
+                # can't see that (|a-b| == 0), which is exactly how the r7
+                # embed_kmeans signed-zero defect shipped green locally.
+                # Mirror the byte semantics: where both are zero, the sign
+                # bit must match too.
+                zero = (af == 0) & (bf == 0)
+                sign_ok = ~zero | (np.signbit(af) == np.signbit(bf))
+                exact = bool((eq & sign_ok).all())
+                close = bool(np.isclose(af, bf,
                                         rtol=1e-9, atol=1e-9, equal_nan=True).all())
                 if not exact:
-                    bad_cols.append((c, "float-exact" if close else "float-DIFF"))
+                    label = ("signed-zero" if bool(eq.all()) else
+                             "float-exact" if close else "float-DIFF")
+                    bad_cols.append((c, label))
             else:
                 if not a.astype(str).equals(b.astype(str)):
                     bad_cols.append((c, "value"))
+        # by-construction sweep (VERDICT r7 item 2): no output cell should
+        # be -0.0 in EITHER engine — a matching -0.0/-0.0 pair still hashes
+        # green but means a leaf is unnormalized and one engine upgrade away
+        # from diverging. Warn loudly without failing the gate.
+        for side, df in (("spark", got), ("oracle", want)):
+            for c in df.columns:
+                if pd.api.types.is_float_dtype(df[c]):
+                    v = df[c].to_numpy()
+                    nz = int(((v == 0) & np.signbit(v)).sum())
+                    if nz:
+                        print(f"NEGZ  {name}: {nz} -0.0 cells in {side}.{c} "
+                              f"(unnormalized rounded leaf)")
         if bad_cols:
             print(f"FAIL  {name}: mismatched cols {bad_cols}")
             for c, _ in bad_cols[:2]:

@@ -113,20 +113,18 @@ object ScaleGen {
     write(replicate(tbl("lineitem"),
       Map("l_orderkey" -> orderCeil, "l_partkey" -> partCeil,
         "l_suppkey" -> suppCeil)), "lineitem")
-    // the fixture stores ts as timestamp[ns], which the nanosAsLong conf
-    // surfaces as LONG nanos; write a real timestamp[us] (same micro
-    // truncation Tables.events applies) so BOTH Spark and the DuckDB
-    // oracle read the scaled table without the legacy shim
+    // fixture ts encodings have varied (timestamp[ns]-as-LONG under the
+    // nanosAsLong conf, then timestamp[us] NTZ); normalize through the
+    // same shared path as Tables.events and write a real UTC
+    // timestamp[us] so BOTH Spark and the DuckDB oracle read the scaled
+    // table without any shim
     // user_id is an FK to customer.c_custkey (the segment-enrich joins),
     // so it must move by the CUSTOMER ceil — shifting it by its own ceil
     // would re-wire replicated events to wrong or missing customers
     val events = hotKey(replicate(tbl("events"),
       Map("event_id" -> eventCeil, "user_id" -> custCeil)),
       "event_id", "user_id")
-    val eventsTs =
-      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        events.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else events
+    val eventsTs = Tables.normalizeTs(events)
     write(eventsTs.select(events.columns.map(col).toIndexedSeq: _*), "events")
     // near-dup text replicas: suffix token for rep > 0, n_chars kept
     // consistent with the transformed text

@@ -153,7 +153,7 @@ object Decontam {
          |t AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
          |s AS (
          |  SELECT t.vec_id,
-         |         max(round(list_dot_product(t.v, b.bv) / (t.nm * b.bnm), 4)) AS max_sim
+         |         max(round(list_dot_product(t.v, b.bv) / (t.nm * b.bnm), 4)) + 0.0 AS max_sim
          |  FROM t, b GROUP BY t.vec_id)
          |SELECT vec_id, max_sim,
          |  CAST(max_sim >= $EmbThreshold AS BIGINT) AS contaminated

@@ -602,7 +602,7 @@ object Analytics {
         |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
         |st AS (SELECT avg(revenue) AS mu, stddev_samp(revenue) AS sd FROM daily)
-        |SELECT day, revenue, round((revenue - mu) / sd, 4) AS z
+        |SELECT day, revenue, round((revenue - mu) / sd, 4) + 0.0 AS z
         |FROM daily, st
         |WHERE abs((revenue - mu) / sd) > 2""".stripMargin,
     "histogram_prices" ->

@@ -493,11 +493,11 @@ object RelExtras {
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
         |  round(var_samp(l_discount), 4) AS var_disc,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) + 0.0 AS covar_qty_disc,
         |  round(skewness(l_quantity) * (count(*) - 2)
-        |        / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_qty,
-        |  round(kurtosis_pop(l_quantity), 4) AS kurt_qty
+        |        / sqrt(count(*) * (count(*) - 1.0)), 4) + 0.0 AS skew_qty,
+        |  round(kurtosis_pop(l_quantity), 4) + 0.0 AS kurt_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,

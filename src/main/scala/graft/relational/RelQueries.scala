@@ -556,7 +556,7 @@ object RelQueries {
     "window_lag_delta" ->
       """SELECT event_id, user_id,
         |  round(coalesce(value - lag(value, 1) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id), 0.0), 6) AS delta
+        |    ORDER BY ts, event_id), 0.0), 6) + 0.0 AS delta
         |FROM events""".stripMargin,
     "sessionize" ->
       """SELECT event_id, user_id,

@@ -339,7 +339,7 @@ object Similarity {
        |cross_pairs AS (
        |  SELECT a.label AS label_a, b.label AS label_b,
        |         a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |         round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS sim
+       |         round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) + 0.0 AS sim
        |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.label < b.label),
        |ranked AS (
        |  SELECT *,
@@ -988,7 +988,7 @@ object Similarity {
        |$branches),
        |pairs AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS sim
+       |         round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) + 0.0 AS sim
        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
        |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
        |SELECT query_id, neighbor_id, rk, sim FROM (
@@ -1041,7 +1041,7 @@ object Similarity {
        |  FROM probes pr JOIN n ON n.vec_id = pr.query_id),
        |pairs AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |         round(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 4) AS sim
+       |         round(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 4) + 0.0 AS sim
        |  FROM p JOIN assign a ON a.cell = p.cell
        |  WHERE a.vec_id <> p.query_id)
        |SELECT query_id, neighbor_id, rk, sim FROM (
@@ -1107,7 +1107,7 @@ object Similarity {
        |  WHERE srk <= $RerankShortlist),
        |pairs AS (
        |  SELECT p.query_id, c.vec_id AS neighbor_id,
-       |         round(list_dot_product(p.qv, c.v) / (p.qnorm * c.norm), 4) AS sim
+       |         round(list_dot_product(p.qv, c.v) / (p.qnorm * c.norm), 4) + 0.0 AS sim
        |  FROM short
        |  JOIN p ON p.query_id = short.query_id
        |  JOIN n c ON c.vec_id = short.neighbor_id)
@@ -1205,7 +1205,7 @@ object Similarity {
        |${assignSql("af", last)}
        |SELECT CAST(cell AS BIGINT) AS cell, CAST(r.range AS BIGINT) AS dim,
        |       round((CAST(sum(CAST(round(v[r.range + 1] * 1e6) AS BIGINT)) AS BIGINT)
-       |              / 1e6) / count(*), 4) AS c,
+       |              / 1e6) / count(*), 4) + 0.0 AS c,
        |       count(*) AS n
        |FROM af, range(64) r GROUP BY cell, r.range""".stripMargin)
     sb.toString
@@ -1267,7 +1267,7 @@ object Similarity {
        |capped AS (SELECT a.* FROM assign a JOIN keep k ON a.cell = k.cell)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       CAST(a.cell AS BIGINT) AS cell,
-       |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS sim
+       |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) + 0.0 AS sim
        |FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3""".stripMargin
   }
@@ -1327,7 +1327,7 @@ object Similarity {
        |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
        |scored AS (
        |  SELECT s.query_id, s.neighbor_id,
-       |         round(list_dot_product(qn.v, nn.v) / (qn.norm * nn.norm), 4) AS sim
+       |         round(list_dot_product(qn.v, nn.v) / (qn.norm * nn.norm), 4) + 0.0 AS sim
        |  FROM short s
        |  JOIN nv qn ON qn.vec_id = s.query_id
        |  JOIN nv nn ON nn.vec_id = s.neighbor_id)
@@ -1348,7 +1348,7 @@ object Similarity {
          |      FROM n WHERE vec_id < $NumQueries),
          |s AS (
          |  SELECT q.query_id, q.qlabel, n.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.qv, n.v) / (q.qnorm * n.norm), 4) AS sim,
+         |         round(list_dot_product(q.qv, n.v) / (q.qnorm * n.norm), 4) + 0.0 AS sim,
          |         n.label = q.qlabel AS same
          |  FROM q JOIN n ON n.vec_id <> q.query_id),
          |r AS (
@@ -1361,7 +1361,7 @@ object Similarity {
          |  max(CASE WHEN NOT same THEN neighbor_id END) AS negative_id,
          |  max(CASE WHEN NOT same THEN sim END) AS sim_neg,
          |  round(max(CASE WHEN same THEN sim END)
-         |        - max(CASE WHEN NOT same THEN sim END), 4) AS margin
+         |        - max(CASE WHEN NOT same THEN sim END), 4) + 0.0 AS margin
          |FROM r WHERE rk = 1 GROUP BY query_id, qlabel""".stripMargin,
     "embed_norms" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -1371,7 +1371,7 @@ object Similarity {
         |      FROM embeddings) e""".stripMargin,
     "embed_label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, r.range AS dim,
-        |       round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 4) AS c
+        |       round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 4) + 0.0 AS c
         |FROM embeddings, range(64) r
         |GROUP BY label, r.range""".stripMargin,
     "embed_ann_lsh" -> annLshOracle,

@@ -23,27 +23,32 @@ import graft.kv.{KvCell, KvOp}
   */
 object EventStreams {
 
-  /** events.parquet schema as read with nanosAsLong: ts arrives as Long
-    * nanos and is converted to a microsecond timestamp, same as
-    * Tables.events.
+  /** Batch read of an events parquet path with `ts` normalized to
+    * TimestampType whatever the on-disk encoding (nanos-as-long,
+    * TIMESTAMP_NTZ, or plain timestamp — see Tables.normalizeTs).
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def readEventsBatch(spark: SparkSession, path: String): DataFrame =
+    Tables.normalizeTs(
+      spark.read.option("recursiveFileLookup", "true").parquet(path))
 
   /** @param dir a DIRECTORY of events parquet part-files (the streaming
     *            file source rejects a bare file path; in production this
     *            is the landing directory new files arrive into)
+    * @param options extra file-source options (e.g. maxFilesPerTrigger)
+    *
+    * The stream schema is peeked from the files already in the landing
+    * directory (a metadata-only batch read), so the reader tracks the
+    * fixture's ts encoding instead of hard-coding one; `ts` is then
+    * normalized through the same shared path as Tables.events.
     */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def readEventsStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val onDisk = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir).schema
+    val reader = spark.readStream.schema(onDisk)
+    options.foreach { case (k, v) => reader.option(k, v) }
+    Tables.normalizeTs(reader.option("recursiveFileLookup", "true").parquet(dir))
+  }
 
   // one shared definition keeps the cross-engine bit-exactness guarantee
   // in a single place (see RelQueries.exactSum)

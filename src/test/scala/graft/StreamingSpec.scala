@@ -58,6 +58,13 @@ class StreamingSpec extends SparkSpec {
   test("watermark drops late data in append mode") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    // synthesize the LEGACY encoding (ts as LONG nanos) deliberately:
+    // the reader must normalize it same as any other (TablesSpec covers
+    // all three encodings batch-side)
+    val rawNanosSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     val landing = java.nio.file.Files.createTempDirectory("graftlate").toString
     def nanos(s: String): Long =
       java.sql.Timestamp.valueOf(s).getTime * 1000000L
@@ -67,7 +74,7 @@ class StreamingSpec extends SparkSpec {
       }
       spark.createDataFrame(
         spark.sparkContext.parallelize(data, 1),
-        EventStreams.eventsRawSchema)
+        rawNanosSchema)
         .write.parquet(s"$landing/$name")
     }
     // batch 1: events across 4 hours; watermark (1h) closes the 00:00 window
@@ -77,9 +84,7 @@ class StreamingSpec extends SparkSpec {
       (3L, "2030-01-01 02:30:00", 1L),
       (4L, "2030-01-01 03:30:00", 1L)))
     val q = EventStreams.tumblingStream(
-        spark.readStream.schema(EventStreams.eventsRawSchema)
-          .option("recursiveFileLookup", true).parquet(landing)
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+        EventStreams.readEventsStream(spark, landing))
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("late_out").start()
     try {
@@ -174,16 +179,16 @@ class StreamingSpec extends SparkSpec {
     // with a finite source the tail would never flush, so stage the
     // events plus a far-future sentinel pair that drags both side
     // watermarks past all real data.
+    // re-stage (not raw-copy) so the sentinel file and the fixture file
+    // share ONE ts encoding whatever the fixture stores — a mixed
+    // int64/timestamp landing dir would fail schema inference
     val dir = java.nio.file.Files.createTempDirectory("graftouterj")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("events.parquet"))
+    EventStreams.readEventsBatch(spark, s"$sf/events.parquet")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
     val farFuture = java.sql.Timestamp.valueOf("2031-01-01 00:00:00")
     Seq((-1L, farFuture, -1L, "purchase", 0.0, "{}"),
       (-2L, farFuture, -1L, "click", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .selectExpr("event_id", "CAST(unix_micros(ts) AS BIGINT) * 1000 AS ts",
-        "user_id", "event_type", "value", "props")
       .write.mode("append").parquet(dir.toString)
     val q = EventStreams.purchaseClickJoinOuterStream(
       EventStreams.readEventsStream(spark, dir.toString))
@@ -238,17 +243,13 @@ class StreamingSpec extends SparkSpec {
     // micro-batches (the single-batch drain in the other tests never
     // exercises that path)
     val landing = java.nio.file.Files.createTempDirectory("graftmb").toString
-    val raw = spark.read.schema(EventStreams.eventsRawSchema)
-      .parquet(s"$sf/events.parquet")
+    val raw = EventStreams.readEventsBatch(spark, s"$sf/events.parquet")
     val mid = raw.agg(org.apache.spark.sql.functions.expr("percentile(event_id, 0.5)"))
       .collect().head.getDouble(0).toLong
     raw.filter($"event_id" <= mid).coalesce(1).write.parquet(s"$landing/a")
     raw.filter($"event_id" > mid).coalesce(1).write.parquet(s"$landing/b")
-    val stream = spark.readStream.schema(EventStreams.eventsRawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("recursiveFileLookup", true)
-      .parquet(landing)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream = EventStreams.readEventsStream(spark, landing,
+      Map("maxFilesPerTrigger" -> "1"))
     val q = EventStreams.kvStream(stream)
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName("kv_mb_out").start()
@@ -324,17 +325,13 @@ class StreamingSpec extends SparkSpec {
     // feed in two time-ordered files so sessions span micro-batches and
     // the open tail only closes once later events advance the watermark
     val landing = java.nio.file.Files.createTempDirectory("graftsess").toString
-    val raw = spark.read.schema(EventStreams.eventsRawSchema)
-      .parquet(s"$sf/events.parquet")
-    val midNs = raw.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
+    val raw = EventStreams.readEventsBatch(spark, s"$sf/events.parquet")
+    val midUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)"))
       .collect().head.getDouble(0).toLong
-    raw.filter($"ts" <= midNs).coalesce(1).write.parquet(s"$landing/a")
-    raw.filter($"ts" > midNs).coalesce(1).write.parquet(s"$landing/b")
-    val stream = spark.readStream.schema(EventStreams.eventsRawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("recursiveFileLookup", true)
-      .parquet(landing)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    raw.filter(expr("unix_micros(ts)") <= midUs).coalesce(1).write.parquet(s"$landing/a")
+    raw.filter(expr("unix_micros(ts)") > midUs).coalesce(1).write.parquet(s"$landing/b")
+    val stream = EventStreams.readEventsStream(spark, landing,
+      Map("maxFilesPerTrigger" -> "1"))
     val q = EventStreams.sessionCloseStream(stream)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("sess_close_out").start()
@@ -371,17 +368,13 @@ class StreamingSpec extends SparkSpec {
   test("streaming EWMA drains to the batch fold bit-exactly") {
     // time-split files so the per-key fold sequence spans micro-batches
     val landing = java.nio.file.Files.createTempDirectory("graftewma").toString
-    val raw = spark.read.schema(EventStreams.eventsRawSchema)
-      .parquet(s"$sf/events.parquet")
-    val midNs = raw.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
+    val raw = EventStreams.readEventsBatch(spark, s"$sf/events.parquet")
+    val midUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)"))
       .collect().head.getDouble(0).toLong
-    raw.filter($"ts" <= midNs).coalesce(1).write.parquet(s"$landing/a")
-    raw.filter($"ts" > midNs).coalesce(1).write.parquet(s"$landing/b")
-    val stream = spark.readStream.schema(EventStreams.eventsRawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("recursiveFileLookup", true)
-      .parquet(landing)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    raw.filter(expr("unix_micros(ts)") <= midUs).coalesce(1).write.parquet(s"$landing/a")
+    raw.filter(expr("unix_micros(ts)") > midUs).coalesce(1).write.parquet(s"$landing/b")
+    val stream = EventStreams.readEventsStream(spark, landing,
+      Map("maxFilesPerTrigger" -> "1"))
     val q = EventStreams.ewmaStream(stream)
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName("ewma_out").start()
@@ -410,17 +403,13 @@ class StreamingSpec extends SparkSpec {
       // same two-file time-split landing as the v1 test: sessions span
       // micro-batches, timers fire as the second batch moves the watermark
       val landing = java.nio.file.Files.createTempDirectory("graftsess2").toString
-      val raw = spark.read.schema(EventStreams.eventsRawSchema)
-        .parquet(s"$sf/events.parquet")
-      val midNs = raw.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
+      val raw = EventStreams.readEventsBatch(spark, s"$sf/events.parquet")
+      val midUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)"))
         .collect().head.getDouble(0).toLong
-      raw.filter($"ts" <= midNs).coalesce(1).write.parquet(s"$landing/a")
-      raw.filter($"ts" > midNs).coalesce(1).write.parquet(s"$landing/b")
-      def stream = spark.readStream.schema(EventStreams.eventsRawSchema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", true)
-        .parquet(landing)
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      raw.filter(expr("unix_micros(ts)") <= midUs).coalesce(1).write.parquet(s"$landing/a")
+      raw.filter(expr("unix_micros(ts)") > midUs).coalesce(1).write.parquet(s"$landing/b")
+      def stream = EventStreams.readEventsStream(spark, landing,
+        Map("maxFilesPerTrigger" -> "1"))
       def drain(ds: org.apache.spark.sql.Dataset[EventStreams.SessionClosed],
                 name: String): Set[(Long, Long, Long, Long)] = {
         val q = ds.writeStream.outputMode(OutputMode.Append())
