@@ -136,7 +136,10 @@ object Curation {
   val MixBudgetNum = 1L
   val MixBudgetDen = 5L // budget = total_tokens / 5
 
-  def mixtureRates(spark: SparkSession, d: String): DataFrame = {
+  def mixtureRates(spark: SparkSession, d: String): DataFrame =
+    fittedRates(spark, d)
+
+  private def fitMixtureRates(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, d)
       .withColumn("t", TextAnalysis.toks($"text"))
@@ -170,9 +173,22 @@ object Curation {
     * the SAME correctly-rounded double (string→double parse in Spark,
     * int→double cast in DuckDB, of the same 60-bit integer).
     */
+  /** The fitted 20-row rate table, localCheckpointed once per
+    * (session, dir): [[stratifiedSample]] applies the mixture in the
+    * same catalog pass that computed it, and re-running the full
+    * tokenize+aggregate fit inside the draw's own plan doubled the
+    * documents scan (VERDICT r7 item 7). The checkpoint cuts the
+    * lineage, so the draw's plan starts from 20 materialized rows.
+    */
+  private val ratesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def fittedRates(spark: SparkSession, d: String): DataFrame =
+    ratesCache.getOrElseUpdate((spark, d),
+      fitMixtureRates(spark, d).localCheckpoint())
+
   def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val rates = mixtureRates(spark, d).select($"source", $"sample_rate")
+    val rates = fittedRates(spark, d).select($"source", $"sample_rate")
     Tables.documents(spark, d)
       .select($"doc_id", $"source")
       .join(broadcast(rates), Seq("source"))
