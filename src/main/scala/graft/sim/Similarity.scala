@@ -263,6 +263,65 @@ object Similarity {
       .select($"vec_a", $"vec_b", $"cell".cast("long").as("cell"), $"sim")
   }
 
+  /** SemDeDup pruning threshold. The synthetic corpus' within-cell
+    * cosine tops out near 0.49 at test SFs (see [[embedDupPairs]]'
+    * 0.3 floor), so 0.35 exercises a real removed set; production runs
+    * tune ε per corpus (the paper sweeps it against downstream loss).
+    */
+  val SemDedupEps = 0.35
+
+  /** SemDeDup — semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): the dedup tier ABOVE pairwise near-dup listing.
+    * Assign every vector to a k-means cell (the same fitted coarse
+    * quantizer as the dedup/ANN tiers), compute each vector's cosine to
+    * its OWN cell centroid, and inside each cell prune duplicate
+    * neighborhoods down to their LOWEST-centroid-cosine member (the
+    * paper's keep rule: edge points survive, prototypical near-copies
+    * drop), expressed as deterministic pairwise dominance: x is removed iff
+    * some same-cell y with (ccos_y, vec_id_y) < (ccos_x, vec_id_x)
+    * lexicographically has sim(x, y) ≥ ε. Dominance compares the
+    * ROUNDED (4dp) centroid cosines, so the order is bit-stable across
+    * engines; vec_id breaks ties (the file-wide determinism rule).
+    *
+    * Scale shape: one narrow assignment scan, a broadcast join to the
+    * bounded centroid table, and the [[MaxCellBlock]]-capped within-cell
+    * quadratic — identical cost envelope to [[embedDupPairs]]; the
+    * scored frame is localCheckpointed once and feeds both sides of the
+    * dominance join, whose LEFT-OUTER + per-vector fold produces the
+    * verdict in one pass. Emits one row per capped vector:
+    * (vec_id, cell, ccos, removed 0/1).
+    */
+  def semDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val capped = cappedCells(spark, d)
+    val cents = ivfFit(d)
+    val cn2 = graft.functions.NearestCell.cn2Of(cents)
+    // centroid norms come from the SAME cn2 doubles the oracle embeds as
+    // literals, so both engines divide by the identical constant
+    val centsDf = cents.indices
+      .map(i => (i, cents(i), math.sqrt(cn2(i))))
+      .toDF("cell", "cv", "cnorm")
+    val scored = capped.join(broadcast(centsDf), "cell")
+      .withColumn("ccos", round(expr("dot_f64(v, cv)") / ($"norm" * $"cnorm"), 4))
+      .select($"cell", $"vec_id", $"v", $"norm", $"ccos")
+      .localCheckpoint()
+    val a = scored.select($"cell".as("ca"), $"vec_id".as("vec_a"), $"v".as("av"),
+      $"norm".as("an"), $"ccos".as("ccos_a"))
+    val b = scored.select($"cell".as("cb"), $"vec_id".as("vec_b"), $"v".as("bv"),
+      $"norm".as("bn"), $"ccos".as("ccos_b"))
+    // LEFT OUTER with the full dominance predicate in the join condition,
+    // then fold per vector: one shuffle fewer than distinct-then-join,
+    // and the verdict set crosses the wire once, not twice
+    val cond = $"ca" === $"cb" && $"vec_a" =!= $"vec_b" &&
+      round(expr("dot_f64(av, bv)") / ($"an" * $"bn"), 4) >= SemDedupEps &&
+      ($"ccos_b" < $"ccos_a" ||
+        ($"ccos_b" === $"ccos_a" && $"vec_b" < $"vec_a"))
+    a.join(b, cond, "left_outer")
+      .groupBy($"vec_a".as("vec_id"), $"ca".cast("long").as("cell"),
+        $"ccos_a".as("ccos"))
+      .agg(max(when($"vec_b".isNotNull, 1L).otherwise(0L)).as("removed"))
+  }
+
   /** Training-triplet mining for metric learning — per probe anchor:
     * the nearest SAME-label vector (positive) and the nearest
     * DIFFERENT-label vector (the HARD negative — the highest-similarity
@@ -965,7 +1024,8 @@ object Similarity {
     "embed_kmeans" -> (kmeansRefine _),
     "embed_xlabel_mutual" -> (crossLabelMutual _),
     "embed_triplets" -> (tripletMine _),
-    "dedup_embed_pairs" -> (embedDupPairs _))
+    "dedup_embed_pairs" -> (embedDupPairs _),
+    "embed_semdedup" -> (semDedup _))
 
   /** The LSH ANN query IS DuckDB-expressible because the hyperplanes are
     * compile-time constants: the oracle embeds all 96 planes as list
@@ -1239,6 +1299,10 @@ object Similarity {
       d <- lastDir
       cents <- ivfFit.get(d)
     } yield "embed_xlabel_mutual" -> xlabelOracle(cents)
+    val sd = for {
+      d <- lastDir
+      cents <- ivfFit.get(d)
+    } yield "embed_semdedup" -> semDedupOracle(cents)
     val pq = for {
       d <- lastDir
       books <- pqFit.get(d)
@@ -1253,7 +1317,7 @@ object Similarity {
       d <- lastDir
       init <- kmInitFit.get(d)
     } yield "embed_kmeans" -> kmeansOracle(init)
-    (ivf ++ quant ++ rerank ++ dup ++ xl ++ pq ++ ivfpq ++ km).toMap
+    (ivf ++ quant ++ rerank ++ dup ++ xl ++ sd ++ pq ++ ivfpq ++ km).toMap
   }
 
   /** DuckDB twin of [[embedDupPairs]]: same centroid-literal cell
@@ -1270,6 +1334,36 @@ object Similarity {
        |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) + 0.0 AS sim
        |FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3""".stripMargin
+  }
+
+  /** DuckDB twin of [[semDedup]]: centroid-literal assignment + cap,
+    * centroid cosine against the SAME sqrt(cn2) double the Spark side
+    * broadcast, rounded-4dp dominance, LEFT JOIN verdict.
+    */
+  private def semDedupOracle(cents: Array[Array[Double]]): String = {
+    val cn2 = graft.functions.NearestCell.cn2Of(cents)
+    val cnormRows = cents.indices
+      .map(i => s"($i, ${dlit(math.sqrt(cn2(i)))})").mkString(",\n")
+    s"""${assignCtes(cents)},
+       |keep AS (
+       |  SELECT cell FROM assign GROUP BY cell HAVING count(*) <= $MaxCellBlock),
+       |capped AS (SELECT a.* FROM assign a JOIN keep k ON a.cell = k.cell),
+       |cnorms(cell, cnorm) AS (VALUES
+       |$cnormRows),
+       |scored AS (
+       |  SELECT a.vec_id, a.cell, a.v, a.norm,
+       |         round(list_dot_product(a.v, c.c) / (a.norm * cn.cnorm), 4) AS ccos
+       |  FROM capped a
+       |  JOIN cents c ON c.cell = a.cell
+       |  JOIN cnorms cn ON cn.cell = a.cell),
+       |rm AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM scored a JOIN scored b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= $SemDedupEps
+       |    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+       |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell, s.ccos + 0.0 AS ccos,
+       |       CAST(CASE WHEN rm.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS removed
+       |FROM scored s LEFT JOIN rm ON rm.vec_id = s.vec_id""".stripMargin
   }
 
   /** DuckDB twin of [[knnQuantized]], generated from the registered

@@ -72,6 +72,8 @@ class PlanBudgetSpec extends SparkSpec {
     // cell join (both sides) + the two mutual-rank windows, which key
     // on (vec_a, label_b) vs (vec_b, label_a) — different by definition
     "embed_xlabel_mutual" -> 4,
+    // cell-keyed dominance join (both sides) -> per-vector verdict fold
+    "embed_semdedup" -> 3,
     // (doc, term) tf -> term df -> per-doc rank
     "tfidf_topk" -> 4,
     // end-to-end composite: chains five audited operators

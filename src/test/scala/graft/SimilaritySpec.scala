@@ -440,6 +440,45 @@ class SimilaritySpec extends SparkSpec {
       s"label must not be a blocking key; join refs: $joinRefs")
   }
 
+  test("semdedup: dominance rule recomputes exactly, removed set real, keep-lowest-ccos honored") {
+    val rows = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val removed = rows.filter(_._4 == 1L)
+    assert(removed.nonEmpty, "eps=0.35 must prune a real removed set on the fixture")
+    assert(removed.length < rows.length, "must not remove everything")
+    // local recompute of the pairwise-dominance verdict from raw vectors
+    val vecs = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def rnd(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val byCell = rows.groupBy(_._2)
+    for ((_, members) <- byCell; x <- members) {
+      val dominators = members.filter { y =>
+        y._1 != x._1 &&
+          rnd(dot(vecs(x._1), vecs(y._1)) / (nrm(vecs(x._1)) * nrm(vecs(y._1)))) >=
+            Similarity.SemDedupEps &&
+          (y._3 < x._3 || (y._3 == x._3 && y._1 < x._1))
+      }
+      assert((x._4 == 1L) == dominators.nonEmpty,
+        s"vec ${x._1}: removed=${x._4} but dominators=${dominators.map(_._1).toSeq}")
+    }
+    // the per-neighborhood survivor is its lowest-(ccos, vec_id) member:
+    // no removed vector may dominate a kept one it overlaps with — implied
+    // by the pairwise rule, spot-check the global consequence: every cell
+    // keeps its minimum-(ccos, id) member
+    for ((cell, members) <- byCell) {
+      val first = members.minBy(m => (m._3, m._1))
+      assert(first._4 == 0L, s"cell $cell: lowest-ccos member ${first._1} was removed")
+    }
+  }
+
   test("quantized knn: integer scores, full result shape, nontrivial recall vs exact") {
     val q = Similarity.knnQuantized(spark, sf).collect()
     assert(q.length == Similarity.NumQueries * Similarity.K)
