@@ -351,7 +351,11 @@ object Analytics {
     * in-array C(k,2) pair explode — no keyed self-join: the join
     * formulation shuffles the item list three times (distinct, both
     * join branches), this shape shuffles once before the pair count's
-    * own exchange (measured ~2x at sf0.1). Fan-out per order is
+    * own exchange (measured ~2x at sf0.1; re-measured head-to-head at
+    * sf10 in r8: join form 41 s / 39 GB spill / 2.3 GB shuffle vs this
+    * shape 31 s / 36 GB / 1.8 GB — the spill lives in the shared ~90M-row
+    * pair aggregate, not in the basket-building object agg, so the
+    * single-shuffle shape wins at BOTH scales). Fan-out per order is
     * C(items,2), so the basket is HARD-CAPPED at [[MaxBasket]] items
     * before pairing (`slice` of the ascending-sorted distinct basket =
     * the [[graft.text.Dedup.MaxBucket]] discipline): one degenerate
