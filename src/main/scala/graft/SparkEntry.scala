@@ -40,7 +40,7 @@ object SparkEntry {
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ relational.Skew.queries ++
       pipeline.Curation.queries ++ pipeline.Packing.queries ++
-      pipeline.Decontam.queries
+      pipeline.Decontam.queries ++ pipeline.Classifier.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -58,5 +58,5 @@ object SparkEntry {
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ relational.Skew.oracles ++
       pipeline.Curation.oracles ++ pipeline.Packing.oracles ++
-      pipeline.Decontam.oracles
+      pipeline.Decontam.oracles ++ pipeline.Classifier.oracles
 }

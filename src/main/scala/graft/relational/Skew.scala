@@ -101,9 +101,71 @@ object Skew {
         (sum($"cents").cast("double") / 100).as("sum_price"))
   }
 
+  /** Two-phase skew-proof sessionization — the window-family counterpart
+    * of [[saltedAgg]]. The plain `sessionize` (RelQueries.scala) sorts
+    * EVERY event of a user inside one window task; a hot user owning 20%
+    * of the corpus pins one task (measured 3.6× at the 100× skew
+    * rehearsal, BENCH_sf10skew.json). A sessionize window cannot be
+    * salted — session identity is a running fold over the user's full
+    * timeline — but it CAN be bucketed by time and re-stitched:
+    *
+    *  - Phase 1: sessionize within (user, hour-bucket). Window groups are
+    *    bounded by the bucket width, so the hot user's month of events
+    *    sorts across ~720 tasks instead of 1.
+    *  - Boundary merge: one summary row per (user, bucket) — first/last
+    *    event ts and the local session count. A per-user window over THIS
+    *    table (|active hours| rows per user, data-scale-independent)
+    *    decides for each bucket whether its first local session continues
+    *    the previous bucket's last session (gap ≤ 30 min across the
+    *    boundary, compared on real timestamps so skipped-empty-hour gaps
+    *    need no special case), and accumulates the global session offset
+    *    Σ(n_local − merged) over preceding buckets.
+    *  - Phase 2: join the (merged, offset) pair back on (user, bucket) —
+    *    the same key the phase-1 window already partitioned by, so the
+    *    exchange is reused — and emit offset + local_sess − merged.
+    *
+    * The stitch is exact for any chain: a merged bucket's local session 1
+    * IS the previous cumulative last session, so it contributes
+    * n_local − 1 new sessions. Output is byte-identical to plain
+    * `sessionize` and shares its DuckDB oracle.
+    */
+  def sessionizeBucketed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gap = expr("INTERVAL '30' MINUTE")
+    val ev = Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"ts",
+        date_trunc("hour", $"ts").as("bucket"))
+    val wLocal = Window.partitionBy($"user_id", $"bucket")
+      .orderBy($"ts", $"event_id")
+    val prevL = lag($"ts", 1).over(wLocal)
+    val local = ev
+      .withColumn("new_local",
+        when(prevL.isNull || ($"ts" - prevL > gap), 1L).otherwise(0L))
+      .withColumn("local_sess", sum($"new_local")
+        .over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val summary = local.groupBy($"user_id", $"bucket")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"),
+        max($"local_sess").as("n_local"))
+    val wB = Window.partitionBy($"user_id").orderBy($"bucket")
+    val prevLast = lag($"last_ts", 1).over(wB)
+    val stitched = summary
+      .withColumn("merged",
+        when(prevLast.isNotNull && !($"first_ts" - prevLast > gap), 1L)
+          .otherwise(0L))
+      .withColumn("offset",
+        coalesce(sum($"n_local" - $"merged")
+          .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"user_id", $"bucket", $"merged", $"offset")
+    local.join(stitched, Seq("user_id", "bucket"))
+      .select($"event_id", $"user_id",
+        ($"offset" + $"local_sess" - $"merged").as("session_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_agg" -> (skewSaltedAgg _),
-    "skew_salted_join" -> (skewSaltedJoin _))
+    "skew_salted_join" -> (skewSaltedJoin _),
+    "sessionize_bucketed" -> (sessionizeBucketed _))
 
   val oracles: Map[String, String] = Map(
     "skew_salted_agg" ->
@@ -117,5 +179,18 @@ object Skew {
         |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_price
         |FROM orders JOIN customer
         |  ON c_custkey = CASE WHEN o_orderkey % 10 < 7 THEN 1 ELSE o_custkey END
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    // Same oracle as plain `sessionize` — bucketing changes the plan,
+    // never the result.
+    "sessionize_bucketed" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events) t""".stripMargin)
 }

@@ -706,6 +706,102 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rk", $"sim")
   }
 
+  /** Johnson–Lindenstrauss random projection: target dimensionality of
+    * the ±1 (Achlioptas) projection. 64 → 16 keeps pairwise inner
+    * products within JL distortion while cutting shortlist-scoring
+    * memory traffic 4× — the fourth compression scheme of the ANN tier
+    * (dense dims, vs SQ's quantized dims, PQ's codebooks, LSH's bits).
+    */
+  val RpDims = 16
+
+  /** Deterministic ±1 projection matrix (seeded; a compile-time
+    * constant, so the DuckDB oracle can embed it as list literals the
+    * way [[annLshOracle]] embeds the hyperplanes).
+    */
+  private val rpRows: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Seq.fill(RpDims)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private def rpLit: Column = expr(
+    "array(" + rpRows.map(r =>
+      "array(" + r.map(x => x.toString + "D").mkString(",") + ")")
+      .mkString(",") + ")")
+
+  /** Random-projection shortlist → exact rerank: every vector carries a
+    * 16-dim JL sketch p = round(R·v, 4) computed in ONE builtin
+    * `transform` over the literal matrix (codegen'd, no UDF; 4dp
+    * round makes the sketch bit-identical across engines). The
+    * shortlist scores probes against sketches with the native dot —
+    * 4× less data touched than full vectors — then only the
+    * [[RerankShortlist]] survivors are re-scored with the exact
+    * [[knnExact]] convention. Same composite shape as [[knnRerank]]:
+    * one sketch scan + one vector scan joined to the broadcast
+    * shortlist; nothing 64-dim ever shuffles. At 100 TB the sketch
+    * column is what you materialize next to the parquet — a 4×-smaller
+    * hot set that serves every downstream ANN pass.
+    */
+  def knnRp(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, d))
+      .withColumn("p", transform(rpLit, r => round(dot($"v", r), 4)))
+    val probes = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"p".as("qp"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"pscore".desc, $"neighbor_id")
+    val shortlist = e.select($"vec_id".as("neighbor_id"), $"p".as("cp"))
+      .crossJoin(broadcast(probes))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("pscore", expr("dot_f64(qp, cp)"))
+      .withColumn("srk", row_number().over(wShort))
+      .filter($"srk" <= RerankShortlist)
+      .select($"query_id", $"neighbor_id")
+    val probeVecs = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"norm".as("cnorm"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(probeVecs), Seq("query_id"))
+      .withColumn("sim", round(expr("dot_f64(qv, cv)") / ($"qnorm" * $"cnorm"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= K)
+      .select($"query_id", $"neighbor_id", $"rk", $"sim")
+  }
+
+  /** DuckDB twin of [[knnRp]]: the same literal matrix, sketch, 4dp
+    * coordinate round, shortlist, and exact-rerank tail.
+    */
+  private def knnRpOracle: String = {
+    val rLit = "[" + rpRows.map(r => "[" + r.mkString(",") + "]").mkString(",") + "]"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+       |         list_transform($rLit::DOUBLE[][],
+       |                        r -> round(list_dot_product(v, r), 4)) AS p
+       |       FROM e),
+       |q AS (SELECT vec_id AS query_id, p AS qp FROM nv WHERE vec_id < $NumQueries),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, n.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY list_dot_product(q.qp, n.p) DESC,
+       |                                       n.vec_id) AS srk
+       |    FROM q JOIN nv n ON n.vec_id <> q.query_id) t
+       |  WHERE srk <= $RerankShortlist),
+       |scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_dot_product(qn.v, nn.v) / (qn.norm * nn.norm), 4) + 0.0 AS sim
+       |  FROM short s
+       |  JOIN nv qn ON qn.vec_id = s.query_id
+       |  JOIN nv nn ON nn.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, rk, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $K""".stripMargin
+  }
+
   /** Product quantization — the third compression scheme of the ANN
     * tier (FAISS's workhorse next to IVF coarse cells and the scalar
     * quantizer): the 64-dim vector splits into [[PqSubspaces]] 8-dim
@@ -1019,6 +1115,7 @@ object Similarity {
     "embed_label_centroids" -> (labelCentroids _),
     "embed_knn_quantized" -> (knnQuantized _),
     "embed_knn_rerank" -> (knnRerank _),
+    "embed_knn_rp" -> (knnRp _),
     "embed_knn_pq" -> (knnPq _),
     "embed_ann_ivfpq" -> (annIvfPq _),
     "embed_kmeans" -> (kmeansRefine _),
@@ -1469,6 +1566,7 @@ object Similarity {
         |FROM embeddings, range(64) r
         |GROUP BY label, r.range""".stripMargin,
     "embed_ann_lsh" -> annLshOracle,
+    "embed_knn_rp" -> knnRpOracle,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -50,4 +50,26 @@ class CurationSpec extends SparkSpec {
         s"doc $id verdict drifted")
     }
   }
+
+  test("quality classifier recovers the heuristic rule (accuracy > 0.9) without copying it") {
+    val rows = graft.pipeline.Classifier.qualityClassifier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val acc = rows.count(r => r.getLong(3) == r.getLong(1)).toDouble / rows.length
+    assert(acc > 0.9, s"classifier accuracy $acc")
+    // the discriminant must be a real learned boundary, not the label
+    // rule itself: both classes appear, and at least one doc disagrees
+    // (nearest-centroid geometry != the 5*x2+50*x3 threshold)
+    val preds = rows.map(_.getLong(3)).toSet
+    assert(preds == Set(1L, -1L), s"degenerate predictions: $preds")
+    assert(rows.exists(r => r.getLong(3) != r.getLong(1)),
+      "suspiciously perfect: the scorer should differ from the label rule somewhere")
+  }
+
+  test("quality classifier fit is rerun-exact (scores bit-identical across runs)") {
+    val a = graft.pipeline.Classifier.qualityClassifier(spark, sf)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val b = graft.pipeline.Classifier.qualityClassifier(spark, sf)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.sameElements(b))
+  }
 }

@@ -67,6 +67,10 @@ class PlanBudgetSpec extends SparkSpec {
     "events_click_attribution" -> 3,
     // the (key, salt) exchange IS the operator's point
     "skew_salted_join" -> 3,
+    // (user, bucket) local window + per-user boundary window over the
+    // bucket-summary table (rows ∝ users × active hours, not events) +
+    // the stitch join's re-exchange of the summary side
+    "sessionize_bucketed" -> 3,
     // oriented two-path join + closing join
     "graph_triangles" -> 4,
     // cell join (both sides) + the two mutual-rank windows, which key
@@ -93,6 +97,7 @@ class PlanBudgetSpec extends SparkSpec {
     "embed_knn", // probe-vector constant
     "embed_knn_quantized", // quantile-boundary constant
     "embed_knn_rerank", // probe-code constant (the quantized shape)
+    "embed_knn_rp", // probe-sketch constant (the knn shape)
     "embed_knn_pq", // probe-vector constant (the knn shape)
     "embed_triplets", // probe-vector constant (the knn shape)
     "cms_dataflow_estimates", // inherits heavy_hitter's one-row threshold

@@ -46,6 +46,46 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bucketed sessionize == plain sessionize on the fixture") {
+    val plain = SparkEntry.queries("sessionize")(spark, sf)
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bucketed = SparkEntry.queries("sessionize_bucketed")(spark, sf)
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bucketed.sameElements(plain))
+  }
+
+  test("bucketed sessionize stitches adversarial bucket boundaries exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // One user whose single session spans 4 hour-buckets (10-min steps),
+    // a boundary gap of exactly 30 min (same session), 30 min + 1 s (new
+    // session), a chain of single-session buckets each merging into the
+    // last (n_local=1 contributes 0), and a second user interleaved.
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      // u1: one session crossing 01:00..04:00 on 10-min steps
+      (1L, ts("2024-01-01 00:55:00"), 1L, "c", 1.0, "{}"),
+      (2L, ts("2024-01-01 01:05:00"), 1L, "c", 1.0, "{}"),
+      (3L, ts("2024-01-01 01:35:00"), 1L, "c", 1.0, "{}"),   // exactly 30 min: same
+      (4L, ts("2024-01-01 02:05:01"), 1L, "c", 1.0, "{}"),   // 30 min + 1 s: NEW
+      (5L, ts("2024-01-01 02:30:00"), 1L, "c", 1.0, "{}"),
+      (6L, ts("2024-01-01 03:00:00"), 1L, "c", 1.0, "{}"),   // chain merge
+      (7L, ts("2024-01-01 03:30:00"), 1L, "c", 1.0, "{}"),   // chain merge
+      (8L, ts("2024-01-01 05:00:00"), 1L, "c", 1.0, "{}"),   // empty hour 04: NEW
+      // u2 interleaved: two sessions split inside one bucket
+      (9L, ts("2024-01-01 01:10:00"), 2L, "c", 1.0, "{}"),
+      (10L, ts("2024-01-01 01:50:00"), 2L, "c", 1.0, "{}"))  // 40 min: NEW
+    val dir = java.nio.file.Files.createTempDirectory("sessbk").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    def run(name: String) = SparkEntry.queries(name)(spark, dir)
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val plain = run("sessionize")
+    val bucketed = run("sessionize_bucketed")
+    assert(bucketed.sameElements(plain), s"\nplain=${plain.mkString(",")}\nbucketed=${bucketed.mkString(",")}")
+    assert(plain.map(_._2).toSeq == Seq(1L, 1L, 1L, 2L, 2L, 2L, 2L, 3L, 1L, 2L))
+  }
+
   test("set ops have distinct-set semantics") {
     val inter = SparkEntry.queries("set_intersect")(spark, sf).collect().map(_.getLong(0))
     assert(inter.distinct.length == inter.length)

@@ -200,6 +200,23 @@ class SimilaritySpec extends SparkSpec {
       s"quantized codes leaked ${wrongCluster.length} cross-cluster hits: ${wrongCluster.take(5).toSeq}")
   }
 
+  test("JL projection shortlist -> exact rerank holds recall@5 >= 0.9 on clustered data") {
+    val exact = clusteredExact(Similarity.K)
+    val rp = Similarity.knnRp(spark, clusteredDir).collect()
+    val recall = recallOf(
+      rp.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet },
+      exact)
+    assert(recall >= 0.9, s"JL rerank recall@${Similarity.K} = $recall, expected >= 0.9")
+    // reranked sims are the EXACT scorer's values, not projected scores
+    val exactSim = Similarity.knnExact(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    rp.foreach { r =>
+      exactSim.get((r.getLong(0), r.getLong(1)))
+        .foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
   test("SQ shortlist -> exact rerank recovers the order raw codes tie away (recall@5 >= 0.9)") {
     // the regime where raw 4-bit codes bottom out (~0.04 fine-rank
     // recall inside tight clusters): the composite must shortlist the
