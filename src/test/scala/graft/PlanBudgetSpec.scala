@@ -67,10 +67,13 @@ class PlanBudgetSpec extends SparkSpec {
     "events_click_attribution" -> 3,
     // the (key, salt) exchange IS the operator's point
     "skew_salted_join" -> 3,
-    // (user, bucket) local window + per-user boundary window over the
-    // bucket-summary table (rows ∝ users × active hours, not events) +
-    // the stitch join's re-exchange of the summary side
-    "sessionize_bucketed" -> 3,
+    // 3 real shuffles — (user, bucket) local window, per-user boundary
+    // window over the day-summary table (rows ∝ users × active days,
+    // not events), the stitch join's re-exchange of the summary side —
+    // plus 1 counted ReusedExchange REFERENCE: the stitch branch reads
+    // the phase-1 events exchange without re-shuffling, and the reuse
+    // node's plan text repeats the "Exchange hashpartitioning" pattern
+    "sessionize_bucketed" -> 4,
     // oriented two-path join + closing join
     "graph_triangles" -> 4,
     // cell join (both sides) + the two mutual-rank windows, which key

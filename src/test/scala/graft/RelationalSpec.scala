@@ -74,7 +74,18 @@ class RelationalSpec extends SparkSpec {
       (8L, ts("2024-01-01 05:00:00"), 1L, "c", 1.0, "{}"),   // empty hour 04: NEW
       // u2 interleaved: two sessions split inside one bucket
       (9L, ts("2024-01-01 01:10:00"), 2L, "c", 1.0, "{}"),
-      (10L, ts("2024-01-01 01:50:00"), 2L, "c", 1.0, "{}"))  // 40 min: NEW
+      (10L, ts("2024-01-01 01:50:00"), 2L, "c", 1.0, "{}"),  // 40 min: NEW
+      // u3: DAY-boundary cases (buckets are days): merge across
+      // midnight, split 40 min later, then a 3-day chain of
+      // single-session buckets each continuing the last (every bucket
+      // contributes 0 new sessions across two consecutive stitches)
+      (11L, ts("2024-01-02 23:50:00"), 3L, "c", 1.0, "{}"),
+      (12L, ts("2024-01-03 00:10:00"), 3L, "c", 1.0, "{}"),  // cross midnight: same
+      (13L, ts("2024-01-03 00:50:00"), 3L, "c", 1.0, "{}"),  // 40 min: NEW
+      (14L, ts("2024-01-03 23:45:00"), 3L, "c", 1.0, "{}"),  // NEW (day 3 late)
+      (15L, ts("2024-01-04 00:05:00"), 3L, "c", 1.0, "{}"),  // chain merge day 4
+      (16L, ts("2024-01-04 23:55:00"), 3L, "c", 1.0, "{}"),  // NEW (day 4 late)
+      (17L, ts("2024-01-05 00:15:00"), 3L, "c", 1.0, "{}"))  // chain merge day 5
     val dir = java.nio.file.Files.createTempDirectory("sessbk").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$dir/events.parquet")
@@ -83,7 +94,8 @@ class RelationalSpec extends SparkSpec {
     val plain = run("sessionize")
     val bucketed = run("sessionize_bucketed")
     assert(bucketed.sameElements(plain), s"\nplain=${plain.mkString(",")}\nbucketed=${bucketed.mkString(",")}")
-    assert(plain.map(_._2).toSeq == Seq(1L, 1L, 1L, 2L, 2L, 2L, 2L, 3L, 1L, 2L))
+    assert(plain.map(_._2).toSeq ==
+      Seq(1L, 1L, 1L, 2L, 2L, 2L, 2L, 3L, 1L, 2L, 1L, 1L, 2L, 3L, 3L, 4L, 4L))
   }
 
   test("set ops have distinct-set semantics") {
