@@ -93,16 +93,36 @@ object Classifier {
       when(score > 0, 1L).otherwise(-1L).as("pred"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "quality_classifier" -> (qualityClassifier _))
-
-  /** The whole fit replayed in SQL: feature CTE → 1-row class-sum CTE →
-    * micro-mean CTE → midpoint-hyperplane scoring. Same exact integer
-    * algebra, so the hash compare pins training AND scoring.
+  /** Learned filter ∧ mixture draw — the gate a curation job actually
+    * ships: a document survives iff the trained classifier accepts it
+    * (pred = +1) AND the deterministic hash-Bernoulli draw keeps it
+    * under its source's fitted temperature rate ([[Curation]]'s
+    * mixture). The classifier side is one scoring scan; the draw side
+    * is one narrow scan joined to the broadcast 20-row rate table; the
+    * two verdict streams meet on a doc_id equi-join (both sides already
+    * pruned, so the shuffle carries survivors only). Rerun-stable end
+    * to end: the fit is exact integers, the draw is a pure function of
+    * doc_id.
     */
-  val oracles: Map[String, String] = Map(
-    "quality_classifier" ->
-      s"""WITH f AS MATERIALIZED (
+  def qualityGatedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val accepted = qualityClassifier(spark, d)
+      .filter($"pred" === 1L).select($"doc_id", $"score")
+    Curation.stratifiedSample(spark, d)
+      .join(accepted, Seq("doc_id"))
+      .select($"doc_id", $"source", $"u", $"score")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_classifier" -> (qualityClassifier _),
+    "quality_gated_sample" -> (qualityGatedSample _))
+
+  /** The classifier fit as a reusable CTE block (feature CTE → 1-row
+    * class-sum CTE → micro-mean CTE), shared by the standalone oracle
+    * and the gated-sample composite.
+    */
+  private val fitCtes: String =
+    s"""f AS MATERIALIZED (
          |  SELECT doc_id, x1, x2, x3, x4,
          |    CAST(CASE WHEN 5*x2 + 50*x3 > 225 THEN 1 ELSE -1 END AS BIGINT) AS y
          |  FROM (
@@ -147,12 +167,57 @@ object Classifier {
          |    (sp2 * $Micro) // greatest(np, 1) + (sn2 * $Micro) // greatest(nn, 1) AS m2,
          |    (sp3 * $Micro) // greatest(np, 1) + (sn3 * $Micro) // greatest(nn, 1) AS m3,
          |    (sp4 * $Micro) // greatest(np, 1) + (sn4 * $Micro) // greatest(nn, 1) AS m4
-         |  FROM agg)
+         |  FROM agg)""".stripMargin
+
+  private val scoreExpr: String =
+    s"${2 * 1000000}*(d1*x1 + d2*x2 + d3*x3 + d4*x4)" +
+      " - (d1*m1 + d2*m2 + d3*m3 + d4*m4)"
+
+  /** The whole fit replayed in SQL: feature CTE → 1-row class-sum CTE →
+    * micro-mean CTE → midpoint-hyperplane scoring. Same exact integer
+    * algebra, so the hash compare pins training AND scoring. The gated
+    * composite appends [[Curation]]'s mixture-rate and hash-draw CTEs
+    * and joins the two verdicts.
+    */
+  val oracles: Map[String, String] = Map(
+    "quality_classifier" ->
+      s"""WITH $fitCtes
          |SELECT doc_id, y,
-         |  ${2 * 1000000}*(d1*x1 + d2*x2 + d3*x3 + d4*x4)
-         |    - (d1*m1 + d2*m2 + d3*m3 + d4*m4) AS score,
-         |  CAST(CASE WHEN ${2 * 1000000}*(d1*x1 + d2*x2 + d3*x3 + d4*x4)
-         |                 - (d1*m1 + d2*m2 + d3*m3 + d4*m4) > 0
+         |  $scoreExpr AS score,
+         |  CAST(CASE WHEN $scoreExpr > 0
          |            THEN 1 ELSE -1 END AS BIGINT) AS pred
-         |FROM f, mu""".stripMargin)
+         |FROM f, mu""".stripMargin,
+    "quality_gated_sample" ->
+      s"""WITH $fitCtes,
+         |src AS (
+         |  SELECT source,
+         |    CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+         |                             x -> x <> ''))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |         sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z
+         |  FROM src),
+         |rates AS (
+         |  SELECT source,
+         |    round(least(1.0,
+         |      (CAST(total_tokens AS DOUBLE) * ${Curation.MixBudgetNum} /
+         |       ${Curation.MixBudgetDen}) *
+         |      (sqrt(CAST(n_tokens AS DOUBLE)) / z) / CAST(n_tokens AS DOUBLE)), 4)
+         |      AS sample_rate
+         |  FROM src, tot),
+         |draws AS (
+         |  SELECT doc_id, source,
+         |    CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |              AS BIGINT) AS DOUBLE) / 1152921504606846976e0 AS u
+         |  FROM documents),
+         |accepted AS (
+         |  SELECT doc_id, $scoreExpr AS score
+         |  FROM f, mu
+         |  WHERE $scoreExpr > 0)
+         |SELECT d.doc_id, d.source, round(d.u, 6) AS u, a.score
+         |FROM draws d
+         |JOIN rates r ON d.source = r.source
+         |JOIN accepted a ON a.doc_id = d.doc_id
+         |WHERE d.u < r.sample_rate""".stripMargin)
 }

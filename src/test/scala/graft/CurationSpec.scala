@@ -65,6 +65,18 @@ class CurationSpec extends SparkSpec {
       "suspiciously perfect: the scorer should differ from the label rule somewhere")
   }
 
+  test("gated sample = mixture draw ∩ classifier acceptance, exactly") {
+    val gated = graft.pipeline.Classifier.qualityGatedSample(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val drawn = Curation.stratifiedSample(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val accepted = graft.pipeline.Classifier.qualityClassifier(spark, sf)
+      .filter($"pred" === 1L).select($"doc_id").as[Long].collect().toSet
+    assert(gated == drawn.intersect(accepted))
+    assert(gated.nonEmpty && gated.size < drawn.size,
+      s"gate did nothing: ${gated.size} of ${drawn.size} drawn docs survived")
+  }
+
   test("quality classifier fit is rerun-exact (scores bit-identical across runs)") {
     val a = graft.pipeline.Classifier.qualityClassifier(spark, sf)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
