@@ -113,9 +113,35 @@ object Classifier {
       .select($"doc_id", $"source", $"u", $"score")
   }
 
+  /** Model-eval tooling: the calibration / reliability table for the
+    * fitted discriminant — 10 equal-width score bins (bounds from a
+    * one-row min/max broadcast, bin index by exact integer arithmetic,
+    * so both engines bin identically; equal-WIDTH beats ntile here
+    * because a rank-based decile needs a global sort, which the catalog
+    * bans), each reporting how often the score's sign agrees with the
+    * label. The table a filter operator reads before picking a
+    * deployment threshold.
+    */
+  def qualityCalibration(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val scored = qualityClassifier(spark, d)
+    val bounds = scored.agg(
+      min($"score").as("mn"), max($"score").as("mx"))
+    scored.crossJoin(broadcast(bounds))
+      .select($"y", $"pred",
+        expr("(score - mn) * 10L div (mx - mn + 1L)").as("bin"))
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"y" === 1L, 1L).otherwise(0L)).as("n_label_pos"),
+        sum(when($"pred" === 1L, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when($"pred" === $"y", 1L).otherwise(0L)).as("n_correct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> (qualityClassifier _),
-    "quality_gated_sample" -> (qualityGatedSample _))
+    "quality_gated_sample" -> (qualityGatedSample _),
+    "quality_calibration" -> (qualityCalibration _))
 
   /** The classifier fit as a reusable CTE block (feature CTE → 1-row
     * class-sum CTE → micro-mean CTE), shared by the standalone oracle
@@ -187,6 +213,19 @@ object Classifier {
          |  CAST(CASE WHEN $scoreExpr > 0
          |            THEN 1 ELSE -1 END AS BIGINT) AS pred
          |FROM f, mu""".stripMargin,
+    "quality_calibration" ->
+      s"""WITH $fitCtes,
+         |scored AS (
+         |  SELECT doc_id, y, $scoreExpr AS score,
+         |    CAST(CASE WHEN $scoreExpr > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |  FROM f, mu),
+         |bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored)
+         |SELECT ((score - mn) * 10) // (mx - mn + 1) AS bin,
+         |  count(*) AS n,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_label_pos,
+         |  CAST(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+         |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM scored, bounds GROUP BY 1""".stripMargin,
     "quality_gated_sample" ->
       s"""WITH $fitCtes,
          |src AS (

@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -380,7 +380,40 @@ object RelExtras {
           (count(lit(1)).over(w) * 100.0), 4).as("mov_avg_7d"))
   }
 
+  /** Order-independent content checksum per table — the migration /
+    * replication validation primitive a 100 TB move runs on both sides:
+    * each row folds its KEY COLUMNS through md5 into a 60-bit integer,
+    * and the table fingerprint is the BIT_XOR of those (commutative and
+    * associative, so partitioning, task order, and file layout cannot
+    * change it, and — unlike an ANSI SUM — it cannot overflow at any
+    * row count).
+    * One narrow scan + one aggregate, no shuffle of data rows — the
+    * cheapest whole-corpus invariant two engines can agree on
+    * byte-for-byte. Integer/string key columns only (doubles format
+    * differently across engines; a production run would fix a decimal
+    * rendering first).
+    */
+  def tableChecksum(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def fp(name: String, df: DataFrame, key: Column): DataFrame =
+      df.select(key.as("_k"))
+        .select(
+          expr("conv(substring(md5(cast(_k AS string)), 1, 15), 16, 10)")
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .select(lit(name).as("tbl"), $"n_rows", $"checksum")
+    fp("orders", Tables.orders(spark, d),
+        concat_ws("|", $"o_orderkey", $"o_custkey", $"o_orderstatus"))
+      .unionAll(fp("lineitem", Tables.lineitem(spark, d),
+        concat_ws("|", $"l_orderkey", $"l_linenumber", $"l_suppkey")))
+      .unionAll(fp("customer", Tables.customer(spark, d),
+        concat_ws("|", $"c_custkey", $"c_mktsegment")))
+      .unionAll(fp("documents", Tables.documents(spark, d),
+        concat_ws("|", $"doc_id", $"source", $"lang")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_checksum" -> (tableChecksum _),
     "window_moving_avg" -> (windowMovingAvg _),
     "join_null_safe" -> (joinNullSafe _),
     "window_pct" -> (windowPct _),
@@ -403,6 +436,23 @@ object RelExtras {
     "array_funcs" -> (arrayFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "table_checksum" -> {
+      def leg(name: String, tbl: String, key: String) =
+        s"""SELECT '$name' AS tbl, count(*) AS n_rows,
+           |  bit_xor(CAST(CONCAT('0x', substr(md5($key), 1, 15)) AS BIGINT))
+           |    AS checksum
+           |FROM $tbl""".stripMargin
+      Seq(
+        leg("orders", "orders",
+          "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus"),
+        leg("lineitem", "lineitem",
+          "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)"),
+        leg("customer", "customer",
+          "CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment"),
+        leg("documents", "documents",
+          "CAST(doc_id AS VARCHAR) || '|' || source || '|' || lang"))
+        .mkString("\nUNION ALL\n")
+    },
     "window_moving_avg" ->
       """WITH daily AS (
         |  SELECT o_orderpriority, o_orderdate AS day,

@@ -43,6 +43,19 @@ class BenchFormatSpec extends AnyFunSuite {
       .findFirstIn(line.replaceAll(" ", "")).isDefined, line)
   }
 
+  test("concurrency line carries level, wall vs summed walls, and per-query seconds") {
+    val rs = Seq(("q_b", 2.5), ("q_a", 1.25))
+    val line = BenchConcurrency.line(4, 2.75, rs, "sfX")
+    assert(line.startsWith("{\"metric\":\"concurrency\",\"level\":4"))
+    assert(line.contains("\"wall_s\":2.750"))
+    assert(line.contains("\"sum_s\":3.750"), line)
+    assert(line.contains("\"n\":2"))
+    // queries name-sorted for round-over-round diffability
+    assert(line.indexOf("\"q_a\":1.250") < line.indexOf("\"q_b\":2.500"), line)
+    // valid single-line JSON
+    assert(!line.contains("\n"))
+  }
+
   test("contract line keeps taskMetrics BEFORE queries (tail keeps the timings)") {
     val line = Bench.contractLine(fakeResults(5), metricNames, "sfX")
     val tmAt = line.indexOf("\"taskMetrics\":")

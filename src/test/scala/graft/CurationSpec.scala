@@ -77,6 +77,16 @@ class CurationSpec extends SparkSpec {
       s"gate did nothing: ${gated.size} of ${drawn.size} drawn docs survived")
   }
 
+  test("calibration bins partition the corpus and agree with the scorer") {
+    val rows = graft.pipeline.Classifier.qualityCalibration(spark, sf).collect()
+    val scored = graft.pipeline.Classifier.qualityClassifier(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == scored.length, "bins must partition all docs")
+    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 9))
+    assert(rows.map(_.getLong(4)).sum ==
+      scored.count(r => r.getLong(3) == r.getLong(1)),
+      "per-bin correct counts must sum to global accuracy count")
+  }
+
   test("quality classifier fit is rerun-exact (scores bit-identical across runs)") {
     val a = graft.pipeline.Classifier.qualityClassifier(spark, sf)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))

@@ -106,6 +106,7 @@ class PlanBudgetSpec extends SparkSpec {
     "cms_dataflow_estimates", // inherits heavy_hitter's one-row threshold
     "heavy_hitter_tokens", // one-row total-count threshold
     "mixture_rates", // one-row corpus-total broadcast
+    "quality_calibration", // one-row score min/max broadcast
     "mixture_sample", // inherits mixture_rates' one-row total broadcast
     "text_unigram_logprob", // one-row token-total broadcast
     "text_bigram_logprob", // one-row token-total broadcast

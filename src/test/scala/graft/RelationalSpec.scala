@@ -98,6 +98,33 @@ class RelationalSpec extends SparkSpec {
       Seq(1L, 1L, 1L, 2L, 2L, 2L, 2L, 3L, 1L, 2L, 1L, 1L, 2L, 3L, 3L, 4L, 4L))
   }
 
+  test("table checksum is layout-invariant (same rows, any partitioning/order)") {
+    import spark.implicits._
+    val base = SparkEntry.queries("table_checksum")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rewrite every checksummed table shuffled into a different file
+    // layout; the fingerprint must not move
+    val dir = java.nio.file.Files.createTempDirectory("cksum").toString
+    for (t <- Seq("orders", "lineitem", "customer", "documents")) {
+      spark.read.parquet(s"$sf/$t.parquet")
+        .repartition(7).write.parquet(s"$dir/$t.parquet")
+    }
+    val relaid = SparkEntry.queries("table_checksum")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(relaid == base, s"checksum moved under re-layout:\n$base\nvs\n$relaid")
+    // and it must actually detect a content change
+    val dir2 = java.nio.file.Files.createTempDirectory("cksum2").toString
+    for (t <- Seq("lineitem", "customer", "documents")) {
+      spark.read.parquet(s"$sf/$t.parquet").write.parquet(s"$dir2/$t.parquet")
+    }
+    spark.read.parquet(s"$sf/orders.parquet").filter($"o_orderkey" =!= 1L)
+      .write.parquet(s"$dir2/orders.parquet")
+    val tampered = SparkEntry.queries("table_checksum")(spark, dir2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tampered("orders") != base("orders"), "dropped row not detected")
+    assert(tampered("customer") == base("customer"))
+  }
+
   test("set ops have distinct-set semantics") {
     val inter = SparkEntry.queries("set_intersect")(spark, sf).collect().map(_.getLong(0))
     assert(inter.distinct.length == inter.length)
