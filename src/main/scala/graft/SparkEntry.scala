@@ -39,8 +39,10 @@ object SparkEntry {
       text.Retrieval.queries ++ text.HeavyHitters.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ relational.Skew.queries ++
+      relational.Reconcile.queries ++ relational.BloomPrune.queries ++
       pipeline.Curation.queries ++ pipeline.Packing.queries ++
-      pipeline.Decontam.queries ++ pipeline.Classifier.queries
+      pipeline.Decontam.queries ++ pipeline.Classifier.queries ++
+      pipeline.Privacy.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -57,6 +59,8 @@ object SparkEntry {
       text.Retrieval.oracles ++ text.HeavyHitters.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ relational.Skew.oracles ++
+      relational.Reconcile.oracles ++ relational.BloomPrune.oracles ++
       pipeline.Curation.oracles ++ pipeline.Packing.oracles ++
-      pipeline.Decontam.oracles ++ pipeline.Classifier.oracles
+      pipeline.Decontam.oracles ++ pipeline.Classifier.oracles ++
+      pipeline.Privacy.oracles
 }
