@@ -34,6 +34,8 @@ object Similarity {
 
   val K = 5
   val NumQueries = 10 // probe set: vec_id < 10
+  val MmrShortlist = 16 // MMR candidate pool per query (pair matrix ≤ S²)
+  val MmrK = 5 // MMR picks per query (unrolled greedy depth)
 
   /** Fitted-constant registry. The IVF centroids, IVF probe-cell
     * assignments, and quantile boundary vectors are DATA-dependent
@@ -1107,7 +1109,84 @@ object Similarity {
       .agg(round(avg($"v"), 4).as("c"))
   }
 
+  /** MMR diversified top-k (Carbonell & Goldstein '98) — the rerank a
+    * retrieval pipeline applies when raw top-k collapses onto near
+    * duplicates: greedily select K results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7.
+    *
+    * The greedy loop is inherently sequential in K, so it is UNROLLED
+    * into K dataflow steps (K = [[MmrK]] = 5) — each an anti-join
+    * against the picks so far, a max over the pair-sim matrix restricted
+    * to them, and a per-query argmax window. All per-query work is
+    * bounded by the shortlist ([[MmrShortlist]] = 16 candidates, so the
+    * pair matrix is ≤ 16×16 per query); everything keys on query_id, so
+    * with Q probe queries the whole operator scales linearly in Q and
+    * never materializes anything super-shortlist-sized — the production
+    * shape at 100 TB keeps S ≈ 100 and still bounds per-query state.
+    * Each step's picks are localCheckpoint'ed (≤ Q rows) so the K-step
+    * recursion stays a LINEAR chain of small jobs instead of a plan
+    * that re-derives all prior steps 3^K times.
+    *
+    * Cross-engine exactness: relevance and pair sims go through the
+    * catalog's round-4 cosine, then ×10⁴ to exact BIGINT (rel_e4), so
+    * the MMR objective 7·rel_e4 − 3·ms_e4 is pure integer arithmetic —
+    * both engines pick identical argmaxes with the vec_id tie-break.
+    * The DuckDB twin unrolls the same K steps as CTE blocks.
+    */
+  def mmrDiversified(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+    val e = withVec(Tables.embeddings(spark, d))
+      .select($"vec_id", $"v", $"norm")
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val e4 = (dot: String, n1: String, n2: String) =>
+      expr(s"CAST(round(round(dot_f64($dot) / ($n1 * $n2), 4) * 10000, 0) AS BIGINT)")
+    val shortlist = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("rel_e4", e4("qv, v", "qnorm", "norm"))
+      .withColumn("rk",
+        row_number().over(w.orderBy($"rel_e4".desc, $"vec_id")))
+      .filter($"rk" <= MmrShortlist)
+      .select($"query_id", $"vec_id", $"rel_e4", $"v", $"norm")
+      .localCheckpoint() // consumed by the pair matrix + every unrolled step
+    val pairs = shortlist
+      .select($"query_id", $"vec_id".as("a_id"), $"v".as("av"), $"norm".as("an"))
+      .join(shortlist.select($"query_id", $"vec_id".as("b_id"),
+        $"v".as("bv"), $"norm".as("bn")), Seq("query_id"))
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("s_e4", e4("av, bv", "an", "bn"))
+      .select($"query_id", $"a_id", $"b_id", $"s_e4")
+      .localCheckpoint()
+    val cands = shortlist.select($"query_id", $"vec_id", $"rel_e4")
+    var selected = cands
+      .withColumn("rn",
+        row_number().over(w.orderBy($"rel_e4".desc, $"vec_id")))
+      .filter($"rn" === 1)
+      .select($"query_id", $"vec_id", $"rel_e4",
+        ($"rel_e4" * 7L).as("mmr_w"), lit(1L).as("mmr_rank"))
+      .localCheckpoint()
+    for (t <- 2 to MmrK) {
+      val sel = selected.select($"query_id", $"vec_id")
+      val pick = cands
+        .join(sel, Seq("query_id", "vec_id"), "left_anti")
+        .join(pairs.withColumnRenamed("a_id", "vec_id"), Seq("query_id", "vec_id"))
+        .join(sel.withColumnRenamed("vec_id", "b_id"), Seq("query_id", "b_id"))
+        .groupBy($"query_id", $"vec_id", $"rel_e4")
+        .agg(max($"s_e4").as("ms_e4"))
+        .withColumn("mmr_w", $"rel_e4" * 7L - $"ms_e4" * 3L)
+        .withColumn("rn",
+          row_number().over(w.orderBy($"mmr_w".desc, $"vec_id")))
+        .filter($"rn" === 1)
+        .select($"query_id", $"vec_id", $"rel_e4", $"mmr_w",
+          lit(t.toLong).as("mmr_rank"))
+      selected = selected.unionByName(pick.localCheckpoint())
+    }
+    selected
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_mmr" -> (mmrDiversified _),
     "embed_knn" -> (knnExact _),
     "embed_norms" -> (embedNorms _),
     "embed_ann_lsh" -> (annLsh _),
@@ -1530,7 +1609,72 @@ object Similarity {
        |WHERE rk <= $K""".stripMargin
   }
 
+  /** The MMR twin: the same K greedy steps unrolled as CTE blocks —
+    * selection state is the UNION of the prior sel CTEs, exclusion is
+    * NOT EXISTS against it, the objective is the identical integer
+    * 7·rel_e4 − 3·ms_e4 with the vec_id tie-break.
+    */
+  private def mmrOracle: String = {
+    def selUpTo(t: Int) =
+      (1 to t).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT query_id, e.vec_id,
+         |    CAST(round(round(list_dot_product(qv, e.v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))),
+         |      4) * 10000, 0) AS BIGINT) AS rel_e4
+         |  FROM q, e WHERE e.vec_id <> query_id),
+         |shortlist AS (
+         |  SELECT query_id, vec_id, rel_e4 FROM (
+         |    SELECT query_id, vec_id, rel_e4,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY rel_e4 DESC, vec_id) AS rk
+         |    FROM scored) t WHERE rk <= $MmrShortlist),
+         |pairs AS (
+         |  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(round(round(list_dot_product(ea.v, eb.v) /
+         |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+         |      4) * 10000, 0) AS BIGINT) AS s_e4
+         |  FROM shortlist a
+         |  JOIN shortlist b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id),
+         |sel1 AS (
+         |  SELECT query_id, vec_id, rel_e4, rel_e4 * 7 AS mmr_w,
+         |         CAST(1 AS BIGINT) AS mmr_rank
+         |  FROM (
+         |    SELECT query_id, vec_id, rel_e4,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY rel_e4 DESC, vec_id) AS rn
+         |    FROM shortlist) t WHERE rn = 1)""".stripMargin)
+    for (t <- 2 to MmrK) {
+      sb.append(s""",
+         |ms$t AS (
+         |  SELECT s.query_id, s.vec_id, s.rel_e4, max(p.s_e4) AS ms_e4
+         |  FROM shortlist s
+         |  JOIN pairs p ON p.query_id = s.query_id AND p.a_id = s.vec_id
+         |  JOIN (${selUpTo(t - 1)}) sel
+         |    ON sel.query_id = p.query_id AND sel.vec_id = p.b_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM (${selUpTo(t - 1)}) x
+         |                    WHERE x.query_id = s.query_id
+         |                      AND x.vec_id = s.vec_id)
+         |  GROUP BY s.query_id, s.vec_id, s.rel_e4),
+         |sel$t AS (
+         |  SELECT query_id, vec_id, rel_e4, mmr_w, CAST($t AS BIGINT) AS mmr_rank
+         |  FROM (
+         |    SELECT query_id, vec_id, rel_e4, rel_e4 * 7 - ms_e4 * 3 AS mmr_w,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY (rel_e4 * 7 - ms_e4 * 3) DESC, vec_id) AS rn
+         |    FROM ms$t) t WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"\n${selUpTo(MmrK)}")
+    sb.toString
+  }
+
   private val staticOracles: Map[String, String] = Map(
+    "embed_mmr" -> mmrOracle,
     "embed_triplets" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
          |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -98,6 +98,7 @@ class PlanBudgetSpec extends SparkSpec {
     "anomaly_zscore", // one-row global stats
     "bm25_search", // one-row corpus stats
     "embed_knn", // probe-vector constant
+    "embed_mmr", // probe-vector constant (the knn shape; steps checkpoint)
     "embed_knn_quantized", // quantile-boundary constant
     "embed_knn_rerank", // probe-code constant (the quantized shape)
     "embed_knn_rp", // probe-sketch constant (the knn shape)
