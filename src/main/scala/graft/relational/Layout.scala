@@ -64,8 +64,72 @@ object Layout {
           .as("zval"))
   }
 
+  /** Hilbert-curve clustering key — the layout tier's locality upgrade
+    * over [[zInterleave16]]: Z-order's bit interleave takes diagonal
+    * jumps at power-of-two boundaries (consecutive keys can be far
+    * apart in space, so a spatial range splits into more key ranges);
+    * the Hilbert curve's consecutive keys are ALWAYS grid neighbors
+    * (unit Manhattan step — proven exhaustively over the full 256×256
+    * grid in LayoutSpec), which is why Iceberg/Delta offer it above
+    * Z-order for multi-dimensional clustering.
+    *
+    * The classic xy→d walk (8 iterations for 8-bit coordinates) is a
+    * loop with a quadrant rotation per level; both engines run the SAME
+    * unrolled step chain, generated from one template below. The
+    * rotation's XOR collapses to pure integer CASE arithmetic
+    * ((3·rx)^ry = ry when rx=0 else 3−ry, for bits), so every step is
+    * exact BIGINT and codegen-friendly — no UDF, no floating point.
+    */
+  private val HilbertSteps = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+
+  /** One unrolled step: (x, y, d) → next, at side length s. `cols` are
+    * the carried passenger columns. Shared verbatim by the Spark
+    * selectExpr chain and the DuckDB nested-select chain.
+    */
+  private def hilbertStepExprs(s: Long): (Seq[String], Seq[String]) = (
+    Seq(
+      s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx",
+      s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry"),
+    Seq(
+      // rotation flips against the FULL grid (255 = n−1, not s−1): the
+      // coordinates then stay in [0, 255] at every level — no negative
+      // intermediates, so no reliance on cross-engine negative-bitwise
+      // parity (both variants verified bijective; this one is safer)
+      s"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 255 - y ELSE y END ELSE x END AS x",
+      s"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 255 - x ELSE x END ELSE y END AS y",
+      s"d + ${s * s} * (CASE WHEN rx = 0 THEN ry ELSE 3 - ry END) AS d"))
+
+  /** Apply the unrolled Hilbert walk to a frame with BIGINT `x`, `y` in
+    * [0, 256) and passenger columns `keep`; yields `keep` + `d`.
+    */
+  def hilbertD(df: DataFrame, keep: Seq[String]): DataFrame =
+    HilbertSteps.foldLeft(
+      df.selectExpr((keep ++ Seq("x", "y", "CAST(0 AS BIGINT) AS d")): _*)) {
+      (acc, s) =>
+        val (bits, next) = hilbertStepExprs(s)
+        acc.selectExpr((keep ++ Seq("x", "y", "d") ++ bits): _*)
+          .selectExpr((keep ++ next): _*)
+    }
+
+  /** Hilbert key per order over the same (customer, day) dimensions as
+    * [[zorderOrders]] (8 bits each — the demo grid; production widens
+    * the walk, same template).
+    */
+  def hilbertOrders(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    hilbertD(
+      Tables.orders(spark, d).select(
+        $"o_orderkey",
+        $"o_custkey".cast("long").bitwiseAND(lit(255L)).as("x"),
+        datediff(to_date($"o_orderdate"), lit(OrdersEpoch)).cast("long")
+          .bitwiseAND(lit(255L)).as("y")),
+      Seq("o_orderkey"))
+      .selectExpr("o_orderkey", "d AS hval")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "zorder_orders" -> (zorderOrders _))
+    "zorder_orders" -> (zorderOrders _),
+    "hilbert_orders" -> (hilbertOrders _))
 
   /** The DuckDB twin generates the same 32 interleave terms. */
   private val zTermsSql: String =
@@ -73,11 +137,31 @@ object Layout {
       s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** The DuckDB twin walks the IDENTICAL unrolled steps as nested
+    * selects — same template, same arithmetic, per level.
+    */
+  private def hilbertOracleSql: String = {
+    val base =
+      s"""SELECT o_orderkey,
+         |  o_custkey & 255 AS x,
+         |  datediff('day', DATE '$OrdersEpoch', CAST(o_orderdate AS DATE)) & 255 AS y,
+         |  CAST(0 AS BIGINT) AS d
+         |FROM orders""".stripMargin
+    val walked = HilbertSteps.foldLeft(base) { (acc, s) =>
+      val (bits, next) = hilbertStepExprs(s)
+      s"""SELECT o_orderkey, ${next.mkString(", ")}
+         |FROM (SELECT o_orderkey, x, y, d, ${bits.mkString(", ")}
+         |      FROM ($acc))""".stripMargin
+    }
+    s"SELECT o_orderkey, CAST(d AS BIGINT) AS hval FROM ($walked)"
+  }
+
   val oracles: Map[String, String] = Map(
     "zorder_orders" ->
       s"""SELECT o_orderkey, $zTermsSql AS zval
          |FROM (
          |  SELECT o_orderkey, o_custkey & 65535 AS a,
          |         datediff('day', DATE '$OrdersEpoch', CAST(o_orderdate AS DATE)) & 65535 AS b
-         |  FROM orders) t""".stripMargin)
+         |  FROM orders) t""".stripMargin,
+    "hilbert_orders" -> hilbertOracleSql)
 }

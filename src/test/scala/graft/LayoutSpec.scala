@@ -96,4 +96,37 @@ class LayoutSpec extends SparkSpec {
         f"(${recZ.toDouble / recDate}%.2f of the linear layout's scan)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("hilbert walk is a bijection on the 256x256 grid with UNIT-step locality") {
+    import org.apache.spark.sql.functions._
+    // exhaustive ground truth: every (x, y) once; d must cover 0..65535
+    // exactly once AND consecutive d must be grid NEIGHBORS (|Δx|+|Δy|
+    // = 1) — the locality property Z-order lacks (its diagonal jumps
+    // are why a spatial range splits into more Z-ranges)
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val walked = Layout.hilbertD(
+      grid.selectExpr("x", "y", "x AS x0", "y AS y0"), Seq("x0", "y0"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+    val steps = walked
+      .select($"x0", $"y0", $"d",
+        lag($"x0", 1).over(w).as("px"), lag($"y0", 1).over(w).as("py"),
+        lag($"d", 1).over(w).as("pd"))
+      .filter($"pd".isNotNull)
+      .select(
+        (abs($"x0" - $"px") + abs($"y0" - $"py")).as("manhattan"),
+        ($"d" - $"pd").as("dstep"))
+      .agg(
+        count(lit(1)).as("n"),
+        max($"manhattan").as("max_m"), min($"manhattan").as("min_m"),
+        max($"dstep").as("max_d"), min($"dstep").as("min_d"))
+      .head()
+    assert(steps.getAs[Long]("n") == 65535L)
+    assert(steps.getAs[Long]("min_m") == 1L && steps.getAs[Long]("max_m") == 1L,
+      s"non-unit step: ${steps}")
+    // d strictly increments by 1 ⇒ bijection onto 0..65535
+    assert(steps.getAs[Long]("min_d") == 1L && steps.getAs[Long]("max_d") == 1L)
+    assert(walked.agg(min($"d"), max($"d")).head() ===
+      org.apache.spark.sql.Row(0L, 65535L))
+  }
 }
