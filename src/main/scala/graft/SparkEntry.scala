@@ -40,6 +40,7 @@ object SparkEntry {
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ relational.Skew.queries ++
       relational.Reconcile.queries ++ relational.BloomPrune.queries ++
+      relational.MaterializedView.queries ++ pipeline.Curriculum.queries ++
       pipeline.Curation.queries ++ pipeline.Packing.queries ++
       pipeline.Decontam.queries ++ pipeline.Classifier.queries ++
       pipeline.Privacy.queries
@@ -60,6 +61,7 @@ object SparkEntry {
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ relational.Skew.oracles ++
       relational.Reconcile.oracles ++ relational.BloomPrune.oracles ++
+      relational.MaterializedView.oracles ++ pipeline.Curriculum.oracles ++
       pipeline.Curation.oracles ++ pipeline.Packing.oracles ++
       pipeline.Decontam.oracles ++ pipeline.Classifier.oracles ++
       pipeline.Privacy.oracles

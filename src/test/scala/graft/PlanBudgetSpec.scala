@@ -76,6 +76,12 @@ class PlanBudgetSpec extends SparkSpec {
     "sessionize_bucketed" -> 4,
     // oriented two-path join + closing join
     "graph_triangles" -> 4,
+    // 2 real shuffles — (source, bucket) local rank window, per-source
+    // offset window over the bucket SUMMARY — plus 1 counted
+    // ReusedExchange reference (the stitch join reads the phase-1
+    // exchange without re-shuffling; same counting note as
+    // sessionize_bucketed)
+    "interleave_key" -> 3,
     // cell join (both sides) + the two mutual-rank windows, which key
     // on (vec_a, label_b) vs (vec_b, label_a) — different by definition
     "embed_xlabel_mutual" -> 4,
