@@ -34,7 +34,7 @@ object SparkEntry {
       relational.Graph.queries ++ relational.Layout.queries ++
       kv.KVStore.queries ++ gossip.HealthMerge.queries ++
       text.TextAnalysis.queries ++ text.TextExtras.queries ++
-      text.Bpe.queries ++
+      text.Bpe.queries ++ text.Phrases.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.Retrieval.queries ++ text.HeavyHitters.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
@@ -55,7 +55,7 @@ object SparkEntry {
       relational.Graph.oracles ++ relational.Layout.oracles ++
       kv.KVStore.oracles ++ gossip.HealthMerge.oracles ++
       text.TextAnalysis.oracles ++ text.TextExtras.oracles ++
-      text.Bpe.oracles ++
+      text.Bpe.oracles ++ text.Phrases.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.Retrieval.oracles ++ text.HeavyHitters.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++

@@ -39,6 +39,14 @@ class PlanBudgetSpec extends SparkSpec {
     "text_bigram_logprob" -> 5,
     // gram window on doc_id -> gram-df agg -> per-doc share
     "text_gram_overlap" -> 3,
+    // bigram lead window + unigram agg + pair agg + the w2-keyed
+    // re-exchange into the second frequency join; every exchange
+    // payload is vocabulary-keyed (map-side combined)
+    "text_phrase_detect" -> 4,
+    // doc window (boundary groups) + phrase agg join-back + word-stat
+    // agg + word-score join + phrase-score agg; payloads are
+    // vocab/phrase-keyed counts, the top-20 cut is TakeOrdered
+    "text_keywords_rake" -> 5,
     // custkey grid -> (cohort, month) grid -> distinct actives
     "cohort_retention" -> 3,
     // counter-cell agg + the embedded heavy-hitter recount (distinct,
@@ -116,6 +124,7 @@ class PlanBudgetSpec extends SparkSpec {
     "quality_calibration", // one-row score min/max broadcast
     "mixture_sample", // inherits mixture_rates' one-row total broadcast
     "text_unigram_logprob", // one-row token-total broadcast
+    "text_phrase_detect", // one-row corpus-total broadcast
     "text_bigram_logprob", // one-row token-total broadcast
     "q11_important_parts", // one-row global total
     "q22_wealthy_inactive", // one-row avg-balance scalar
