@@ -6,8 +6,16 @@ DuckDB over the same sf dir and reports per-query match status. Usage:
 
     sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
     python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+
+Each query runs in its own FORKED subprocess: DuckDB's memory accounting
+is process-global, and one explode-heavy oracle at the 100x rehearsal
+corpora (text_keywords_rake) leaves reservations behind that make ANY
+later heavy query in the same process die with a bad-allocation OOM —
+on a fresh connection, even after con.close(). Process isolation is the
+only reliable fence (reproduced + bisected, r8).
 """
 import sys, os, json, glob
+import multiprocessing as mp
 import duckdb
 import pandas as pd
 import numpy as np
@@ -24,89 +32,116 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
     con = duckdb.connect()
+    # explicit budget + spill dir: the default allocator config OOM'd
+    # on explode-heavy oracles at the 100x corpora
+    con.execute("SET memory_limit='100GB'")
+    con.execute("SET temp_directory='/tmp/duckspill'")
+    # 32 threads amplify per-operator reservation on the explode-heavy
+    # oracles enough to trip the limit nondeterministically
+    con.execute("SET threads=16")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
-            # Spark-written table (ScaleGen sf1 rehearsal): directory of
+            # Spark-written table (ScaleGen rehearsal): directory of
             # part files; the driver fixtures are single files
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def check_one(args):
+    """(ok, lines) for one query — runs in a fork-isolated child."""
+    sf_dir, out_dir, name, sql = args
+    lines = []
+    res_dir = f"{out_dir}/{name}"
+    con = fresh_con(sf_dir)
+    try:
+        got = canon(con.execute(
+            f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf())
+        want = canon(con.execute(sql).fetchdf())
+    except Exception as e:
+        return False, [f"FAIL  {name}: {e}"]
+    finally:
+        con.close()
+    if list(got.columns) != list(want.columns):
+        return False, [
+            f"FAIL  {name}: columns {list(got.columns)} vs {list(want.columns)}"]
+    if len(got) != len(want):
+        return False, [f"FAIL  {name}: rows {len(got)} vs {len(want)}"]
+    bad_cols = []
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            af = a.astype(float).to_numpy()
+            bf = b.astype(float).to_numpy()
+            eq = np.isclose(af, bf, rtol=0, atol=0, equal_nan=True)
+            # The driver hashes BYTES, where -0.0 != +0.0; np.isclose
+            # can't see that (|a-b| == 0), which is exactly how the r7
+            # embed_kmeans signed-zero defect shipped green locally.
+            # Mirror the byte semantics: where both are zero, the sign
+            # bit must match too.
+            zero = (af == 0) & (bf == 0)
+            sign_ok = ~zero | (np.signbit(af) == np.signbit(bf))
+            exact = bool((eq & sign_ok).all())
+            close = bool(np.isclose(af, bf,
+                                    rtol=1e-9, atol=1e-9, equal_nan=True).all())
+            if not exact:
+                label = ("signed-zero" if bool(eq.all()) else
+                         "float-exact" if close else "float-DIFF")
+                bad_cols.append((c, label))
+        else:
+            if not a.astype(str).equals(b.astype(str)):
+                bad_cols.append((c, "value"))
+    # by-construction sweep (VERDICT r7 item 2): no output cell should
+    # be -0.0 in EITHER engine — a matching -0.0/-0.0 pair still hashes
+    # green but means a leaf is unnormalized and one engine upgrade away
+    # from diverging. Warn loudly without failing the gate.
+    for side, df in (("spark", got), ("oracle", want)):
+        for c in df.columns:
+            if pd.api.types.is_float_dtype(df[c]):
+                v = df[c].to_numpy()
+                nz = int(((v == 0) & np.signbit(v)).sum())
+                if nz:
+                    lines.append(
+                        f"NEGZ  {name}: {nz} -0.0 cells in {side}.{c} "
+                        f"(unnormalized rounded leaf)")
+    if bad_cols:
+        lines.append(f"FAIL  {name}: mismatched cols {bad_cols}")
+        for c, _ in bad_cols[:2]:
+            mask = got[c].astype(str) != want[c].astype(str)
+            lines.append(str(got[mask].head(3)))
+            lines.append(str(want[mask].head(3)))
+        return False, lines
+    lines.append(f"ok    {name} ({len(got)} rows)")
+    return True, lines
+
+
+def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    tasks = []
     for name in sorted(oracle):
-        sql = oracle[name]
-        res_dir = f"{out_dir}/{name}"
-        if not glob.glob(f"{res_dir}/*.parquet"):
+        if not glob.glob(f"{out_dir}/{name}/*.parquet"):
             print(f"FAIL  {name}: no spark output")
             n_bad += 1
             continue
-        try:
-            got = canon(con.execute(
-                f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf())
-            want = canon(con.execute(sql).fetchdf())
-        except Exception as e:
-            print(f"FAIL  {name}: {e}")
-            n_bad += 1
-            continue
-        if list(got.columns) != list(want.columns):
-            print(f"FAIL  {name}: columns {list(got.columns)} vs {list(want.columns)}")
-            n_bad += 1
-            continue
-        if len(got) != len(want):
-            print(f"FAIL  {name}: rows {len(got)} vs {len(want)}")
-            n_bad += 1
-            continue
-        bad_cols = []
-        for c in got.columns:
-            a, b = got[c], want[c]
-            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                af = a.astype(float).to_numpy()
-                bf = b.astype(float).to_numpy()
-                eq = np.isclose(af, bf, rtol=0, atol=0, equal_nan=True)
-                # The driver hashes BYTES, where -0.0 != +0.0; np.isclose
-                # can't see that (|a-b| == 0), which is exactly how the r7
-                # embed_kmeans signed-zero defect shipped green locally.
-                # Mirror the byte semantics: where both are zero, the sign
-                # bit must match too.
-                zero = (af == 0) & (bf == 0)
-                sign_ok = ~zero | (np.signbit(af) == np.signbit(bf))
-                exact = bool((eq & sign_ok).all())
-                close = bool(np.isclose(af, bf,
-                                        rtol=1e-9, atol=1e-9, equal_nan=True).all())
-                if not exact:
-                    label = ("signed-zero" if bool(eq.all()) else
-                             "float-exact" if close else "float-DIFF")
-                    bad_cols.append((c, label))
+        tasks.append((sf_dir, out_dir, name, oracle[name]))
+    ctx = mp.get_context("fork")
+    # maxtasksperchild=1 -> a genuinely fresh process per query
+    with ctx.Pool(processes=1, maxtasksperchild=1) as pool:
+        for ok, lines in pool.imap(check_one, tasks):
+            for l in lines:
+                print(l)
+            if ok:
+                n_ok += 1
             else:
-                if not a.astype(str).equals(b.astype(str)):
-                    bad_cols.append((c, "value"))
-        # by-construction sweep (VERDICT r7 item 2): no output cell should
-        # be -0.0 in EITHER engine — a matching -0.0/-0.0 pair still hashes
-        # green but means a leaf is unnormalized and one engine upgrade away
-        # from diverging. Warn loudly without failing the gate.
-        for side, df in (("spark", got), ("oracle", want)):
-            for c in df.columns:
-                if pd.api.types.is_float_dtype(df[c]):
-                    v = df[c].to_numpy()
-                    nz = int(((v == 0) & np.signbit(v)).sum())
-                    if nz:
-                        print(f"NEGZ  {name}: {nz} -0.0 cells in {side}.{c} "
-                              f"(unnormalized rounded leaf)")
-        if bad_cols:
-            print(f"FAIL  {name}: mismatched cols {bad_cols}")
-            for c, _ in bad_cols[:2]:
-                mask = got[c].astype(str) != want[c].astype(str)
-                print(got[mask].head(3))
-                print(want[mask].head(3))
-            n_bad += 1
-        else:
-            print(f"ok    {name} ({len(got)} rows)")
-            n_ok += 1
+                n_bad += 1
     # queries without oracle -> rows-only
     have_oracle = set(oracle)
+    con = fresh_con(sf_dir)
     for d in sorted(os.listdir(out_dir)):
         if os.path.isdir(f"{out_dir}/{d}") and d not in have_oracle:
             n = con.execute(f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]

@@ -41,6 +41,7 @@ object SparkEntry {
       streaming.EventStreams.queries ++ relational.Skew.queries ++
       relational.Reconcile.queries ++ relational.BloomPrune.queries ++
       relational.MaterializedView.queries ++ pipeline.Curriculum.queries ++
+      relational.StatAudit.queries ++
       pipeline.Curation.queries ++ pipeline.Packing.queries ++
       pipeline.Decontam.queries ++ pipeline.Classifier.queries ++
       pipeline.Privacy.queries
@@ -62,6 +63,7 @@ object SparkEntry {
       streaming.EventStreams.oracles ++ relational.Skew.oracles ++
       relational.Reconcile.oracles ++ relational.BloomPrune.oracles ++
       relational.MaterializedView.oracles ++ pipeline.Curriculum.oracles ++
+      relational.StatAudit.oracles ++
       pipeline.Curation.oracles ++ pipeline.Packing.oracles ++
       pipeline.Decontam.oracles ++ pipeline.Classifier.oracles ++
       pipeline.Privacy.oracles

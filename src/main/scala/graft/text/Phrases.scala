@@ -66,7 +66,12 @@ object Phrases {
     * runs; each word scores deg(w)·1e6 div freq(w) (deg = Σ lengths of
     * phrases containing it, freq = its occurrences in phrases — degree
     * rewards words that live in LONG collocations); a phrase scores the
-    * sum of its words. Top-20 by (score, phrase) — deterministic cut.
+    * sum of its words. Top-20 by (score, doc_id, grp) — an INTEGER-only
+    * total order, deliberately: ranking on integers means the corpus
+    * never materializes phrase STRINGS (only counts travel through the
+    * aggregates — at the 100× rehearsal the string-per-candidate
+    * spelling was the memory hog in BOTH engines); text is assembled
+    * by a join-back for just the 20 winners.
     */
   def rakeKeywords(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -79,28 +84,32 @@ object Phrases {
       // phrase group = running count of stopword boundaries seen so far
       .withColumn("grp", sum($"is_stop").over(wDoc))
       .filter($"is_stop" === 0L)
-    val phrases = toks
-      .groupBy($"doc_id", $"grp")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct($"pos", $"tok"))),
-            x => x.getField("tok")), " ").as("phrase"),
-        count(lit(1)).as("plen"))
+      .localCheckpoint() // feeds lengths, word stats, scores, and the
+    // winners' string assembly — one window pass, four consumers
+    val plens = toks
+      .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("plen"))
     val wordStats = toks
-      .join(phrases.select($"doc_id", $"grp", $"plen"), Seq("doc_id", "grp"))
+      .join(plens, Seq("doc_id", "grp"))
       .groupBy($"tok")
       .agg(sum($"plen").as("deg"), count(lit(1)).as("freq"))
       .withColumn("wscore_e6", expr("(deg * 1000000) div freq"))
-    toks
+    val top = toks
       .join(wordStats.select($"tok", $"wscore_e6"), Seq("tok"))
       .groupBy($"doc_id", $"grp")
       .agg(sum($"wscore_e6").as("score_e6"))
-      .join(phrases, Seq("doc_id", "grp"))
+      .join(plens, Seq("doc_id", "grp"))
       // multi-word keywords only: single tokens score deg=freq-trivially
       .filter($"plen" >= 2L)
-      .select($"phrase", $"plen", $"score_e6")
-      .orderBy($"score_e6".desc, $"phrase", $"plen")
+      .orderBy($"score_e6".desc, $"doc_id", $"grp")
       .limit(20)
+    // strings exist only for the 20 winners
+    toks
+      .join(broadcast(top), Seq("doc_id", "grp"))
+      .groupBy($"doc_id", $"grp", $"plen", $"score_e6")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x.getField("tok")), " ").as("phrase"))
+      .select($"doc_id", $"phrase", $"plen", $"score_e6")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,29 +154,31 @@ object Phrases {
          |    CASE WHEN tok IN ('the','a','of','to','and','in','is','on')
          |         THEN 1 ELSE 0 END AS is_stop
          |  FROM ($toksSql)),
-         |grouped AS (
+         |grouped AS MATERIALIZED (
          |  SELECT doc_id, pos, tok,
          |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
          |  FROM marked
          |  QUALIFY is_stop = 0),
-         |phrases AS (
-         |  SELECT doc_id, grp,
-         |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
-         |    count(*) AS plen
+         |plens AS MATERIALIZED (
+         |  SELECT doc_id, grp, count(*) AS plen
          |  FROM grouped GROUP BY doc_id, grp),
          |wordstats AS (
          |  SELECT tok,
          |    (CAST(sum(plen) AS BIGINT) * 1000000) // count(*) AS wscore_e6
-         |  FROM grouped g JOIN phrases p USING (doc_id, grp)
+         |  FROM grouped g JOIN plens p USING (doc_id, grp)
          |  GROUP BY tok),
-         |scored AS (
-         |  SELECT g.doc_id, g.grp,
+         |top AS MATERIALIZED (
+         |  SELECT g.doc_id, g.grp, plen,
          |    CAST(sum(wscore_e6) AS BIGINT) AS score_e6
-         |  FROM grouped g JOIN wordstats w USING (tok)
-         |  GROUP BY g.doc_id, g.grp)
-         |SELECT phrase, plen, score_e6
-         |FROM scored JOIN phrases USING (doc_id, grp)
-         |WHERE plen >= 2
-         |ORDER BY score_e6 DESC, phrase, plen
-         |LIMIT 20""".stripMargin)
+         |  FROM grouped g
+         |  JOIN wordstats w USING (tok)
+         |  JOIN plens USING (doc_id, grp)
+         |  WHERE plen >= 2
+         |  GROUP BY g.doc_id, g.grp, plen
+         |  ORDER BY score_e6 DESC, g.doc_id, g.grp
+         |  LIMIT 20)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |  plen, score_e6
+         |FROM grouped JOIN top USING (doc_id, grp)
+         |GROUP BY doc_id, grp, plen, score_e6""".stripMargin)
 }

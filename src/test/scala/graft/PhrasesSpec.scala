@@ -40,7 +40,8 @@ class PhrasesSpec extends SparkSpec {
       (2L, "the cats a dogs of birds to fish is mice on lions")))
     val rows = Phrases.rakeKeywords(spark, d).collect()
     assert(rows.nonEmpty)
-    val top = rows.head
+    val top = rows.maxBy(r =>
+      (r.getAs[Long]("score_e6"), -r.getAs[Long]("doc_id")))
     assert(top.getAs[String]("phrase") == "deep neural network training",
       s"top keyword was '${top.getAs[String]("phrase")}'")
     // RAKE degree favors longer phrases: top phrase length >= any other
