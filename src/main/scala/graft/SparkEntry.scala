@@ -37,14 +37,15 @@ object SparkEntry {
       text.Bpe.queries ++ text.Phrases.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.Retrieval.queries ++ text.HeavyHitters.queries ++
-      sim.Similarity.queries ++ multimodal.Multimodal.queries ++
+      sim.Similarity.queries ++ sim.Fusion.queries ++ sim.Eval.queries ++
+      multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ relational.Skew.queries ++
       relational.Reconcile.queries ++ relational.BloomPrune.queries ++
       relational.MaterializedView.queries ++ pipeline.Curriculum.queries ++
       relational.StatAudit.queries ++
       pipeline.Curation.queries ++ pipeline.Packing.queries ++
       pipeline.Decontam.queries ++ pipeline.Classifier.queries ++
-      pipeline.Privacy.queries
+      pipeline.Privacy.queries ++ pipeline.Dsir.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -59,12 +60,13 @@ object SparkEntry {
       text.Bpe.oracles ++ text.Phrases.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.Retrieval.oracles ++ text.HeavyHitters.oracles ++
-      sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
+      sim.Similarity.oracles ++ sim.Fusion.oracles ++ sim.Eval.oracles ++
+      multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ relational.Skew.oracles ++
       relational.Reconcile.oracles ++ relational.BloomPrune.oracles ++
       relational.MaterializedView.oracles ++ pipeline.Curriculum.oracles ++
       relational.StatAudit.oracles ++
       pipeline.Curation.oracles ++ pipeline.Packing.oracles ++
       pipeline.Decontam.oracles ++ pipeline.Classifier.oracles ++
-      pipeline.Privacy.oracles
+      pipeline.Privacy.oracles ++ pipeline.Dsir.oracles
 }

@@ -194,8 +194,12 @@ object Graph {
        |SELECT node, round(rank, 6) AS rank FROM pr$PrIters""".stripMargin
   }
 
-  private def trianglesOracle: String =
-    s"""WITH d0 AS (
+  /** The near-dup edge list (blocked token-Jaccard >= 0.5, a < b) as
+    * DuckDB CTEs — shared by the triangle and reachability oracles; the
+    * SQL twin of `Dedup.jaccardPairs(..).filter(jacc >= 0.5)`.
+    */
+  private def jaccardEdgeCtes: String =
+    s"""d0 AS (
        |  SELECT doc_id, list_distinct(t) AS dt, t[1] AS b1,
        |         CAST(floor(len(t) / 10) AS BIGINT) AS b2
        |  FROM (SELECT doc_id,
@@ -210,16 +214,90 @@ object Graph {
        |  FROM dd a JOIN dd b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.doc_id < b.doc_id
        |  WHERE CAST(len(list_filter(a.dt, x -> list_contains(b.dt, x))) AS DOUBLE) /
        |        (len(a.dt) + len(b.dt) - len(list_filter(a.dt, x -> list_contains(b.dt, x))))
-       |        >= 0.5)
+       |        >= 0.5)""".stripMargin
+
+  private def trianglesOracle: String =
+    s"""WITH $jaccardEdgeCtes
        |SELECT ab.a AS a, ab.b AS b, bc.b AS c
        |FROM e ab JOIN e bc ON ab.b = bc.a
        |          JOIN e ac ON ac.a = ab.a AND ac.b = bc.b""".stripMargin
 
+  /** Multi-source BFS over the near-duplicate graph: minimum hop
+    * distance from the [[SeedLang]]-language documents (the seed set a
+    * contamination or provenance audit starts from — "everything within
+    * k near-dup hops of a flagged slice") along undirected >= 0.5
+    * Jaccard edges, capped at [[HopCap]] hops. Output: every reachable
+    * document with its distance (seeds at 0).
+    *
+    * Algorithm: level-synchronous frontier BFS — each round joins the
+    * frontier against the checkpointed edge list, subtracts the visited
+    * set (left-anti), and checkpoints the new layer; termination on
+    * empty frontier or the cap. This is THE scalable shape for
+    * reachability on edge lists that do not fit one machine: per round
+    * one keyed join + one anti-join, frontier-sized payloads, and the
+    * checkpoint cuts lineage so round r's plan never replays rounds
+    * 1..r-1. Hop distances are exact integers — no FP anywhere — and
+    * the layered construction visits each vertex exactly once at its
+    * minimal depth, so no min-aggregate is needed on the Spark side.
+    * For diameter-unbounded graphs the pointer-jumping contraction in
+    * [[graft.text.DedupCluster]] is the escape hatch; plain BFS is the
+    * right tool for the k-hop-bounded audit semantics here.
+    */
+  val HopCap = 8
+  val SeedLang = "zh"
+
+  def reachHops(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.text.Dedup.jaccardPairs(spark, d)
+      .filter($"jacc" >= 0.5)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    // undirected: both orientations, materialized once for all rounds
+    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).localCheckpoint()
+    val seeds = Tables.documents(spark, d)
+      .filter($"lang" === SeedLang)
+      .select($"doc_id".as("doc"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var visited = seeds
+    var frontier = seeds.select($"doc")
+    var k = 1L
+    while (k <= HopCap && !frontier.isEmpty) {
+      val next = frontier.join(und, frontier("doc") === und("a"))
+        .select(und("b").as("doc")).distinct()
+        .join(visited.select($"doc"), Seq("doc"), "left_anti")
+        .select($"doc", lit(k).as("hops"))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select($"doc")
+      k += 1
+    }
+    visited.select($"doc".as("doc_id"), $"hops")
+  }
+
+  /** DuckDB twin: recursive CTE with UNION (distinct) semantics — the
+    * dedup-against-all-prior-rows recursion plus the d < HopCap guard
+    * bounds the walk on cyclic components; min(d) recovers the BFS
+    * first-visit depth.
+    */
+  private def reachOracle: String =
+    s"""WITH RECURSIVE $jaccardEdgeCtes,
+       |und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |seeds AS (SELECT doc_id AS doc FROM documents WHERE lang = '$SeedLang'),
+       |walk(doc, d) AS (
+       |  SELECT doc, 0 FROM seeds
+       |  UNION
+       |  SELECT und.b, walk.d + 1
+       |  FROM walk JOIN und ON und.a = walk.doc
+       |  WHERE walk.d < $HopCap)
+       |SELECT doc AS doc_id, CAST(min(d) AS BIGINT) AS hops
+       |FROM walk GROUP BY doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> (triangles _),
-    "graph_pagerank_nations" -> (pagerankNations _))
+    "graph_pagerank_nations" -> (pagerankNations _),
+    "graph_reach_hops" -> (reachHops _))
 
   val oracles: Map[String, String] = Map(
     "graph_triangles" -> trianglesOracle,
-    "graph_pagerank_nations" -> pagerankOracle)
+    "graph_pagerank_nations" -> pagerankOracle,
+    "graph_reach_hops" -> reachOracle)
 }

@@ -99,6 +99,12 @@ class PlanBudgetSpec extends SparkSpec {
     "tfidf_topk" -> 4,
     // end-to-end composite: chains five audited operators
     "training_mix" -> 6,
+    // eval composite: LSH leg (candidate distinct + rank window) + IVF
+    // leg (rank window) + one probe-set-sized groupBy per method leg
+    // (the checkpointed ground truth has no partitioning to reuse);
+    // every exchange payload after the audited retrieval passes is
+    // <= NumQueries x K rows
+    "embed_recall_eval" -> 5,
     // end-to-end composite over the incremental pair miner: band group +
     // narrow pair distinct + signature join-backs + orientation semi
     // unions + verdict agg + per-new-doc outer join; every post-mining
@@ -112,6 +118,8 @@ class PlanBudgetSpec extends SparkSpec {
     "anomaly_zscore", // one-row global stats
     "bm25_search", // one-row corpus stats
     "embed_knn", // probe-vector constant
+    "embed_rrf_fusion", // probe-vector constant (the knn shape)
+    "dsir_weights", // one-row bucket-total broadcast
     "embed_mmr", // probe-vector constant (the knn shape; steps checkpoint)
     "embed_knn_quantized", // quantile-boundary constant
     "embed_knn_rerank", // probe-code constant (the quantized shape)
