@@ -38,11 +38,12 @@ object SparkEntry {
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.Retrieval.queries ++ text.HeavyHitters.queries ++
       sim.Similarity.queries ++ sim.Fusion.queries ++ sim.Eval.queries ++
+      sim.Pca.queries ++
       multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ relational.Skew.queries ++
       relational.Reconcile.queries ++ relational.BloomPrune.queries ++
       relational.MaterializedView.queries ++ pipeline.Curriculum.queries ++
-      relational.StatAudit.queries ++
+      relational.StatAudit.queries ++ relational.StatModels.queries ++
       pipeline.Curation.queries ++ pipeline.Packing.queries ++
       pipeline.Decontam.queries ++ pipeline.Classifier.queries ++
       pipeline.Privacy.queries ++ pipeline.Dsir.queries
@@ -61,11 +62,12 @@ object SparkEntry {
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.Retrieval.oracles ++ text.HeavyHitters.oracles ++
       sim.Similarity.oracles ++ sim.Fusion.oracles ++ sim.Eval.oracles ++
+      sim.Pca.oracles ++
       multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ relational.Skew.oracles ++
       relational.Reconcile.oracles ++ relational.BloomPrune.oracles ++
       relational.MaterializedView.oracles ++ pipeline.Curriculum.oracles ++
-      relational.StatAudit.oracles ++
+      relational.StatAudit.oracles ++ relational.StatModels.oracles ++
       pipeline.Curation.oracles ++ pipeline.Packing.oracles ++
       pipeline.Decontam.oracles ++ pipeline.Classifier.oracles ++
       pipeline.Privacy.oracles ++ pipeline.Dsir.oracles

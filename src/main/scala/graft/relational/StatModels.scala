@@ -1,0 +1,158 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** In-database statistical modeling: per-group OLS regression and
+  * per-source KL divergence — the "fit a small model inside the scan"
+  * tier (trend detection per segment, mixture-drift diagnostics)
+  * every analytics deployment layers over its fact tables.
+  *
+  * Reference basis: none (SURVEY.md §2.3 — the reference has no
+  * statistical operators); companions to [[StatAudit]]'s Benford and
+  * chi-square audits.
+  *
+  * Determinism: both operators follow the exact-sufficient-statistics
+  * discipline — every cross-row aggregate is a sum of exact integers
+  * (grid-scaled observations), carried in DECIMAL(38,0) on the Spark
+  * side and HUGEINT on DuckDB so no scale overflows int64; the closed-
+  * form estimates are then computed from identical correctly-rounded
+  * doubles in identical operation order. No FP value is ever summed
+  * across rows (the KL term sum is the one exception, at magnitudes
+  * where a 6-decimal round absorbs association order, the
+  * [[graft.text.TextAnalysis.unigramLogprob]] precedent).
+  */
+object StatModels {
+
+  /** Per-priority OLS of order value against time: slope (cents/day),
+    * intercept, and Pearson correlation from the five exact sufficient
+    * statistics n, Σx, Σy, Σxy, Σx², Σy² — the classic single-pass
+    * distributed regression: one grouped aggregate, closed form on the
+    * group row. x = epoch day, y = total price on the cent grid.
+    */
+  def olsPriceTrend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.orders(spark, d)
+      .select($"o_orderpriority".as("priority"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        round($"o_totalprice" * 100, 0).cast("long").as("y"))
+    def dsum(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(38,0)"))
+    val g = obs.groupBy($"priority").agg(
+      count(lit(1)).as("n"),
+      dsum($"x").as("sx"), dsum($"y").as("sy"),
+      dsum($"x" * $"y").as("sxy"),
+      dsum($"x" * $"x").as("sxx"),
+      dsum($"y" * $"y").as("syy"))
+    // closed form on correctly-rounded doubles of the exact sums,
+    // identical operation order on both engines
+    val nD = $"n".cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    val covN = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+    val varxN = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+    val varyN = nD * dbl("syy") - dbl("sy") * dbl("sy")
+    g.select($"priority", $"n",
+      round(covN / varxN, 6).as("slope"),
+      round((dbl("sy") - covN / varxN * dbl("sx")) / nD, 4).as("intercept"),
+      round(covN / (sqrt(varxN) * sqrt(varyN)), 6).as("corr"))
+  }
+
+  private def olsOracle: String =
+    s"""WITH obs AS (
+       |  SELECT o_orderpriority AS priority,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |         AS BIGINT) AS x,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+       |  FROM orders),
+       |g AS (
+       |  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+       |    sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+       |  FROM obs GROUP BY priority)
+       |SELECT priority, n,
+       |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0 AS slope,
+       |  round((CAST(sy AS DOUBLE)
+       |         - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) + 0.0 AS intercept,
+       |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+       |    AS corr
+       |FROM g""".stripMargin
+
+  /** Per-source KL divergence of the token distribution from the
+    * corpus distribution — the mixture-drift diagnostic behind
+    * [[graft.pipeline.Curation]]'s rates: a source whose KL spikes has
+    * shifted vocabulary. Exact counts end-to-end; the per-token
+    * p·ln(p/q) terms are the only FP aggregation (6-decimal round
+    * absorbs association order, magnitudes ≤ 1e1 over vocab-many
+    * ≤ 1e-3 terms).
+    */
+  def sourceKl(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // the (source, token) count table is vocab-sized, not corpus-sized;
+    // materialize it once — its three consumers (source totals, token
+    // totals, the term join) must not re-tokenize the corpus each
+    val st = Tables.documents(spark, d)
+      .select($"source", explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val srcTot = st.groupBy($"source").agg(sum($"c_st").as("c_s"))
+    val tokTot = st.groupBy($"tok").agg(sum($"c_st").as("c_t"))
+    val corpus = srcTot.agg(sum($"c_s").as("c_tot"))
+    st.join(tokTot, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpus))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_types"),
+        round(sum(
+          ($"c_st".cast("double") / $"c_s".cast("double")) *
+            log(($"c_st".cast("double") / $"c_s".cast("double")) /
+              ($"c_t".cast("double") / $"c_tot".cast("double")))), 6)
+          .as("kl"))
+  }
+
+  private def klOracle: String =
+    s"""WITH st AS (
+       |  SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS c_st
+       |  FROM (SELECT source,
+       |          unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                             x -> x <> '')) AS t
+       |        FROM documents) x
+       |  GROUP BY source, t),
+       |src AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s
+       |        FROM st GROUP BY source),
+       |tok AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+       |        FROM st GROUP BY tok),
+       |corpus AS (SELECT CAST(sum(c_s) AS BIGINT) AS c_tot FROM src)
+       |SELECT st.source AS source, CAST(count(*) AS BIGINT) AS n_types,
+       |  round(sum(
+       |    (CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE)) *
+       |    ln((CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE)) /
+       |       (CAST(c_t AS DOUBLE) / CAST(c_tot AS DOUBLE)))), 6) + 0.0 AS kl
+       |FROM st
+       |JOIN tok ON st.tok = tok.tok
+       |JOIN src ON st.source = src.source
+       |CROSS JOIN corpus
+       |GROUP BY st.source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ols_price_trend" -> (olsPriceTrend _),
+    "source_kl_divergence" -> (sourceKl _))
+
+  val oracles: Map[String, String] = Map(
+    "ols_price_trend" -> olsOracle,
+    "source_kl_divergence" -> klOracle)
+}

@@ -51,10 +51,8 @@ object Eval {
     * one embeds its run-fitted centroids, so this must be read at
     * dump time — hence `def`), joined per the definition of recall@K.
     */
-  private def recallOracle: String = {
-    val exact = Similarity.oracles("embed_knn")
-    val lsh = Similarity.oracles("embed_ann_lsh")
-    val ivf = Similarity.oracles("embed_ann_ivf")
+  private def recallOracle(
+      exact: String, lsh: String, ivf: String): String = {
     def legSql(sub: String, name: String): String =
       s"""SELECT e.query_id AS query_id, '$name' AS method,
          |  CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
@@ -75,6 +73,17 @@ object Eval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_recall_eval" -> (recallEval _))
 
-  def oracles: Map[String, String] = Map(
-    "embed_recall_eval" -> recallOracle)
+  /** The IVF leg's oracle exists only after [[Similarity.annIvf]] has
+    * run and recorded its fit (a filtered Verify run may not touch it);
+    * running [[recallEval]] itself populates it, so whenever the eval
+    * query ran its oracle is present.
+    */
+  def oracles: Map[String, String] = {
+    val sims = Similarity.oracles
+    (sims.get("embed_knn"), sims.get("embed_ann_lsh"), sims.get("embed_ann_ivf")) match {
+      case (Some(exact), Some(lsh), Some(ivf)) =>
+        Map("embed_recall_eval" -> recallOracle(exact, lsh, ivf))
+      case _ => Map.empty
+    }
+  }
 }

@@ -1,0 +1,140 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed PCA — the top principal component of the embedding
+  * cloud by power iteration, computed as matrix-free matvec passes:
+  * s = Σ_rows c·(cᵀv) with c the centered vector, so each iteration is
+  * ONE narrow scan + one 64-cell global aggregate and the d×d
+  * covariance matrix is never materialized. The top component is the
+  * standard embedding-hygiene tool (all-but-the-top post-processing,
+  * anisotropy diagnosis, whitening) a training pipeline runs over its
+  * embedding store.
+  *
+  * Reference basis: no linear-algebra operator exists in the reference
+  * (SURVEY.md §2.3); this is the LLM-pipeline tier. The
+  * contract-then-iterate split follows [[graft.relational.Graph.pagerankNations]]:
+  * the distributed phase per round is the 100 TB scan-and-aggregate;
+  * the 64-double normalization between rounds belongs on the driver.
+  *
+  * Scale: each pass reads the (checkpointed) vectors once and reduces
+  * to exactly [[Dim]] BIGINT cells — payload is dimension-sized, never
+  * corpus-sized, and rounds never replay prior lineage. Determinism:
+  * every cross-row sum runs on an exact 1e-6 integer grid (the
+  * catalog's fixed-point discipline), so no FP accumulation order ever
+  * crosses engines; the only FP chain is the per-row dot against the
+  * iterate (in-order [[graft.functions.DotProduct]], bit-matching
+  * DuckDB's list_dot_product) and the driver-side normalization, which
+  * the oracle replays term-for-term from the recorded second-to-last
+  * iterate ([[pcaFit]] — the fitted-constant registry technique of
+  * [[Similarity]]).
+  */
+object Pca {
+
+  /** Convergence note: power iteration converges at rate (λ2/λ1)^k, so
+    * the iterate count is the accuracy knob. Production embedding
+    * clouds are strongly anisotropic (large gap — the reason
+    * all-but-the-top exists) and converge in a handful of rounds; the
+    * synthetic fixture is near-isotropic (λ2/λ1 ≈ 0.99), so the
+    * catalog pins the contract as EXACTLY [[PowerIters]] deterministic
+    * rounds — what the oracle replays and the spec cross-checks against
+    * a same-count driver iteration.
+    */
+  val Dim = 64
+  val PowerIters = 8
+
+  /** v entering the FINAL pass, recorded so the dump-time oracle can
+    * replay pass 8 (mean + sums + normalization) in SQL — the
+    * fitted-constant registry technique; one Verify run touches one
+    * data dir ([[Similarity]]'s lastDir reasoning).
+    */
+  @volatile private var lastFit: Option[Array[Double]] = None
+
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.indexOf('E') >= 0 || s.indexOf('e') >= 0) s else s + "e0"
+  }
+
+  def pcaPower(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, d)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint() // 9 passes read one materialized scan
+    // pass 0: exact-grid per-dim mean (64 BIGINT sums, one global agg)
+    val meanAggs = (0 until Dim).map(i =>
+      sum(round(element_at($"v", i + 1) * 1000000, 0).cast("long")).as(s"m$i"))
+    val mrow = e.agg(count(lit(1)).as("n"), meanAggs: _*).collect()(0)
+    val n = mrow.getAs[Long]("n")
+    val mean = Array.tabulate(Dim)(i =>
+      mrow.getAs[Long](s"m$i").toDouble / (n.toDouble * 1000000.0))
+    val meanLit = array(mean.map(lit).toIndexedSeq: _*)
+    val centered = e.withColumn("c", zip_with($"v", meanLit, (a, b) => a - b))
+    // power iteration: v0 = uniform unit vector (64 * (1/8)^2 = 1)
+    var v = Array.fill(Dim)(0.125)
+    var nrm = 0.0
+    for (k <- 1 to PowerIters) {
+      if (k == PowerIters) lastFit = Some(v.clone())
+      val tExpr = expr(
+        s"dot_f64(c, array(${v.map(x => s"${x}D").mkString(",")}))")
+      val sAggs = (0 until Dim).map(i =>
+        sum(round(element_at($"c", i + 1) * $"t" * 1000000, 0).cast("long"))
+          .as(s"s$i"))
+      val srow = centered.withColumn("t", tExpr).agg(sAggs.head, sAggs.tail: _*)
+        .collect()(0)
+      val sd = Array.tabulate(Dim)(i => srow.getAs[Long](s"s$i").toDouble)
+      nrm = math.sqrt(sd.foldLeft(0.0)((a, x) => a + x * x))
+      v = sd.map(_ / nrm)
+    }
+    // scatter-matrix top eigenvalue estimate ||Av||, as per-sample
+    // variance along the component
+    val pcVar = BigDecimal(nrm / 1000000.0 / (n - 1).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until Dim).map(i => (i.toLong,
+      BigDecimal(v(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      pcVar)).toDF("dim", "loading", "pc_var")
+  }
+
+  /** DuckDB twin of the FINAL pass: recomputes the exact-grid mean from
+    * the data, replays pass [[PowerIters]]'s matvec from the recorded
+    * iterate, and normalizes in the same term order.
+    */
+  private def pcaOracle: String = {
+    val v7 = lastFit.getOrElse(Array.fill(Dim)(0.125))
+    val vLits = v7.map(dlit).mkString(", ")
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS i),
+       |mean AS (
+       |  SELECT i, CAST(sum(CAST(round(v[i] * 1000000, 0) AS BIGINT))
+       |                 AS BIGINT) AS m
+       |  FROM e, dims GROUP BY i),
+       |ml AS (
+       |  SELECT list(CAST(m AS DOUBLE) /
+       |              (CAST((SELECT n FROM nn) AS DOUBLE) * 1000000e0)
+       |              ORDER BY i) AS m
+       |  FROM mean),
+       |ct AS (
+       |  SELECT list_transform(range(1, ${Dim + 1}), i -> v[i] - m[i]) AS c
+       |  FROM e, ml),
+       |tt AS (SELECT c, list_dot_product(c, [$vLits]) AS t FROM ct),
+       |s AS (
+       |  SELECT i, CAST(sum(CAST(round(c[i] * t * 1000000, 0) AS BIGINT))
+       |                 AS BIGINT) AS s
+       |  FROM tt, dims GROUP BY i),
+       |sl AS (SELECT list(CAST(s AS DOUBLE) ORDER BY i) AS sl FROM s),
+       |nrm AS (SELECT sqrt(list_dot_product(sl, sl)) AS nrm FROM sl)
+       |SELECT CAST(i - 1 AS BIGINT) AS dim,
+       |  round(CAST(s AS DOUBLE) / nrm, 6) + 0.0 AS loading,
+       |  round(nrm / 1000000e0 / CAST(n - 1 AS DOUBLE), 6) + 0.0 AS pc_var
+       |FROM s, nrm, nn""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca_power" -> (pcaPower _))
+
+  def oracles: Map[String, String] = Map(
+    "embed_pca_power" -> pcaOracle)
+}

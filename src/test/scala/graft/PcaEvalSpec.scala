@@ -1,0 +1,75 @@
+package graft
+
+/** Specs for [[sim.Pca]] (power-iteration top component) and
+  * [[sim.Eval]] (ANN recall harness).
+  */
+class PcaEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("embed_pca_power: unit loadings that match an independent driver eigensolve") {
+    val out = sim.Pca.pcaPower(spark, sf).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("loading"),
+        r.getAs[Double]("pc_var")))
+      .sortBy(_._1)
+    assert(out.length == sim.Pca.Dim)
+    val loadings = out.map(_._2)
+    val norm2 = loadings.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"loadings not unit: $norm2")
+    assert(out.forall(_._3 > 0.0))
+    // independent check: plain-double power iteration on the collected
+    // vectors, SAME iteration count — verifies the distributed
+    // exact-grid matvec computes the algorithm it claims (the fixture
+    // embeddings are near-isotropic, lambda2/lambda1 ~ 0.99, so no
+    // iteration count "converges"; the operator contract is exactly
+    // PowerIters deterministic rounds)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val dim = sim.Pca.Dim
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val c = vecs.map(v => Array.tabulate(dim)(i => v(i) - mean(i)))
+    def variance(w: Array[Double]): Double =
+      c.map { row =>
+        var t = 0.0
+        var i = 0
+        while (i < dim) { t += row(i) * w(i); i += 1 }
+        t * t
+      }.sum / (n - 1)
+    var w = Array.fill(dim)(1.0 / 8)
+    val v0 = w
+    for (_ <- 1 to sim.Pca.PowerIters) {
+      val s = Array.fill(dim)(0.0)
+      for (row <- c) {
+        var t = 0.0
+        var i = 0
+        while (i < dim) { t += row(i) * w(i); i += 1 }
+        i = 0
+        while (i < dim) { s(i) += row(i) * t; i += 1 }
+      }
+      val nrm = math.sqrt(s.map(x => x * x).sum)
+      w = s.map(_ / nrm)
+    }
+    val cos = loadings.zip(w).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.9999,
+      s"operator diverged from same-count reference iteration: cos=$cos")
+    // power iteration must increase captured variance over the start
+    assert(variance(loadings) > variance(v0),
+      "Rayleigh quotient did not grow over the uniform start")
+  }
+
+  test("embed_recall_eval: complete per-(query, method) grid with recalls in [0,1]") {
+    val rows = sim.Eval.recallEval(spark, sf).collect()
+    assert(rows.length == 2 * sim.Similarity.NumQueries)
+    val keys = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[String]("method"))).toSet
+    assert(keys.size == rows.length)
+    assert(keys.map(_._2) == Set("lsh", "ivf"))
+    for (r <- rows) {
+      val hits = r.getAs[Long]("hits")
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(hits >= 0 && hits <= sim.Similarity.K)
+      assert(rec == hits.toDouble / sim.Similarity.K)
+    }
+  }
+}

@@ -39,6 +39,11 @@ class PlanBudgetSpec extends SparkSpec {
     "text_bigram_logprob" -> 5,
     // gram window on doc_id -> gram-df agg -> per-doc share
     "text_gram_overlap" -> 3,
+    // (source, tok) agg + vocab-keyed token-total agg + the tok-keyed
+    // re-exchange into the frequency join + source-total agg + final
+    // per-source fold; every payload is vocabulary-keyed counts (the
+    // text_bigram_logprob shape)
+    "source_kl_divergence" -> 5,
     // bigram lead window + unigram agg + pair agg + the w2-keyed
     // re-exchange into the second frequency join; every exchange
     // payload is vocabulary-keyed (map-side combined)
@@ -129,6 +134,7 @@ class PlanBudgetSpec extends SparkSpec {
     "cms_dataflow_estimates", // inherits heavy_hitter's one-row threshold
     "heavy_hitter_tokens", // one-row total-count threshold
     "mixture_rates", // one-row corpus-total broadcast
+    "source_kl_divergence", // one-row corpus-total broadcast
     "quality_calibration", // one-row score min/max broadcast
     "mixture_sample", // inherits mixture_rates' one-row total broadcast
     "text_unigram_logprob", // one-row token-total broadcast

@@ -1,0 +1,53 @@
+package graft
+
+/** Specs for [[relational.StatModels]]: OLS against a naive driver
+  * recomputation, KL non-negativity.
+  */
+class StatModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ols_price_trend matches a naive driver-side least squares") {
+    val rows = relational.StatModels.olsPriceTrend(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val obs = Tables.orders(spark, sf)
+      .select($"o_orderpriority",
+        org.apache.spark.sql.functions.datediff(
+          $"o_orderdate".cast("date"),
+          org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+          .cast("double"),
+        org.apache.spark.sql.functions
+          .round($"o_totalprice" * 100, 0))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    for (r <- rows) {
+      val pts = obs(r.getAs[String]("priority"))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._2).sum
+      val sy = pts.map(_._3).sum
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sxx = pts.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      assert(r.getAs[Long]("n") == pts.length)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-3,
+        s"slope ${r.getAs[Double]("slope")} vs naive $slope")
+      assert(math.abs(r.getAs[Double]("intercept") - icept) < 1.0,
+        s"intercept ${r.getAs[Double]("intercept")} vs naive $icept")
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("source_kl_divergence: KL >= 0 per source, all sources present") {
+    val rows = relational.StatModels.sourceKl(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf)
+      .select($"source").distinct().count()
+    assert(rows.length == nSources)
+    for (r <- rows) {
+      assert(r.getAs[Double]("kl") >= 0.0,
+        s"negative KL for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_types") > 0)
+    }
+  }
+}
