@@ -40,7 +40,8 @@ object SparkEntry {
       sim.Similarity.queries ++ sim.Fusion.queries ++ sim.Eval.queries ++
       sim.Pca.queries ++
       multimodal.Multimodal.queries ++
-      streaming.EventStreams.queries ++ relational.Skew.queries ++
+      streaming.EventStreams.queries ++ streaming.Drift.queries ++
+      relational.Skew.queries ++
       relational.Reconcile.queries ++ relational.BloomPrune.queries ++
       relational.MaterializedView.queries ++ pipeline.Curriculum.queries ++
       relational.StatAudit.queries ++ relational.StatModels.queries ++
@@ -64,7 +65,8 @@ object SparkEntry {
       sim.Similarity.oracles ++ sim.Fusion.oracles ++ sim.Eval.oracles ++
       sim.Pca.oracles ++
       multimodal.Multimodal.oracles ++
-      streaming.EventStreams.oracles ++ relational.Skew.oracles ++
+      streaming.EventStreams.oracles ++ streaming.Drift.oracles ++
+      relational.Skew.oracles ++
       relational.Reconcile.oracles ++ relational.BloomPrune.oracles ++
       relational.MaterializedView.oracles ++ pipeline.Curriculum.oracles ++
       relational.StatAudit.oracles ++ relational.StatModels.oracles ++

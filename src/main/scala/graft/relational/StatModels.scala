@@ -148,11 +148,101 @@ object StatModels {
        |CROSS JOIN corpus
        |GROUP BY st.source""".stripMargin
 
+  /** Zipf-law fit over the corpus vocabulary: OLS of ln(frequency)
+    * against ln(rank) on the top-[[ZipfTop]] tokens — the corpus-health
+    * "law" check (natural text fits slope ≈ −1; a corpus of boilerplate
+    * or template spam bends the curve). Two-stage shape: the
+    * vocabulary-sized frequency aggregate is distributed, the ranked
+    * head is a bounded TakeOrdered cut (never a global sort), and the
+    * [[ZipfTop]]-point regression is a driver fold on the exact 1e-6
+    * log grid — the same bounded-fit reasoning as
+    * [[Graph.pagerankNations]]'s contracted iteration. Grid terms keep
+    * every cross-point sum an exact integer, so the driver fold and the
+    * oracle's SQL aggregate agree bit for bit.
+    */
+  val ZipfTop = 1000
+
+  def zipfFit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val top = Tables.documents(spark, d)
+      .select(explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok".asc)
+      .limit(ZipfTop)
+      .collect()
+    def grid(v: Double): Long =
+      BigDecimal(v * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    val pts = top.zipWithIndex.map { case (r, i) =>
+      (grid(math.log((i + 1).toDouble)), grid(math.log(r.getAs[Long]("c").toDouble)))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val covN = n * sxy.toDouble - sx.toDouble * sy.toDouble
+    val varxN = n * sxx.toDouble - sx.toDouble * sx.toDouble
+    val varyN = n * syy.toDouble - sy.toDouble * sy.toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((pts.length.toLong,
+      r6(covN / varxN),
+      r6((sy.toDouble - covN / varxN * sx.toDouble) / n / 1000000.0),
+      r6(covN / (math.sqrt(varxN) * math.sqrt(varyN)))))
+      .toDF("n_tokens", "slope", "intercept_ln", "corr")
+  }
+
+  private def zipfOracle: String =
+    s"""WITH freq AS (
+       |  SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                                  x -> x <> '')) AS t
+       |        FROM documents) x
+       |  GROUP BY t),
+       |top AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+       |  FROM freq ORDER BY c DESC, tok ASC LIMIT $ZipfTop),
+       |pts AS (
+       |  SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+       |         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+       |  FROM top),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM pts)
+       |SELECT n AS n_tokens,
+       |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0 AS slope,
+       |  round((CAST(sy AS DOUBLE)
+       |         - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000e0, 6) + 0.0
+       |    AS intercept_ln,
+       |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+       |    AS corr
+       |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ols_price_trend" -> (olsPriceTrend _),
-    "source_kl_divergence" -> (sourceKl _))
+    "source_kl_divergence" -> (sourceKl _),
+    "zipf_fit" -> (zipfFit _))
 
   val oracles: Map[String, String] = Map(
     "ols_price_trend" -> olsOracle,
-    "source_kl_divergence" -> klOracle)
+    "source_kl_divergence" -> klOracle,
+    "zipf_fit" -> zipfOracle)
 }

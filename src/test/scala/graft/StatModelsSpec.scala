@@ -39,6 +39,23 @@ class StatModelsSpec extends SparkSpec {
     }
   }
 
+  test("zipf_fit: bounded head, descending law direction") {
+    val r = relational.StatModels.zipfFit(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val vocab = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        text.TextAnalysis.toks($"text")).as("t"))
+      .select($"t").distinct().count()
+    assert(row.getAs[Long]("n_tokens") ==
+      math.min(vocab, relational.StatModels.ZipfTop))
+    // frequency falls with rank, so the log-log slope and corr are
+    // negative on any corpus with frequency variation
+    assert(row.getAs[Double]("slope") < 0.0)
+    val c = row.getAs[Double]("corr")
+    assert(c >= -1.0 && c < 0.0)
+  }
+
   test("source_kl_divergence: KL >= 0 per source, all sources present") {
     val rows = relational.StatModels.sourceKl(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)

@@ -699,4 +699,25 @@ class StreamingSpec extends SparkSpec {
     assert(merged.filter($"value".isNull).count() == n)
     assert(merged.count() == 2 * n)
   }
+
+  test("streaming drift monitor (complete mode) == batch twin") {
+    val baseline = graft.streaming.Drift.baselineOf(spark, sf)
+      .localCheckpoint() // static 5-row frame, the offline-fitted ref
+    val q = graft.streaming.Drift
+      .driftStream(EventStreams.readEventsStream(spark, eventsDir), baseline)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("drift_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("wstart_s"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Long]("share_e6"),
+          r.getAs[Long]("gshare_e6"), r.getAs[Long]("drift_e6"))
+      val got = spark.table("drift_out").collect().map(key).toSet
+      val want = graft.streaming.Drift.driftBatch(spark, sf).collect()
+        .map(key).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
