@@ -58,6 +58,28 @@ class PcaEvalSpec extends SparkSpec {
       "Rayleigh quotient did not grow over the uniform start")
   }
 
+  test("embed_pca_residuals: Pythagoras closes against the centered norms") {
+    val res = sim.Pca.pcaResiduals(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Double]("proj"), r.getAs[Double]("resid_norm"))).toSeq
+    val n = Tables.embeddings(spark, sf).count()
+    assert(res.length == n)
+    // centered squared norms recomputed independently
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = sim.Pca.Dim
+    val mean = Array.tabulate(dim)(i =>
+      vecs.values.map(_(i)).sum / vecs.size)
+    for ((id, proj, resid) <- res) {
+      assert(resid >= 0.0)
+      val c = vecs(id).zip(mean).map { case (a, b) => a - b }
+      val cc = c.map(x => x * x).sum
+      assert(math.abs(proj * proj + resid * resid - cc) < 1e-2,
+        s"vec $id: proj^2+resid^2=${proj * proj + resid * resid} vs cc=$cc")
+    }
+  }
+
   test("embed_recall_eval: complete per-(query, method) grid with recalls in [0,1]") {
     val rows = sim.Eval.recallEval(spark, sf).collect()
     assert(rows.length == 2 * sim.Similarity.NumQueries)
