@@ -31,17 +31,26 @@ object Graph {
     * bucket-capped by construction ([[graft.text.Dedup.MaxBucket]]), so
     * no hub exists by design.
     */
-  def triangles(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    // localCheckpoint: the edge list is referenced three times below;
-    // materializing it once beats recomputing the Jaccard pair pipeline
-    // per reference (and keeps the triple-join plan flat)
-    trianglesOfEdges(
+  /** The >= 0.5 Jaccard edge list, checkpointed once per (session, dir)
+    * — [[triangles]] and [[reachHops]] in one catalog pass share the
+    * materialization instead of each replaying the pair pipeline.
+    */
+  private val edgeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def dupEdges(spark: SparkSession, d: String): DataFrame =
+    edgeCache.getOrElseUpdate((spark, d), {
+      import spark.implicits._
       graft.text.Dedup.jaccardPairs(spark, d)
         .filter($"jacc" >= 0.5)
         .select($"doc_a".as("a"), $"doc_b".as("b")) // already a < b
-        .localCheckpoint())
-  }
+        .localCheckpoint()
+    })
+
+  def triangles(spark: SparkSession, d: String): DataFrame =
+    // the edge list is referenced three times below; materializing it
+    // once beats recomputing the Jaccard pair pipeline per reference
+    // (and keeps the triple-join plan flat)
+    trianglesOfEdges(dupEdges(spark, d))
 
   /** Core oriented two-path + closing join over an a < b edge list.
     * Exposed so specs can drive it with synthetic graphs.
@@ -248,9 +257,7 @@ object Graph {
 
   def reachHops(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val e = graft.text.Dedup.jaccardPairs(spark, d)
-      .filter($"jacc" >= 0.5)
-      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    val e = dupEdges(spark, d)
     // undirected: both orientations, materialized once for all rounds
     val und = e.union(e.select($"b".as("a"), $"a".as("b"))).localCheckpoint()
     val seeds = Tables.documents(spark, d)

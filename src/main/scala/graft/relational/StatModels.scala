@@ -236,13 +236,162 @@ object StatModels {
        |    AS corr
        |FROM g""".stripMargin
 
+  /** RFM customer segmentation — recency / frequency / monetary tertile
+    * scores (1..3, 3 best) against corpus-fitted boundaries, the
+    * classic marketing-analytics segmentation. The per-customer
+    * aggregate [1 exchange] is 100–1000× smaller than the fact table
+    * and is materialized once for its three consumers (anchor date,
+    * tertile boundaries, scoring). Boundaries use the exact
+    * interpolating percentile for oracle parity (the
+    * [[RelExtras.aggPercentiles]] convention) — at true 100 TB
+    * customer cardinality the swap is `approx_percentile`, which
+    * changes boundaries, not the operator shape. Recency anchors on
+    * the corpus max order date (scale-free), monetary on the exact
+    * cent grid.
+    */
+  def customerRfm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, d)
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(
+        max($"o_orderdate".cast("date")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+      .localCheckpoint()
+    val bounds = per.agg(
+      max($"last_order").as("anchor"),
+      percentile($"frequency", lit(1.0 / 3)).as("f1"),
+      percentile($"frequency", lit(2.0 / 3)).as("f2"),
+      percentile($"cents", lit(1.0 / 3)).as("m1"),
+      percentile($"cents", lit(2.0 / 3)).as("m2"))
+    val scored = per.crossJoin(broadcast(bounds))
+      .withColumn("recency_days",
+        datediff($"anchor", $"last_order").cast("long"))
+    // recency tertiles need the recency distribution, which needs the
+    // anchor — second one-row fit over the small aggregate table
+    val rb = scored.agg(
+      percentile($"recency_days", lit(1.0 / 3)).as("r1"),
+      percentile($"recency_days", lit(2.0 / 3)).as("r2"))
+    scored.crossJoin(broadcast(rb))
+      .select($"custkey", $"recency_days", $"frequency",
+        ($"cents".cast("double") / 100).as("monetary"),
+        when($"recency_days" <= $"r1", 3L)
+          .when($"recency_days" <= $"r2", 2L).otherwise(1L).as("r_score"),
+        when($"frequency" >= $"f2", 3L)
+          .when($"frequency" >= $"f1", 2L).otherwise(1L).as("f_score"),
+        when($"cents" >= $"m2", 3L)
+          .when($"cents" >= $"m1", 2L).otherwise(1L).as("m_score"))
+      .withColumn("rfm",
+        concat($"r_score".cast("string"), $"f_score".cast("string"),
+          $"m_score".cast("string")))
+  }
+
+  private def rfmOracle: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey AS custkey,
+       |    max(CAST(o_orderdate AS DATE)) AS last_order,
+       |    CAST(count(*) AS BIGINT) AS frequency,
+       |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY o_custkey),
+       |bounds AS (
+       |  SELECT max(last_order) AS anchor,
+       |    quantile_cont(frequency, 1.0 / 3) AS f1,
+       |    quantile_cont(frequency, 2.0 / 3) AS f2,
+       |    quantile_cont(cents, 1.0 / 3) AS m1,
+       |    quantile_cont(cents, 2.0 / 3) AS m2
+       |  FROM per),
+       |scored AS (
+       |  SELECT per.*, bounds.*,
+       |    CAST(date_diff('day', last_order, anchor) AS BIGINT) AS recency_days
+       |  FROM per, bounds),
+       |rb AS (
+       |  SELECT quantile_cont(recency_days, 1.0 / 3) AS r1,
+       |         quantile_cont(recency_days, 2.0 / 3) AS r2
+       |  FROM scored)
+       |SELECT custkey, recency_days, frequency,
+       |  CAST(cents AS DOUBLE) / 100 AS monetary,
+       |  CAST(CASE WHEN recency_days <= r1 THEN 3
+       |            WHEN recency_days <= r2 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+       |  CAST(CASE WHEN frequency >= f2 THEN 3
+       |            WHEN frequency >= f1 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+       |  CAST(CASE WHEN cents >= m2 THEN 3
+       |            WHEN cents >= m1 THEN 2 ELSE 1 END AS BIGINT) AS m_score,
+       |  CAST(CASE WHEN recency_days <= r1 THEN 3
+       |            WHEN recency_days <= r2 THEN 2 ELSE 1 END AS VARCHAR) ||
+       |  CAST(CASE WHEN frequency >= f2 THEN 3
+       |            WHEN frequency >= f1 THEN 2 ELSE 1 END AS VARCHAR) ||
+       |  CAST(CASE WHEN cents >= m2 THEN 3
+       |            WHEN cents >= m1 THEN 2 ELSE 1 END AS VARCHAR) AS rfm
+       |FROM scored, rb""".stripMargin
+
+  /** Market-concentration report over supplier revenue: Herfindahl–
+    * Hirschman index and the top-[[TopShare]] suppliers' revenue share,
+    * one row. HHI = Σᵢ sᵢ² needs NO ranking — it folds from the exact
+    * per-supplier cent sums (Σ cᵢ² via DECIMAL(38), ÷ (Σ cᵢ)² in
+    * double), so the concentration scalar costs one keyed aggregate at
+    * any scale; only the bounded top-k cut touches order (TakeOrdered,
+    * driver fold — the zipf discipline).
+    */
+  val TopShare = 10
+
+  def revenueConcentration(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.lineitem(spark, d)
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 100, 0)
+        .cast("long")).as("cents"))
+      .localCheckpoint()
+    val g = per.agg(
+      count(lit(1)).as("n_suppliers"),
+      sum($"cents".cast("decimal(38,0)")).as("tot"),
+      // cast BEFORE the square: the long x long product overflows at
+      // scale; decimal x long stays exact
+      sum($"cents".cast("decimal(38,0)") * $"cents").as("sq"))
+      .collect()(0)
+    val n = g.getAs[Long]("n_suppliers")
+    val tot = g.getAs[java.math.BigDecimal]("tot").doubleValue()
+    val sq = g.getAs[java.math.BigDecimal]("sq").doubleValue()
+    val topCents = per.orderBy($"cents".desc, $"l_suppkey".asc)
+      .limit(TopShare).collect().map(_.getAs[Long]("cents"))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, r6(sq / (tot * tot)),
+      r6(topCents.map(_.toDouble).sum / tot)))
+      .toDF("n_suppliers", "hhi", "top10_share")
+  }
+
+  private def concOracle: String =
+    s"""WITH per AS (
+       |  SELECT l_suppkey,
+       |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+       |                  AS BIGINT)) AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY l_suppkey),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+       |    CAST(sum(cents) AS DOUBLE) AS tot,
+       |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS sq
+       |  FROM per),
+       |topk AS (
+       |  SELECT sum(CAST(cents AS DOUBLE)) AS topc
+       |  FROM (SELECT cents FROM per
+       |        ORDER BY cents DESC, l_suppkey ASC LIMIT $TopShare))
+       |SELECT n_suppliers,
+       |  round(sq / (tot * tot), 6) + 0.0 AS hhi,
+       |  round(topc / tot, 6) + 0.0 AS top10_share
+       |FROM g, topk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ols_price_trend" -> (olsPriceTrend _),
     "source_kl_divergence" -> (sourceKl _),
-    "zipf_fit" -> (zipfFit _))
+    "zipf_fit" -> (zipfFit _),
+    "customer_rfm" -> (customerRfm _),
+    "revenue_concentration" -> (revenueConcentration _))
 
   val oracles: Map[String, String] = Map(
     "ols_price_trend" -> olsOracle,
     "source_kl_divergence" -> klOracle,
-    "zipf_fit" -> zipfOracle)
+    "zipf_fit" -> zipfOracle,
+    "customer_rfm" -> rfmOracle,
+    "revenue_concentration" -> concOracle)
 }

@@ -155,7 +155,13 @@ object StreamScale {
       // tracking USERS, not events, is the measured form of that
       // adjudication (final_vs_input here is bounded by users/events).
       runLeg("ewma_v2", e => EventStreams.ewmaStreamV2(e).toDF(),
-        OutputMode.Update(), rocksdb = true))
+        OutputMode.Update(), rocksdb = true),
+      // the drift monitor's state is ONE counter row per 6-hour window
+      // under the 1-hour watermark: bounded by the event-time horizon,
+      // independent of both volume and key cardinality — the flattest
+      // series of the five legs by construction
+      runLeg("drift_monitor", e => Drift.driftStream(e,
+        Drift.baselineOf(spark, sfDir).localCheckpoint())))
     val json = s"""{"sf":"$sfDir","chunks":$chunks,${parts.mkString(",")}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

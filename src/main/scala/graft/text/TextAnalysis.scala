@@ -196,7 +196,35 @@ object TextAnalysis {
         round(avg(-log(p)), 4).as("avg_surprise"))
   }
 
+  /** Per-document token Shannon entropy + its ln(n_types)-normalized
+    * form (1.0 = uniform usage, → 0 = one token dominating): the
+    * repetition/boilerplate quality signal complementing
+    * [[quality]]'s ratio heuristics — template spam scores low
+    * normalized entropy at any length. Two keyed exchanges ((doc,tok)
+    * counts, then the doc_id window+fold); per-doc FP terms under a
+    * 4dp round (the [[unigramLogprob]] precedent).
+    */
+  def tokenEntropy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, d)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val p = $"c".cast("double") / $"n".cast("double")
+    tf.withColumn("n", sum($"c").over(w))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_types"),
+        max($"n").as("n_tokens"),
+        sum(-(p * log(p))).as("h"))
+      .select($"doc_id", $"n_types", $"n_tokens",
+        round($"h", 4).as("entropy"),
+        round(when($"n_types" > 1, $"h" / log($"n_types".cast("double")))
+          .otherwise(lit(0.0)), 4).as("norm_entropy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (tokenEntropy _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
     "text_stats" -> (textStats _),
@@ -207,6 +235,29 @@ object TextAnalysis {
     "text_corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> '')) AS tok
+        |        FROM documents) x
+        |  GROUP BY doc_id, tok),
+        |wn AS (
+        |  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM tf)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(max(n) AS BIGINT) AS n_tokens,
+        |  round(sum(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |              ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))), 4) + 0.0
+        |    AS entropy,
+        |  round(CASE WHEN count(*) > 1
+        |        THEN sum(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |                   ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))))
+        |             / ln(CAST(count(*) AS DOUBLE))
+        |        ELSE 0e0 END, 4) + 0.0 AS norm_entropy
+        |FROM wn GROUP BY doc_id""".stripMargin,
     "text_bigram_logprob" ->
       """WITH d AS MATERIALIZED (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),

@@ -135,6 +135,7 @@ class PlanBudgetSpec extends SparkSpec {
     "heavy_hitter_tokens", // one-row total-count threshold
     "mixture_rates", // one-row corpus-total broadcast
     "source_kl_divergence", // one-row corpus-total broadcast
+    "customer_rfm", // one-row boundary broadcasts (anchor + tertiles)
     "quality_calibration", // one-row score min/max broadcast
     "mixture_sample", // inherits mixture_rates' one-row total broadcast
     "text_unigram_logprob", // one-row token-total broadcast

@@ -56,6 +56,48 @@ class StatModelsSpec extends SparkSpec {
     assert(c >= -1.0 && c < 0.0)
   }
 
+  test("customer_rfm: tertile scores populated and consistent with the string") {
+    val rows = relational.StatModels.customerRfm(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(rows.length == nCust)
+    for (dim <- Seq("r_score", "f_score", "m_score")) {
+      val counts = rows.groupBy(_.getAs[Long](dim)).view.mapValues(_.size).toMap
+      assert(counts.keySet.subsetOf(Set(1L, 2L, 3L)), s"$dim out of range")
+      // tertile banding: every class exists and none swallows the table
+      for (s <- Seq(1L, 2L, 3L)) {
+        val frac = counts.getOrElse(s, 0).toDouble / rows.length
+        assert(frac > 0.05 && frac < 0.7, s"$dim=$s fraction $frac degenerate")
+      }
+    }
+    for (r <- rows)
+      assert(r.getAs[String]("rfm") ==
+        s"${r.getAs[Long]("r_score")}${r.getAs[Long]("f_score")}${r.getAs[Long]("m_score")}")
+  }
+
+  test("revenue_concentration: HHI within bounds and equal to a naive fold") {
+    val r = relational.StatModels.revenueConcentration(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_suppliers")
+    val hhi = r.getAs[Double]("hhi")
+    val top = r.getAs[Double]("top10_share")
+    assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0)
+    assert(top > 0.0 && top <= 1.0)
+    // naive recomputation from the raw cent sums
+    val cents = Tables.lineitem(spark, sf)
+      .groupBy($"l_suppkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round(
+          $"l_extendedprice" * (org.apache.spark.sql.functions.lit(1) - $"l_discount") * 100, 0)
+          .cast("long")).as("c"))
+      .collect().map(_.getAs[Long]("c"))
+    val tot = cents.map(BigInt(_)).sum.toDouble
+    val naiveHhi = cents.map(c => (c.toDouble / tot) * (c.toDouble / tot)).sum
+    assert(math.abs(hhi - naiveHhi) < 1e-6, s"hhi $hhi vs naive $naiveHhi")
+    val naiveTop = cents.sorted.reverse.take(
+      relational.StatModels.TopShare).map(_.toDouble).sum / tot
+    assert(math.abs(top - naiveTop) < 1e-6)
+  }
+
   test("source_kl_divergence: KL >= 0 per source, all sources present") {
     val rows = relational.StatModels.sourceKl(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)
