@@ -302,7 +302,35 @@ object Multimodal {
        |      + bit_count(xor(a.ph_hi, b.ph_hi)) <= $PHashMaxHamming""".stripMargin
   }
 
+  /** Audio-style frame energy segmentation — the VAD-shaped pass an
+    * audio curation pipeline runs (frame the waveform, energy per
+    * frame, threshold into voiced/unvoiced): the payload's bytes play
+    * 8-bit samples (the ASCII fixture; real PCM changes only the
+    * sample expression), frames of [[FrameLen]] samples, energy =
+    * Σ (sample − 96)² in exact integers, voiced iff
+    * energy > [[VadAvgSq]]·n. One position explode + ONE (doc, frame)
+    * aggregate — samples never reshuffle after framing, only
+    * frame-level features move (the module's decode-early contract);
+    * all arithmetic integer-exact on both engines.
+    */
+  val FrameLen = 64L
+  val VadAvgSq = 900L
+
+  def audioEnergy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id", posexplode(split($"text", "")).as(Seq("pos", "ch")))
+      .filter($"ch" =!= "")
+      .groupBy($"doc_id", expr(s"pos div $FrameLen").as("frame_idx"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(((ascii($"ch") - 96) * (ascii($"ch") - 96)).cast("long"))
+          .as("energy"))
+      .withColumn("is_voiced", $"energy" > $"n_samples" * VadAvgSq)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio_energy" -> (audioEnergy _),
     "multimodal_meta" -> (metaQuery _),
     "multimodal_frames" -> (framesQuery _),
     "multimodal_resize" -> (resizeQuery _),
@@ -314,6 +342,21 @@ object Multimodal {
     s"$phashCtes\nSELECT doc_id, ph_lo, ph_hi FROM ph"
 
   val oracles: Map[String, String] = Map(
+    "multimodal_audio_energy" ->
+      s"""WITH samples AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, length(text) + 1),
+         |                          i -> (i - 1) // $FrameLen)) AS frame_idx,
+         |    unnest(list_transform(range(1, length(text) + 1),
+         |      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)))
+         |      AS s
+         |  FROM documents)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(sum((s - 96) * (s - 96)) AS BIGINT) AS energy,
+         |  CAST(sum((s - 96) * (s - 96)) AS BIGINT)
+         |    > CAST(count(*) AS BIGINT) * $VadAvgSq AS is_voiced
+         |FROM samples GROUP BY doc_id, frame_idx""".stripMargin,
     "multimodal_phash" -> phashTableOracle,
     "multimodal_phash_pairs" -> phashOracle,
     "multimodal_meta" ->

@@ -269,6 +269,24 @@ class SimilaritySpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("audio energy frames tile every payload exactly") {
+    val frames = Multimodal.audioEnergy(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("n_samples"), r.getAs[Long]("energy")))
+    val chars = Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((doc, fs) <- frames.groupBy(_._1)) {
+      // frames cover the payload: sum of samples == char count, full
+      // frames of FrameLen with one ragged tail, contiguous indices
+      assert(fs.map(_._3).sum == chars(doc))
+      val byIdx = fs.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq == (0L until fs.length).toSeq)
+      assert(byIdx.init.forall(_._3 == Multimodal.FrameLen))
+      assert(fs.forall(_._4 >= 0))
+    }
+  }
+
   test("phash fixture precondition: document payloads are pure ASCII (byte == code point)") {
     // The DuckDB phash oracle replays byte reads as ascii(substr(...)),
     // valid only while octet_length == char length on every payload; a
