@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[functions.SimHashAgg].getName, "simhash_agg"),
       (exprs: Seq[Expression]) => functions.SimHashAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[functions.JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => functions.JaroWinkler(exprs.head, exprs(1))))
     // Rewrite the portable aggregate(zip_with(...)) dot-product spelling
     // to the native codegen'd DotProduct (see functions.DotFusion).
     ext.injectOptimizerRule(_ => functions.DotFusion)

@@ -321,6 +321,39 @@ object Analytics {
       .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
   }
 
+  /** Jaro-Winkler record-linkage tier over the same blocked part-name
+    * dictionary as [[fuzzyPartNames]]: where that query gates on raw
+    * edit DISTANCE (typo-sized, length-sensitive), this one scores with
+    * the length-normalized prefix-boosted similarity record-linkage
+    * systems actually rank by — a 2-char deletion in a 9-char name
+    * ('cold bolt' → 'old bolt') fails dist <= 3 semantics differently
+    * than jw >= 0.85 does, so the two tiers surface different pairs.
+    * The scorer is the native codegen'd [[graft.functions.JaroWinkler]],
+    * a bit-exact twin of DuckDB's `jaro_winkler_similarity` (identical
+    * integer inputs + identical FP op order ⇒ identical doubles), so
+    * the e4-grid output needs no tolerance. Quadratic work runs on the
+    * blocked DICTIONARY (distinct names), never the base table — at
+    * 100 TB the dictionary is vocabulary-sized and the block cap
+    * bounds every bucket.
+    */
+  val MinJwE4 = 8500L
+
+  def entityMatchJw(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.JaroWinkler.register(spark)
+    val names = Tables.part(spark, d)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split($"p_name", " "), -1))
+    val a = names.select($"p_name".as("name_a"), $"n_parts".as("n_a"), $"blk")
+    val b = names.select($"p_name".as("name_b"), $"n_parts".as("n_b"), $"blk")
+    a.join(b, Seq("blk"))
+      .filter($"name_a" < $"name_b")
+      .withColumn("jw_e4",
+        round(expr("jaro_winkler(name_a, name_b)") * 10000, 0).cast("long"))
+      .filter($"jw_e4" >= MinJwE4)
+      .select($"name_a", $"name_b", $"jw_e4", $"n_a", $"n_b")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each order draws an exponential key -ln(u)/w from a content-hash
     * uniform u and its price as weight w; the global bottom-
@@ -478,6 +511,7 @@ object Analytics {
     "event_transitions" -> (eventTransitions _),
     "window_gap_fill" -> (windowGapFill _),
     "fuzzy_part_names" -> (fuzzyPartNames _),
+    "entity_match_jw" -> (entityMatchJw _),
     "weighted_sample" -> (weightedSample _),
     "basket_pairs" -> (basketPairs _),
     "event_seq_topk" -> (eventSeqTopk _))
@@ -645,6 +679,18 @@ object Analytics {
          |       a.n_parts AS n_a, b.n_parts AS n_b
          |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
          |WHERE levenshtein(a.p_name, b.p_name) <= $MaxEditDistance""".stripMargin,
+    "entity_match_jw" ->
+      s"""WITH names AS (
+         |  SELECT p_name, count(*) AS n_parts,
+         |         string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS blk
+         |  FROM part GROUP BY p_name)
+         |SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |       CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 10000, 0)
+         |            AS BIGINT) AS jw_e4,
+         |       a.n_parts AS n_a, b.n_parts AS n_b
+         |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+         |WHERE CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 10000, 0)
+         |           AS BIGINT) >= $MinJwE4""".stripMargin,
     "weighted_sample" ->
       s"""SELECT o_orderkey, o_orderpriority, o_totalprice, skey FROM (
          |  SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -973,7 +973,67 @@ object Dedup {
        |FROM r GROUP BY doc_a, doc_b, diag, isl
        |HAVING max(pos_a) - min(pos_a) + $SpanK >= $SpanMinTokens""".stripMargin
 
+  // ---- Edit-distance verified near-dup tier ----
+
+  /** Chars of normalized prefix compared / minimum edit similarity
+    * (1e4 grid) for a verified pair. Comparing fixed-width PREFIXES,
+    * not whole documents, is the scale contract: Levenshtein is
+    * O(len_a × len_b) PER PAIR, so full-document DP on arbitrary
+    * candidates is a 100 TB non-starter; a 256-char window bounds every
+    * verification at ~65k DP cells regardless of document size (the
+    * "edit similarity of the head" gate code/corpus dedup pipelines
+    * apply before any whole-document work).
+    */
+  val EditPrefixChars = 256
+  val MinEditSimE4 = 8000L
+
+  /** Edit-distance verified near-duplicate pairs: the simhash candidate
+    * set ([[simhashPairs]] — pigeonhole-COMPLETE to hamming <= 3)
+    * re-verified by exact Levenshtein over [[EditPrefixChars]]-char
+    * prefixes. edit_sim_e4 = floor(1e4 · (1 − dist/maxlen)) computed
+    * ENTIRELY in BIGINT (integer multiply + floor division) — no FP
+    * ever crosses engines. Spark and DuckDB both ship a native
+    * `levenshtein`, so the verify stays codegen'd here and the oracle
+    * replays it bit-exactly.
+    *
+    * Scale shape: candidates arrive as a bucket-capped pair stream
+    * (never a raw self-join); the verify is two doc_id-keyed joins of
+    * that (small) pair set against the one-column prefix projection —
+    * AQE broadcasts the pair side — then a per-row DP bounded by the
+    * fixed window. One extra documents scan, no new data-scale
+    * exchange beyond simhashPairs' own.
+    */
+  def editPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val prefs = Tables.documents(spark, d)
+      .select($"doc_id", substring($"text", 1, EditPrefixChars).as("p"))
+    simhashPairs(spark, d)
+      .join(prefs.select($"doc_id".as("doc_a"), $"p".as("pa")), "doc_a")
+      .join(prefs.select($"doc_id".as("doc_b"), $"p".as("pb")), "doc_b")
+      .withColumn("dist", levenshtein($"pa", $"pb").cast("long"))
+      .withColumn("mx", greatest(length($"pa"), length($"pb")).cast("long"))
+      .filter($"mx" > 0L)
+      .withColumn("edit_sim_e4", expr("(10000 * (mx - dist)) div mx"))
+      .filter($"edit_sim_e4" >= MinEditSimE4)
+      .select($"doc_a", $"doc_b", $"hamming", $"dist", $"edit_sim_e4")
+  }
+
+  private def editPairsOracle: String =
+    s"""WITH pairs AS (SELECT * FROM ($simhashOracle) sp),
+       |prefs AS (SELECT doc_id, substr(text, 1, $EditPrefixChars) AS p FROM documents),
+       |v AS (
+       |  SELECT pairs.doc_a, pairs.doc_b, pairs.hamming,
+       |         CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist,
+       |         CAST(greatest(length(a.p), length(b.p)) AS BIGINT) AS mx
+       |  FROM pairs JOIN prefs a ON pairs.doc_a = a.doc_id
+       |             JOIN prefs b ON pairs.doc_b = b.doc_id
+       |  WHERE greatest(length(a.p), length(b.p)) > 0)
+       |SELECT doc_a, doc_b, hamming, dist,
+       |       (10000 * (mx - dist)) // mx AS edit_sim_e4
+       |FROM v WHERE (10000 * (mx - dist)) // mx >= $MinEditSimE4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_pairs" -> (editPairs _),
     "dedup_exact" -> (exact _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_incremental_admit" -> (incrementalAdmission _),
@@ -986,6 +1046,7 @@ object Dedup {
     "dedup_winnow_pairs" -> (winnowPairs _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit_pairs" -> editPairsOracle,
     "dedup_span_extents" -> spanOracle,
     "dedup_span_scrub" -> spanScrubOracle,
     "dedup_prefix_jaccard" -> prefixJaccardOracle,

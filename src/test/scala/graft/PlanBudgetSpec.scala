@@ -22,6 +22,10 @@ class PlanBudgetSpec extends SparkSpec {
   private val exchangeBudget: Map[String, Int] = Map(
     // pair mining: distinct items -> orderkey join -> pair agg
     "basket_pairs" -> 3,
+    // simhash chunk-bucket group + pair distinct + the doc_id-keyed
+    // prefix join-back; the pair side is candidate-sized (bucket-capped),
+    // AQE broadcasts it at runtime
+    "dedup_edit_pairs" -> 3,
     // gram window on doc_id -> bench/train distinct -> per-doc counts
     "decontam_ngrams" -> 4,
     // (part,supp) cost agg -> partkey window -> top-100

@@ -110,6 +110,49 @@ class TextDedupSpec extends SparkSpec {
     assert(hamNear <= 16, s"near-dup hamming unexpectedly large: $hamNear")
   }
 
+  test("edit-verified pairs: exact and typo'd copies pass the gate, formula exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftedit")
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = d.filter($"doc_id" === 0).collect().head.getString(1)
+    // swap the first adjacent UNEQUAL token pair: the distinct-token set
+    // is unchanged (simhash identical -> candidate guaranteed), while the
+    // character sequence moves by a small, nonzero edit distance
+    val toks = base.split(" ")
+    val i = toks.indices.dropRight(1).find(k => toks(k) != toks(k + 1)).get
+    val typo = (toks.take(i) ++ Seq(toks(i + 1), toks(i)) ++ toks.drop(i + 2))
+      .mkString(" ")
+    d.union(Seq((100001L, base), (100002L, typo)).toDF("doc_id", "text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.editPairs(spark, tmp.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact copy: distance 0, similarity exactly 10000
+    val (_, d0, s0) = rows((0L, 100001L))
+    assert(d0 == 0L && s0 == 10000L)
+    // typo'd copy: the pair survives, and edit_sim_e4 is the exact
+    // integer floor(1e4*(mx-dist)/mx) over the 256-char prefixes
+    val prefs = Map(0L -> base.take(Dedup.EditPrefixChars),
+      100001L -> base.take(Dedup.EditPrefixChars),
+      100002L -> typo.take(Dedup.EditPrefixChars))
+    // fixture docs (e.g. 82, a natural near-dup of 0) may also pair with
+    // the planted ones; the formula check runs on planted-only pairs
+    val found = rows.keys.filter(k =>
+      (k._1 == 100002L || k._2 == 100002L) && prefs.contains(k._1) && prefs.contains(k._2))
+    assert(found.nonEmpty, s"typo near-dup not surfaced: ${rows.keys}")
+    found.foreach { case (a, b) =>
+      val (h, dist, sim) = rows((a, b))
+      assert(h <= Dedup.MaxHamming)
+      val mx = math.max(prefs(a).length, prefs(b).length).toLong
+      assert(sim == (10000L * (mx - dist)) / mx, s"grid mismatch ($a,$b)")
+    }
+    // global invariants: canonical order + both gates on every row
+    rows.foreach { case ((a, b), (h, _, sim)) =>
+      assert(a < b && h <= Dedup.MaxHamming && sim >= Dedup.MinEditSimE4)
+    }
+  }
+
   test("dedup_exact groups exact duplicates under one fingerprint") {
     val fp = Dedup.exact(spark, sf)
     assert(fp.agg(sum($"n_dups")).head.getLong(0) ==
