@@ -41,7 +41,7 @@ object SparkEntry {
       sim.Pca.queries ++
       multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ streaming.Drift.queries ++
-      relational.Skew.queries ++
+      relational.Skew.queries ++ relational.Quantiles.queries ++
       relational.Reconcile.queries ++ relational.BloomPrune.queries ++
       relational.MaterializedView.queries ++ pipeline.Curriculum.queries ++
       relational.StatAudit.queries ++ relational.StatModels.queries ++
@@ -66,7 +66,7 @@ object SparkEntry {
       sim.Pca.oracles ++
       multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ streaming.Drift.oracles ++
-      relational.Skew.oracles ++
+      relational.Skew.oracles ++ relational.Quantiles.oracles ++
       relational.Reconcile.oracles ++ relational.BloomPrune.oracles ++
       relational.MaterializedView.oracles ++ pipeline.Curriculum.oracles ++
       relational.StatAudit.oracles ++ relational.StatModels.oracles ++
