@@ -354,6 +354,75 @@ object Analytics {
       .select($"name_a", $"name_b", $"jw_e4", $"n_a", $"n_b")
   }
 
+  /** Positional multi-touch attribution — the ad-tech complement of
+    * [[graft.streaming.EventStreams.clickAttributionBatch]]'s last-touch
+    * count: every touch (view/click/signup) is assigned to the NEXT
+    * purchase of the same user in stream order within a
+    * [[AttribWindowDays]]-day lookback, then conversion credit splits
+    * across the path by two standard rules —
+    *
+    *   - linear: 1e6 div n per touch
+    *   - U-shaped: 40%/20%-split/40% (first/middles/last), with the
+    *     n=1 → 100% and n=2 → 50/50 degenerations
+    *
+    * Credit lives on the integer e6 grid (floor division both engines:
+    * Spark `div`, DuckDB `//`), so per-channel sums are BIGINT-exact —
+    * the rounding remainder is deliberately dropped, not redistributed,
+    * and the same remainder drops on both engines.
+    *
+    * Scale shape: "next purchase" is ONE descending (user, ts) window
+    * carrying the nearest following purchase backward (no interval
+    * join, no per-pair explode); path position/size is a second window
+    * keyed by the purchase; the final per-channel aggregate is
+    * 5-row-bounded. Two user-keyed exchanges total, volume-linear
+    * state, no skew quadratic (a hot user costs one sorted partition
+    * pass, the [[graft.relational.Skew]] sessionize_bucketed escape
+    * applies if a single user ever dominates a task).
+    */
+  val AttribWindowDays = 7
+  val TouchTypes = Seq("view", "click", "signup")
+
+  def attributionMultitouch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+    // stream-order scan, reversed: carry the nearest FOLLOWING purchase
+    // (ts, event_id) back onto every earlier event of the same user
+    val wDesc = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withNext = e
+      .withColumn("p_id",
+        last(when($"event_type" === "purchase", $"event_id"),
+          ignoreNulls = true).over(wDesc))
+      .withColumn("p_ts",
+        last(when($"event_type" === "purchase", $"ts"),
+          ignoreNulls = true).over(wDesc))
+    val touches = withNext
+      .filter($"event_type".isin(TouchTypes: _*))
+      .filter($"p_id".isNotNull &&
+        (unix_micros($"p_ts") - unix_micros($"ts")) <=
+          lit(AttribWindowDays * 86400L * 1000000L))
+    val wPath = Window.partitionBy($"user_id", $"p_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val credited = touches
+      .withColumn("pos", row_number().over(wPath).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"user_id", $"p_id")))
+      .withColumn("linear_e6", expr("1000000 div n"))
+      .withColumn("ushape_e6",
+        when($"n" === 1L, lit(1000000L))
+          .when($"n" === 2L, lit(500000L))
+          .when($"pos" === 1L || $"pos" === $"n", lit(400000L))
+          .otherwise(expr("200000 div (n - 2)")))
+    credited.groupBy($"event_type".as("channel"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct($"p_id").as("conversions"),
+        sum($"linear_e6").as("linear_credit_e6"),
+        sum($"ushape_e6").as("ushape_credit_e6"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each order draws an exponential key -ln(u)/w from a content-hash
     * uniform u and its price as weight w; the global bottom-
@@ -512,6 +581,7 @@ object Analytics {
     "window_gap_fill" -> (windowGapFill _),
     "fuzzy_part_names" -> (fuzzyPartNames _),
     "entity_match_jw" -> (entityMatchJw _),
+    "attribution_multitouch" -> (attributionMultitouch _),
     "weighted_sample" -> (weightedSample _),
     "basket_pairs" -> (basketPairs _),
     "event_seq_topk" -> (eventSeqTopk _))
@@ -679,6 +749,45 @@ object Analytics {
          |       a.n_parts AS n_a, b.n_parts AS n_b
          |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
          |WHERE levenshtein(a.p_name, b.p_name) <= $MaxEditDistance""".stripMargin,
+    "attribution_multitouch" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+         |  FROM events),
+         |nxt AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+         |               IGNORE NULLS) OVER w AS p_id,
+         |    last_value(CASE WHEN event_type = 'purchase' THEN ts END
+         |               IGNORE NULLS) OVER w AS p_ts
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |touches AS (
+         |  SELECT * FROM nxt
+         |  WHERE event_type IN ('view', 'click', 'signup')
+         |    AND p_id IS NOT NULL
+         |    AND epoch_us(p_ts) - epoch_us(ts)
+         |        <= ${AttribWindowDays.toLong * 86400L * 1000000L}),
+         |credited AS (
+         |  SELECT event_type, user_id, p_id,
+         |    CAST(row_number() OVER wp AS BIGINT) AS pos,
+         |    CAST(count(*) OVER (PARTITION BY user_id, p_id) AS BIGINT) AS n
+         |  FROM touches
+         |  WINDOW wp AS (PARTITION BY user_id, p_id ORDER BY ts ASC, event_id ASC)),
+         |scored AS (
+         |  SELECT event_type, p_id,
+         |    1000000 // n AS linear_e6,
+         |    CASE WHEN n = 1 THEN 1000000
+         |         WHEN n = 2 THEN 500000
+         |         WHEN pos = 1 OR pos = n THEN 400000
+         |         ELSE 200000 // (n - 2) END AS ushape_e6
+         |  FROM credited)
+         |SELECT event_type AS channel,
+         |  CAST(count(*) AS BIGINT) AS touches,
+         |  CAST(count(DISTINCT p_id) AS BIGINT) AS conversions,
+         |  CAST(sum(linear_e6) AS BIGINT) AS linear_credit_e6,
+         |  CAST(sum(ushape_e6) AS BIGINT) AS ushape_credit_e6
+         |FROM scored GROUP BY event_type""".stripMargin,
     "entity_match_jw" ->
       s"""WITH names AS (
          |  SELECT p_name, count(*) AS n_parts,

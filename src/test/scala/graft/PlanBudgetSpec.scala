@@ -26,6 +26,10 @@ class PlanBudgetSpec extends SparkSpec {
     // prefix join-back; the pair side is candidate-sized (bucket-capped),
     // AQE broadcasts it at runtime
     "dedup_edit_pairs" -> 3,
+    // user-keyed next-purchase window + (user, purchase)-keyed path
+    // window + the 5-row channel agg; both window payloads are
+    // volume-linear touch rows, never pairs
+    "attribution_multitouch" -> 3,
     // gram window on doc_id -> bench/train distinct -> per-doc counts
     "decontam_ngrams" -> 4,
     // (part,supp) cost agg -> partkey window -> top-100
