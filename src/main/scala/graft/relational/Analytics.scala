@@ -423,6 +423,61 @@ object Analytics {
         sum($"ushape_e6").as("ushape_credit_e6"))
   }
 
+  /** Ordered-sequence funnel with a time constraint (the ClickHouse
+    * `windowFunnel` shape, which plain [[funnelStages]]-style distinct
+    * counting cannot express): per user, the deepest prefix of
+    * view → click → purchase completed IN ORDER within
+    * [[FunnelWindowMicros]] of the anchoring view. Chain order is
+    * stream order ((mic, event_id) — the [[attributionMultitouch]]
+    * convention).
+    *
+    * No pattern-join explosion: step 2→3 is ONE descending per-user
+    * window carrying each click's next purchase backward; step 1→2 is
+    * ONE ascending RANGE frame (earliest click in (v, v+W]); the two
+    * meet in a (user, click-time) equi-join against the deduplicated
+    * click table. Greedy earliest-click is provably optimal here: for
+    * clicks c1 < c2 inside the window, next_purchase(c1) <=
+    * next_purchase(c2), so the earliest click maximizes the chance the
+    * purchase lands before the deadline. All comparisons are BIGINT
+    * micros — nothing FP.
+    */
+  val FunnelWindowMicros: Long = 3600L * 1000000L
+
+  def funnelWindowDepth(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("mic"),
+        $"event_type")
+    // each event's next purchase, STRICTLY later in stream order
+    val wDesc = Window.partitionBy($"user_id")
+      .orderBy($"mic".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clicks = e
+      .withColumn("next_p_mic",
+        min(when($"event_type" === "purchase", $"mic")).over(wDesc))
+      .filter($"event_type" === "click")
+      // equal-time clicks collapse to the best (earliest) next purchase
+      .groupBy($"user_id", $"mic".as("c_mic"))
+      .agg(min($"next_p_mic").as("next_p_mic"))
+    // earliest click strictly after each view, within the window
+    val wRange = Window.partitionBy($"user_id").orderBy($"mic")
+      .rangeBetween(1L, FunnelWindowMicros)
+    val views = e
+      .withColumn("c_mic",
+        min(when($"event_type" === "click", $"mic")).over(wRange))
+      .filter($"event_type" === "view")
+    val depths = views
+      .join(clicks, Seq("user_id", "c_mic"), "left")
+      .withColumn("depth",
+        when($"c_mic".isNull, 1L)
+          .when($"next_p_mic".isNull ||
+            $"next_p_mic" > $"mic" + FunnelWindowMicros, 2L)
+          .otherwise(3L))
+      .groupBy($"user_id").agg(max($"depth").as("depth"))
+    depths.groupBy($"depth").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each order draws an exponential key -ln(u)/w from a content-hash
     * uniform u and its price as weight w; the global bottom-
@@ -582,6 +637,7 @@ object Analytics {
     "fuzzy_part_names" -> (fuzzyPartNames _),
     "entity_match_jw" -> (entityMatchJw _),
     "attribution_multitouch" -> (attributionMultitouch _),
+    "funnel_window_depth" -> (funnelWindowDepth _),
     "weighted_sample" -> (weightedSample _),
     "basket_pairs" -> (basketPairs _),
     "event_seq_topk" -> (eventSeqTopk _))
@@ -749,6 +805,40 @@ object Analytics {
          |       a.n_parts AS n_a, b.n_parts AS n_b
          |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
          |WHERE levenshtein(a.p_name, b.p_name) <= $MaxEditDistance""".stripMargin,
+    "funnel_window_depth" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS mic, event_type
+         |  FROM events),
+         |np AS (
+         |  SELECT *,
+         |    min(CASE WHEN event_type = 'purchase' THEN mic END) OVER
+         |      (PARTITION BY user_id ORDER BY mic DESC, event_id DESC
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_p_mic
+         |  FROM e),
+         |clicks AS (
+         |  SELECT user_id, mic AS c_mic, min(next_p_mic) AS next_p_mic
+         |  FROM np WHERE event_type = 'click' GROUP BY 1, 2),
+         |vc AS (
+         |  SELECT user_id, mic, c_mic FROM (
+         |    SELECT user_id, mic, event_type,
+         |      min(CASE WHEN event_type = 'click' THEN mic END) OVER
+         |        (PARTITION BY user_id ORDER BY mic
+         |         RANGE BETWEEN 1 FOLLOWING AND $FunnelWindowMicros FOLLOWING)
+         |        AS c_mic
+         |    FROM e) x
+         |  WHERE event_type = 'view'),
+         |dpt AS (
+         |  SELECT vc.user_id,
+         |    CAST(max(CASE WHEN vc.c_mic IS NULL THEN 1
+         |             WHEN clicks.next_p_mic IS NULL
+         |                  OR clicks.next_p_mic > vc.mic + $FunnelWindowMicros
+         |             THEN 2 ELSE 3 END) AS BIGINT) AS depth
+         |  FROM vc LEFT JOIN clicks
+         |    ON vc.user_id = clicks.user_id AND vc.c_mic = clicks.c_mic
+         |  GROUP BY vc.user_id)
+         |SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+         |FROM dpt GROUP BY depth""".stripMargin,
     "attribution_multitouch" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type

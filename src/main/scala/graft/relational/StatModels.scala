@@ -31,6 +31,76 @@ object StatModels {
     * distributed regression: one grouped aggregate, closed form on the
     * group row. x = epoch day, y = total price on the cent grid.
     */
+  /** Robust anomaly detection by median absolute deviation — the
+    * breakdown-resistant complement of [[Analytics.anomalyZscore]]
+    * (mean/stddev are themselves dragged by the outliers they hunt;
+    * median/MAD have 50% breakdown). Per event type: median value,
+    * MAD, and the count of |v − med| > 3·MAD outliers.
+    *
+    * Scale shape — the whole operator is FREQUENCY-TABLE algebra: the
+    * raw scan collapses once onto the (type, cent) grid (domain-
+    * bounded: ≤ ~49k cells/type at ANY corpus size, map-side
+    * combined), and medians come from cumulative counts over that
+    * table — never a per-group value buffer (the exact-`percentile`
+    * OOM shape) and never a global sort. The deviation pass re-derives
+    * from the SAME checkpointed table, so events is scanned exactly
+    * once. This is the by-group twin of
+    * [[Quantiles.quantileNarrowExact]]'s whole-table narrowing.
+    *
+    * Exactness: medians are located as the two order statistics
+    * ((n−1) div 2, n div 2) in BIGINT cumulative counts; med2/mad4
+    * carry 2×/4× the cent value so interpolation stays integer; the
+    * only FP is the final single correctly-rounded /200 and /400 back
+    * to dollars (one op, identical integer inputs ⇒ identical doubles).
+    * The outlier test 2·d2 > 3·mad4 is all-integer.
+    */
+  def anomalyMad(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val freq = Tables.events(spark, d)
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
+      .groupBy($"event_type", $"c").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // domain-bounded; three consumers, one scan
+    val meds = medianFromFreq(freq).withColumnRenamed("med2", "med2")
+    val dev = freq.join(broadcast(meds), "event_type")
+      .select($"event_type", abs(lit(2L) * $"c" - $"med2").as("c"), $"cnt")
+      .groupBy($"event_type", $"c").agg(sum($"cnt").as("cnt"))
+    val mads = medianFromFreq(dev)
+      .select($"event_type", $"med2".as("mad4"))
+    freq.join(broadcast(meds), "event_type")
+      .join(broadcast(mads), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        sum($"cnt").as("n"),
+        first($"med2").as("med2"), first($"mad4").as("mad4"),
+        sum(when(lit(2L) * abs(lit(2L) * $"c" - $"med2") > lit(3L) * $"mad4",
+          $"cnt").otherwise(0L)).as("n_outliers"))
+      .select($"event_type", $"n",
+        ($"med2".cast("double") / 200).as("med"),
+        ($"mad4".cast("double") / 400).as("mad"),
+        $"n_outliers")
+  }
+
+  /** (key, n, med2) from a (event_type, c, cnt) frequency table: the
+    * two middle order statistics by cumulative count, summed (2× the
+    * interpolated median, exactly).
+    */
+  private def medianFromFreq(freq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+    val wAll = Window.partitionBy(col("event_type"))
+    freq
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("klo", expr("(n - 1) div 2"))
+      .withColumn("khi", expr("n div 2"))
+      .groupBy(col("event_type"))
+      .agg(
+        (min(when(col("cum") - col("cnt") <= col("klo") &&
+          col("klo") < col("cum"), col("c"))) +
+          min(when(col("cum") - col("cnt") <= col("khi") &&
+            col("khi") < col("cum"), col("c")))).as("med2"))
+  }
+
   def olsPriceTrend(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val obs = Tables.orders(spark, d)
@@ -381,17 +451,66 @@ object StatModels {
        |  round(topc / tot, 6) + 0.0 AS top10_share
        |FROM g, topk""".stripMargin
 
+  private def madOracle: String =
+    s"""WITH freq AS (
+       |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |m0 AS (
+       |  SELECT event_type, c, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM freq),
+       |meds AS (
+       |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    min(CASE WHEN cum - cnt <= (n - 1) // 2 AND (n - 1) // 2 < cum
+       |        THEN c END) +
+       |    min(CASE WHEN cum - cnt <= n // 2 AND n // 2 < cum THEN c END)
+       |      AS med2
+       |  FROM m0 GROUP BY 1),
+       |dev AS (
+       |  SELECT f.event_type, abs(2 * f.c - m.med2) AS c,
+       |         CAST(sum(f.cnt) AS BIGINT) AS cnt
+       |  FROM freq f JOIN meds m USING (event_type) GROUP BY 1, 2),
+       |d0 AS (
+       |  SELECT event_type, c, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM dev),
+       |mads AS (
+       |  SELECT event_type,
+       |    min(CASE WHEN cum - cnt <= (n - 1) // 2 AND (n - 1) // 2 < cum
+       |        THEN c END) +
+       |    min(CASE WHEN cum - cnt <= n // 2 AND n // 2 < cum THEN c END)
+       |      AS mad4
+       |  FROM d0 GROUP BY 1),
+       |outl AS (
+       |  SELECT f.event_type,
+       |    CAST(sum(CASE WHEN 2 * abs(2 * f.c - m.med2) > 3 * d.mad4
+       |             THEN f.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+       |  FROM freq f JOIN meds m USING (event_type)
+       |              JOIN mads d USING (event_type)
+       |  GROUP BY 1)
+       |SELECT m.event_type AS event_type, m.n AS n,
+       |       CAST(m.med2 AS DOUBLE) / 200 AS med,
+       |       CAST(d.mad4 AS DOUBLE) / 400 AS mad,
+       |       o.n_outliers AS n_outliers
+       |FROM meds m JOIN mads d USING (event_type)
+       |            JOIN outl o USING (event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ols_price_trend" -> (olsPriceTrend _),
     "source_kl_divergence" -> (sourceKl _),
     "zipf_fit" -> (zipfFit _),
     "customer_rfm" -> (customerRfm _),
-    "revenue_concentration" -> (revenueConcentration _))
+    "revenue_concentration" -> (revenueConcentration _),
+    "anomaly_mad" -> (anomalyMad _))
 
   val oracles: Map[String, String] = Map(
     "ols_price_trend" -> olsOracle,
     "source_kl_divergence" -> klOracle,
     "zipf_fit" -> zipfOracle,
     "customer_rfm" -> rfmOracle,
-    "revenue_concentration" -> concOracle)
+    "revenue_concentration" -> concOracle,
+    "anomaly_mad" -> madOracle)
 }

@@ -66,6 +66,56 @@ class AttributionSpec extends SparkSpec {
     assert(got("view") == (1L, 1L, 1000000L, 1000000L))
   }
 
+  private def runFunnel(rows: Seq[(Long, Timestamp, Long, String)]) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graftfun")
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    Analytics.funnelWindowDepth(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("funnel: in-order completion within the hour scores depth 3") {
+    val got = runFunnel(Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(10), 1L, "click"),
+      (3L, ts(20), 1L, "purchase")))
+    assert(got == Map(3L -> 1L))
+  }
+
+  test("funnel: order violations and deadline misses stop the chain") {
+    val got = runFunnel(Seq(
+      // user 2: purchase BEFORE click -> sequence broken at depth 2
+      (1L, ts(0), 2L, "view"), (2L, ts(5), 2L, "purchase"),
+      (3L, ts(10), 2L, "click"),
+      // user 3: click only 90 min after the view -> depth 1
+      (4L, Timestamp.valueOf("2024-03-01 10:00:00"), 3L, "view"),
+      (5L, Timestamp.valueOf("2024-03-01 11:30:00"), 3L, "click"),
+      (6L, Timestamp.valueOf("2024-03-01 11:31:00"), 3L, "purchase"),
+      // user 4: purchase lands 90 min after the anchoring view -> depth 2
+      (7L, Timestamp.valueOf("2024-03-02 10:00:00"), 4L, "view"),
+      (8L, Timestamp.valueOf("2024-03-02 10:30:00"), 4L, "click"),
+      (9L, Timestamp.valueOf("2024-03-02 11:30:00"), 4L, "purchase")))
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("funnel: per-user depth is the max over anchoring views") {
+    val got = runFunnel(Seq(
+      (1L, ts(0), 5L, "view"),                       // dies at depth 1
+      (2L, Timestamp.valueOf("2024-03-01 12:00:00"), 5L, "view"),
+      (3L, Timestamp.valueOf("2024-03-01 12:05:00"), 5L, "click"),
+      (4L, Timestamp.valueOf("2024-03-01 12:10:00"), 5L, "purchase")))
+    assert(got == Map(3L -> 1L))
+  }
+
+  test("funnel: greedy earliest-click is optimal (later click would miss)") {
+    // click A at +5min (purchase at +50min: in window);
+    // click B at +55min whose next purchase is the same one (before B!) —
+    // only the earliest click completes the chain
+    val got = runFunnel(Seq(
+      (1L, ts(0), 6L, "view"), (2L, ts(5), 6L, "click"),
+      (3L, ts(50), 6L, "purchase"), (4L, ts(55), 6L, "click")))
+    assert(got == Map(3L -> 1L))
+  }
+
   test("conservation: per-path credit sums differ from 1e6 only by floor remainder") {
     // a 5-touch path: linear 200000 x 5 = exactly 1e6;
     // ushape 400000 + 66666*3 + 400000 = 999998 (remainder 2 dropped)

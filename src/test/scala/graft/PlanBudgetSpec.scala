@@ -30,6 +30,15 @@ class PlanBudgetSpec extends SparkSpec {
     // window + the 5-row channel agg; both window payloads are
     // volume-linear touch rows, never pairs
     "attribution_multitouch" -> 3,
+    // one user-keyed window exchange (both funnel windows share it) +
+    // the (user, click-time) join + the per-user depth agg; payloads
+    // are volume-linear event rows
+    "funnel_window_depth" -> 3,
+    // (type, cent) frequency agg off the single raw scan, then pure
+    // frequency-table algebra: median window, deviation re-agg, its
+    // window, final fold — every post-scan payload is domain-bounded
+    // (<= ~49k cells/type at ANY corpus size), never raw rows
+    "anomaly_mad" -> 5,
     // gram window on doc_id -> bench/train distinct -> per-doc counts
     "decontam_ngrams" -> 4,
     // (part,supp) cost agg -> partkey window -> top-100

@@ -1,7 +1,10 @@
 package graft
 
+import java.sql.Timestamp
+
 /** Specs for [[relational.StatModels]]: OLS against a naive driver
-  * recomputation, KL non-negativity.
+  * recomputation, KL non-negativity, MAD against an all-integer brute
+  * force.
   */
 class StatModelsSpec extends SparkSpec {
   import spark.implicits._
@@ -96,6 +99,50 @@ class StatModelsSpec extends SparkSpec {
     val naiveTop = cents.sorted.reverse.take(
       relational.StatModels.TopShare).map(_.toDouble).sum / tot
     assert(math.abs(top - naiveTop) < 1e-6)
+  }
+
+  test("anomaly_mad == brute-force sorted median/MAD on the fixture") {
+    val got = relational.StatModels.anomalyMad(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted.toVector }
+    // all-integer brute force in the operator's own 2x/4x units
+    def med2Of(v: Vector[Long]): Long = v((v.length - 1) / 2) + v(v.length / 2)
+    raw.foreach { case (t, v) =>
+      val (n, m, mad, nOut) = got(t)
+      assert(n == v.length)
+      val med2 = med2Of(v)
+      assert(m == med2.toDouble / 200, s"$t median: got $m")
+      val d2 = v.map(c => math.abs(2 * c - med2)).sorted
+      val mad4 = med2Of(d2)
+      assert(mad == mad4.toDouble / 400, s"$t mad: got $mad")
+      val outWant = d2.count(x => 2 * x > 3 * mad4)
+      assert(nOut == outWant, s"$t outliers: got $nOut want $outWant")
+    }
+  }
+
+  test("anomaly_mad: ties and even/odd group sizes localize exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftmad")
+    // group a (odd, ties at the median), group b (even, interpolated)
+    val rows = Seq(
+      (1L, "a", 1.00), (2L, "a", 2.00), (3L, "a", 2.00), (4L, "a", 2.00),
+      (5L, "a", 90.00),
+      (6L, "b", 1.00), (7L, "b", 2.00), (8L, "b", 3.00), (9L, "b", 50.00))
+    rows.map { case (id, t, v) =>
+      (id, Timestamp.valueOf("2024-01-01 00:00:00"), id, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = relational.StatModels.anomalyMad(spark, tmp.toString).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // a: median 2.00, devs (1,0,0,0,88) -> MAD 0, outliers = any dev>0 = 2
+    assert(got("a") == (5L, 2.00, 0.00, 2L))
+    // b: median 2.50, devs (1.5,0.5,0.5,47.5) -> sorted (0.5,0.5,1.5,47.5)
+    //    MAD = (0.5+1.5)/2 = 1.0, outliers: dev > 3.0 -> only 47.5
+    assert(got("b") == (4L, 2.50, 1.00, 1L))
   }
 
   test("source_kl_divergence: KL >= 0 per source, all sources present") {
