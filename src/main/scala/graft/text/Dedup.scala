@@ -973,6 +973,96 @@ object Dedup {
        |FROM r GROUP BY doc_a, doc_b, diag, isl
        |HAVING max(pos_a) - min(pos_a) + $SpanK >= $SpanMinTokens""".stripMargin
 
+  // ---- Containment (asymmetric Jaccard) near-subset tier ----
+
+  /** k-gram width / minimum containment (1e4 grid) of the SMALLER doc. */
+  val ContainK = 3
+  val MinContainE4 = 9000L
+
+  /** Near-subset pairs by Broder CONTAINMENT |A∩B| / min(|A|,|B|) over
+    * distinct [[ContainK]]-gram sets — the asymmetric measure
+    * resemblance-Jaccard structurally misses: a short doc fully quoted
+    * inside a long one scores near 0 on J = |∩|/|∪| (the union is
+    * dominated by the long doc) but 1.0 on containment, and it is
+    * exactly the excerpt/quotation duplication a curation pipeline
+    * must catch.
+    *
+    * Shape: grams build array-native (transform over the token array —
+    * no positional window, zero exchange before the distinct); each
+    * shared distinct gram lands in EXACTLY one hash bucket, so the
+    * per-pair bucket-count IS the intersection size (bucket caps drop
+    * corpus-hot grams — the winnowing n_shared caveat, documented
+    * recall, never precision). Doc gram-set sizes ride inside the
+    * bucket structs, so no join-back pass exists. All arithmetic
+    * BIGINT: cont_e4 = (1e4·inter) div min(n_a,n_b).
+    */
+  def containmentPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val gn = Tables.documents(spark, d)
+      .select($"doc_id", TextAnalysis.toks($"text").as("t"))
+      .select($"doc_id", explode(expr(
+        s"""CASE WHEN size(t) >= $ContainK THEN
+           |  transform(sequence(1, size(t) - ${ContainK - 1}),
+           |            i -> concat_ws(' ', slice(t, i, $ContainK)))
+           |ELSE array() END""".stripMargin)).as("g"))
+      .select($"doc_id",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .withColumn("n_doc", count(lit(1)).over(wDoc))
+    gn.groupBy($"h")
+      .agg(collect_list(struct($"doc_id", $"n_doc")).as("ds"))
+      .filter(size($"ds") > 1 && size($"ds") <= MaxBucket)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(filter(ds, (y, j) -> j > i), y -> named_struct(
+          |    'doc_a', IF(x.doc_id < y.doc_id, x.doc_id, y.doc_id),
+          |    'n_a',   IF(x.doc_id < y.doc_id, x.n_doc, y.n_doc),
+          |    'doc_b', IF(x.doc_id < y.doc_id, y.doc_id, x.doc_id),
+          |    'n_b',   IF(x.doc_id < y.doc_id, y.n_doc, x.n_doc)))))""".stripMargin))
+        .as("p"))
+      .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
+        $"p.n_a".as("n_a"), $"p.n_b".as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_e4", expr("(10000 * inter) div least(n_a, n_b)"))
+      .filter($"cont_e4" >= MinContainE4)
+      .select($"doc_a", $"doc_b", $"inter", $"n_a", $"n_b", $"cont_e4")
+  }
+
+  private def containOracle: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |kg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= $ContainK THEN
+       |      list_transform(range(1, len(t) - ${ContainK - 2}),
+       |        i -> array_to_string(t[i:i+${ContainK - 1}], ' '))
+       |    ELSE [] END AS gs
+       |  FROM d0),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |         CAST('0x' || substr(md5(gv), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(gs) AS gv FROM kg) x),
+       |gn AS (
+       |  SELECT doc_id, h,
+       |         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_doc
+       |  FROM g),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY h) AS bsz FROM gn) y
+       |  WHERE bsz > 1 AND bsz <= $MaxBucket)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(count(*) AS BIGINT) AS inter,
+       |       max(a.n_doc) AS n_a, max(b.n_doc) AS n_b,
+       |       (10000 * CAST(count(*) AS BIGINT))
+       |         // least(max(a.n_doc), max(b.n_doc)) AS cont_e4
+       |FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING (10000 * CAST(count(*) AS BIGINT))
+       |         // least(max(a.n_doc), max(b.n_doc)) >= $MinContainE4""".stripMargin
+
   // ---- Edit-distance verified near-dup tier ----
 
   /** Chars of normalized prefix compared / minimum edit similarity
@@ -1033,6 +1123,7 @@ object Dedup {
        |FROM v WHERE (10000 * (mx - dist)) // mx >= $MinEditSimE4""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (containmentPairs _),
     "dedup_edit_pairs" -> (editPairs _),
     "dedup_exact" -> (exact _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
@@ -1046,6 +1137,7 @@ object Dedup {
     "dedup_winnow_pairs" -> (winnowPairs _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" -> containOracle,
     "dedup_edit_pairs" -> editPairsOracle,
     "dedup_span_extents" -> spanOracle,
     "dedup_span_scrub" -> spanScrubOracle,

@@ -26,6 +26,10 @@ class PlanBudgetSpec extends SparkSpec {
     // prefix join-back; the pair side is candidate-sized (bucket-capped),
     // AQE broadcasts it at runtime
     "dedup_edit_pairs" -> 3,
+    // distinct (doc, gram) + per-doc size window + gram-bucket group +
+    // pair agg; payloads are gram streams then bucket-capped pairs —
+    // the minhash/simhash four-stage shape, never a raw self-join
+    "dedup_containment" -> 4,
     // user-keyed next-purchase window + (user, purchase)-keyed path
     // window + the 5-row channel agg; both window payloads are
     // volume-linear touch rows, never pairs

@@ -110,6 +110,37 @@ class TextDedupSpec extends SparkSpec {
     assert(hamNear <= 16, s"near-dup hamming unexpectedly large: $hamNear")
   }
 
+  test("containment: a short excerpt of a long doc scores 1.0 where jaccard fails") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftcont")
+    // fresh vocabulary (disjoint from the fixture's) so no gram is
+    // corpus-hot: bucket caps cannot eat the planted intersection
+    val longDoc = (0 until 80).map(i => s"qq$i").mkString(" ")
+    val excerpt = (5 until 15).map(i => s"qq$i").mkString(" ") // a quote
+    val longId = 200000L
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .union(Seq((longId, longDoc), (200001L, excerpt)).toDF("doc_id", "text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.containmentPairs(spark, tmp.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val hit = rows.get((longId, 200001L))
+    assert(hit.isDefined, s"excerpt pair missing: ${rows.keys}")
+    val (inter, nA, nB, cont) = hit.get
+    // every distinct 3-gram of the excerpt also appears in the source doc
+    assert(cont == 10000L, s"containment: $cont")
+    assert(inter == math.min(nA, nB))
+    // resemblance jaccard is structurally low for the same pair
+    val jac = inter.toDouble / (nA + nB - inter)
+    assert(jac < 0.2, s"jaccard should be small for excerpt pairs, got $jac")
+    // global gate: every emitted pair clears the threshold, exact formula
+    rows.foreach { case ((a, b), (i, na, nb, c)) =>
+      assert(a < b && c >= Dedup.MinContainE4)
+      assert(c == (10000L * i) / math.min(na, nb))
+    }
+  }
+
   test("edit-verified pairs: exact and typo'd copies pass the gate, formula exact") {
     val tmp = java.nio.file.Files.createTempDirectory("graftedit")
     val d = Tables.documents(spark, sf).select("doc_id", "text")
