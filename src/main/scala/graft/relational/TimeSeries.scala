@@ -117,11 +117,152 @@ object TimeSeries {
     observed.unionByName(gaps)
   }
 
+  /** CUSUM slack (fraction of the reference level, /20 = 5%) and alarm
+    * threshold (multiples of the reference daily level).
+    */
+  val CusumSlackDiv = 20L
+
+  /** Changepoint detection by one-sided CUSUM over the daily revenue
+    * series — the drift monitor batch pipelines run on KPI series. The
+    * textbook recurrence s_i = max(0, s_{i-1} + (x_i − ref − slack)) is
+    * order-dependent and window-hostile; this uses the exact closed
+    * form s_i = C_i − min(0, min_{j≤i} C_j) (prefix sums minus running
+    * minimum), which IS two cumulative windows — no recursion, no UDF.
+    * Every term is BIGINT cents: ref = ⌊total/n⌋, slack = ⌊ref/20⌋,
+    * alarm at s > ref (one full reference-day of accumulated drift).
+    *
+    * Scale: the daily aggregate is the only data-scale exchange; the
+    * cumulative windows run over a CALENDAR-bounded series (2.4k rows
+    * per 6.5 fixture-years — bounded by time span, not corpus volume),
+    * the date_spine/zipf bounded-tail discipline.
+    */
+  def tsCusum(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("tot", sum($"cents").over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      // BIGINT floor division end to end — a double quotient would lose
+      // cents once totals pass 2^53
+      .withColumn("ref", expr("tot div nd"))
+      .withColumn("dev", $"cents" - $"ref" - expr(s"ref div $CusumSlackDiv"))
+      .withColumn("cum", sum($"dev").over(wCum))
+      .withColumn("cusum_c", $"cum" - least(lit(0L), min($"cum").over(wCum)))
+      .select($"day", ($"cents".cast("double") / 100).as("revenue"),
+        $"cusum_c", ($"cusum_c" > $"ref").as("alarm"))
+  }
+
+  /** Classical seasonal decomposition of the daily revenue series:
+    * centered 7-day moving-average trend, day-of-week seasonal index
+    * (mean of the detrended values per weekday), residual. The exact-
+    * integer discipline: trend and detrended values carry 7× the cent
+    * value (trend7 = Σ of the 7-day window — never divided until
+    * display), the per-weekday mean is the single FP division chain
+    * (s/n)/700 on identical BIGINT inputs, and residual = det/700 −
+    * seasonal reuses those exact doubles. Seasonal/residual are rounded
+    * to 6dp and −0.0-normalized (+0.0) on BOTH engines. Weekday is
+    * epoch-day mod 7 — engine-neutral, no locale/first-day conventions.
+    * Trend is null on the 3-day series edges (full windows only), as
+    * the textbook decomposition leaves it.
+    */
+  def tsSeasonalDecompose(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+      .withColumn("dow", pmod(datediff($"day", lit("1970-01-01")), lit(7)).cast("long"))
+    val w7 = Window.orderBy($"day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend7",
+        when(count(lit(1)).over(w7) === 7, sum($"cents").over(w7)))
+      .withColumn("det7", lit(7L) * $"cents" - $"trend7")
+    val wDow = Window.partitionBy($"dow")
+    trended
+      .withColumn("s_dow", sum($"det7").over(wDow))
+      .withColumn("n_dow", count($"det7").over(wDow))
+      .withColumn("seasonal",
+        round(($"s_dow".cast("double") / $"n_dow".cast("double")) / 700.0, 6)
+          + lit(0.0))
+      .withColumn("residual",
+        round($"det7".cast("double") / 700.0 -
+          (($"s_dow".cast("double") / $"n_dow".cast("double")) / 700.0), 6)
+          + lit(0.0))
+      .select($"day", ($"cents".cast("double") / 100).as("revenue"),
+        ($"trend7".cast("double") / 700).as("trend"),
+        $"dow", $"seasonal", $"residual")
+  }
+
+  private def cusumOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |base AS (
+       |  SELECT day, cents,
+       |    CAST(sum(cents) OVER () // count(*) OVER () AS BIGINT) AS ref
+       |  FROM daily),
+       |cums AS (
+       |  SELECT day, cents, ref,
+       |    CAST(sum(cents - ref - ref // $CusumSlackDiv)
+       |         OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS cum
+       |  FROM base)
+       |SELECT day, CAST(cents AS DOUBLE) / 100 AS revenue,
+       |  cum - least(CAST(0 AS BIGINT),
+       |              min(cum) OVER (ORDER BY day
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |    AS cusum_c,
+       |  (cum - least(CAST(0 AS BIGINT),
+       |               min(cum) OVER (ORDER BY day
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+       |    > ref AS alarm
+       |FROM cums""".stripMargin
+
+  private def decomposeOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+       |         CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+       |  FROM orders GROUP BY 1, 3),
+       |tr AS (
+       |  SELECT day, cents, dow,
+       |    CASE WHEN count(*) OVER w7 = 7
+       |         THEN CAST(sum(cents) OVER w7 AS BIGINT) END AS trend7
+       |  FROM daily
+       |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |det AS (
+       |  SELECT *, 7 * cents - trend7 AS det7 FROM tr),
+       |sea AS (
+       |  SELECT *,
+       |    CAST(sum(det7) OVER (PARTITION BY dow) AS BIGINT) AS s_dow,
+       |    CAST(count(det7) OVER (PARTITION BY dow) AS BIGINT) AS n_dow
+       |  FROM det)
+       |SELECT day, CAST(cents AS DOUBLE) / 100 AS revenue,
+       |  CAST(trend7 AS DOUBLE) / 700 AS trend, dow,
+       |  round((CAST(s_dow AS DOUBLE) / CAST(n_dow AS DOUBLE)) / 700.0, 6) + 0.0
+       |    AS seasonal,
+       |  round(CAST(det7 AS DOUBLE) / 700.0 -
+       |        (CAST(s_dow AS DOUBLE) / CAST(n_dow AS DOUBLE)) / 700.0, 6) + 0.0
+       |    AS residual
+       |FROM sea""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ewma_user_value" -> (ewmaUserValue _),
-    "ts_interpolate" -> (interpolateHourly _))
+    "ts_interpolate" -> (interpolateHourly _),
+    "ts_cusum" -> (tsCusum _),
+    "ts_seasonal_decompose" -> (tsSeasonalDecompose _))
 
   val oracles: Map[String, String] = Map(
+    "ts_cusum" -> cusumOracle,
+    "ts_seasonal_decompose" -> decomposeOracle,
     "ts_interpolate" ->
       """WITH obs AS (
         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

@@ -94,6 +94,68 @@ class GraphTimeSeriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("ts_cusum closed form == the textbook max(0, s+d) recurrence") {
+    val rows = relational.TimeSeries.tsCusum(spark, sf)
+      .orderBy("day").collect()
+    val cents = rows.map(r => math.round(r.getDouble(1) * 100))
+    val n = cents.length.toLong
+    val ref = cents.sum / n
+    val slack = ref / relational.TimeSeries.CusumSlackDiv
+    var s = 0L
+    rows.zip(cents).foreach { case (r, c) =>
+      s = math.max(0L, s + (c - ref - slack))
+      assert(r.getLong(2) == s, s"day ${r.getDate(0)}: got ${r.getLong(2)}, want $s")
+      assert(r.getBoolean(3) == (s > ref))
+    }
+  }
+
+  test("ts_cusum: a planted level shift alarms after the shift, never before") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftcus")
+    // 60 flat days at $100, then 30 days at $300 — the alarm must be
+    // silent through the flat prefix and latch within the shifted block
+    val rows = (0 until 90).map { i =>
+      val day = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00")
+        .toLocalDateTime.plusDays(i)
+      (i.toLong, java.sql.Timestamp.valueOf(day),
+        if (i < 60) 100.0 else 300.0)
+    }
+    rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = relational.TimeSeries.tsCusum(spark, tmp.toString)
+      .orderBy("day").collect()
+    val alarms = got.map(_.getBoolean(3))
+    assert(!alarms.take(60).exists(identity), "false alarm in the flat prefix")
+    assert(alarms.drop(60).exists(identity), "shift never alarmed")
+    // once latched in a sustained shift, it stays latched
+    val first = alarms.indexOf(true)
+    assert(alarms.drop(first).forall(identity))
+  }
+
+  test("ts_seasonal_decompose: edges null, trend exact, residual identity") {
+    val rows = relational.TimeSeries.tsSeasonalDecompose(spark, sf)
+      .orderBy("day").collect()
+    val cents = rows.map(r => math.round(r.getDouble(1) * 100))
+    // 3-day edges carry no trend; interior trend is the exact 7-day sum
+    (0 until 3).foreach { i =>
+      assert(rows(i).isNullAt(2) && rows(rows.length - 1 - i).isNullAt(2))
+    }
+    (3 until rows.length - 3).foreach { i =>
+      val t7 = (i - 3 to i + 3).map(cents(_)).sum
+      assert(rows(i).getDouble(2) == t7.toDouble / 700,
+        s"trend at $i: ${rows(i).getDouble(2)}")
+    }
+    // seasonal: one value per weekday, shared by all rows of that dow
+    val byDow = rows.filter(!_.isNullAt(4)).groupBy(_.getLong(3))
+    assert(byDow.keySet == (0L to 6L).toSet)
+    byDow.values.foreach(g => assert(g.map(_.getDouble(4)).distinct.length == 1))
+    // residual ~ det/700 - seasonal (both 6dp-rounded; check on the grid)
+    (3 until rows.length - 3).foreach { i =>
+      val det = 7L * cents(i) - (i - 3 to i + 3).map(cents(_)).sum
+      val approx = det.toDouble / 700.0 - rows(i).getDouble(4)
+      assert(math.abs(rows(i).getDouble(5) - approx) < 2e-6)
+    }
+  }
+
   test("EWMA with one event equals that event's value") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
       .toDF("user_id", "ts", "value")
