@@ -80,6 +80,36 @@ class PcaEvalSpec extends SparkSpec {
     }
   }
 
+  test("embed_silhouette: totals close, scores bounded, separated clusters score high") {
+    val rows = sim.Similarity.silhouetteEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "every vector lands in exactly one cell")
+    rows.foreach { case (cell, n, s) =>
+      assert(n > 0 && s >= -1.0 && s <= 1.0, s"cell $cell: n=$n sil=$s")
+    }
+    // planted over-clustering: two true balls under a 64-cell quantizer —
+    // every ball shatters into micro-cells whose nearest OTHER centroid
+    // sits in the same ball, so the score must report ~0 (the "k too
+    // large" diagnostic this eval exists to give), never spuriously high
+    val tmp = java.nio.file.Files.createTempDirectory("graftsil")
+    val rnd = new scala.util.Random(3)
+    val planted = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) 100.0f else -100.0f
+      (i.toLong,
+        Array.fill(64)(base + rnd.nextFloat() * 0.01f), i % 2)
+    }
+    planted.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val sep = sim.Similarity.silhouetteEval(spark, tmp.toString).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(sep.map(_._1).sum == 200)
+    val weighted = sep.map { case (n, s) => n * s }.sum / 200.0
+    assert(weighted < 0.5, s"over-clustered corpus scored $weighted — " +
+      "centroid silhouette failed to flag k >> true clusters")
+    sep.foreach { case (n, s) => assert(s >= -1.0 && s <= 1.0, s"($n, $s)") }
+  }
+
   test("embed_recall_eval: complete per-(query, method) grid with recalls in [0,1]") {
     val rows = sim.Eval.recallEval(spark, sf).collect()
     assert(rows.length == 2 * sim.Similarity.NumQueries)

@@ -151,6 +151,7 @@ class PlanBudgetSpec extends SparkSpec {
     "embed_knn_rerank", // probe-code constant (the quantized shape)
     "embed_knn_rp", // probe-sketch constant (the knn shape)
     "embed_knn_pq", // probe-vector constant (the knn shape)
+    "embed_silhouette", // broadcast 64-row fitted-centroid table
     "embed_triplets", // probe-vector constant (the knn shape)
     "cms_dataflow_estimates", // inherits heavy_hitter's one-row threshold
     "heavy_hitter_tokens", // one-row total-count threshold
