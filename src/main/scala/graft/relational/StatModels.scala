@@ -431,6 +431,133 @@ object StatModels {
       .toDF("n_suppliers", "hhi", "top10_share")
   }
 
+  /** Theil–Sen robust trend of daily revenue: the median of all
+    * pairwise slopes (x = epoch day, y = daily cents), with the
+    * companion robust intercept = median of (y_i − slope·x_i). The
+    * 29.3%-breakdown complement of [[olsPriceTrend]]'s least squares
+    * (one wild day drags OLS; the slope median shrugs), closing the
+    * robust-statistics tier: MAD for location/spread ([[anomalyMad]]),
+    * Theil–Sen for trend.
+    *
+    * Exactness: slopes live on the e6 grid via explicit FLOOR division
+    * (slope_e6 = ⌊1e6·Δcents/Δdays⌋ — Spark `div` truncates toward
+    * zero while DuckDB `//` floors negatives differently, so the floor
+    * is spelled `(a − pmod(a, b)) div b` / `(a − ((a % b) + b) % b)
+    * // b`, the [[TimeSeries.interpolateHourly]] convention); the
+    * median is two order statistics in BIGINT cumulative counts (med2
+    * carries 2× the value, the [[anomalyMad]] spelling); residuals are
+    * computed in DECIMAL(38,0)/HUGEINT (1e6·y at the 100× corpus
+    * brushes int64). The only FP is the final /2e6 display division of
+    * identical exact integers.
+    *
+    * Scale shape: the daily aggregate is the only data-scale exchange.
+    * The O(d²) pair set and the single-partition cumulative-count
+    * windows are CALENDAR-bounded (2.4k days → ≤2.9M pairs per 6.5
+    * fixture-years at ANY corpus size — bounded by time span, not
+    * volume, the [[tsAutocorr]]/date_spine discipline); the slope
+    * scalar broadcasts back for the residual pass.
+    */
+  def theilsenTrend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val daily = Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+      .select(
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long").as("x"),
+        $"cents".as("y"))
+      .localCheckpoint() // calendar-bounded; pair + residual consumers
+
+    // median (2x) of a single-group BIGINT frequency table, the
+    // anomalyMad cumulative-count spelling without the group key
+    def med2Of(freq: DataFrame, v: String, cnt: String): DataFrame = {
+      val wc = Window.orderBy(col(v))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      freq
+        .withColumn("cum", sum(col(cnt)).over(wc))
+        .withColumn("n", sum(col(cnt)).over(wAll))
+        .withColumn("klo", expr("(n - 1) div 2"))
+        .withColumn("khi", expr("n div 2"))
+        .agg(
+          max(col("n")).as("n"),
+          (min(when(col("cum") - col(cnt) <= col("klo") &&
+            col("klo") < col("cum"), col(v))) +
+            min(when(col("cum") - col(cnt) <= col("khi") &&
+              col("khi") < col("cum"), col(v)))).as("med2"))
+    }
+
+    val slopes = daily.as("a")
+      .join(broadcast(daily.as("b")), $"a.x" > $"b.x")
+      .select(
+        (($"a.y" - $"b.y") * 1000000L).as("a2"),
+        ($"a.x" - $"b.x").as("b2"))
+      .select(expr("(a2 - pmod(a2, b2)) div b2").as("s"))
+      .groupBy($"s").agg(count(lit(1)).as("cnt"))
+    val slopeMed = med2Of(slopes, "s", "cnt")
+      .select($"n".as("n_pairs"), $"med2".as("slope_med2"))
+
+    val resid = daily.crossJoin(broadcast(slopeMed))
+      .select(
+        ($"y".cast("decimal(38,0)") * 2000000L -
+          $"slope_med2".cast("decimal(38,0)") * $"x").as("r"))
+      .groupBy($"r").agg(count(lit(1)).as("cnt"))
+    val interceptMed = med2Of(resid, "r", "cnt")
+      .select($"n".as("n_days"), $"med2".as("r_med2"))
+
+    slopeMed.crossJoin(broadcast(interceptMed))
+      .select($"n_days", $"n_pairs",
+        ($"slope_med2".cast("double") / 2000000.0).as("slope"),
+        // r carries 2x(1e6 y) and med2 doubles again -> /4e6 cents
+        ($"r_med2".cast("double") / 4000000.0).as("intercept_cents"))
+  }
+
+  private def theilsenOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+      |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |sl AS (
+      |  SELECT (a2 - ((a2 % b2) + b2) % b2) // b2 AS s,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT (a.y - b.y) * 1000000 AS a2, a.x - b.x AS b2
+      |        FROM daily a JOIN daily b ON a.x > b.x)
+      |  GROUP BY 1),
+      |sl0 AS (
+      |  SELECT s, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY s) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |  FROM sl),
+      |smed AS (
+      |  SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+      |    min(CASE WHEN cum - cnt <= (n - 1) // 2 AND (n - 1) // 2 < cum
+      |        THEN s END) +
+      |    min(CASE WHEN cum - cnt <= n // 2 AND n // 2 < cum THEN s END)
+      |      AS slope_med2
+      |  FROM sl0),
+      |res AS (
+      |  SELECT CAST(d.y AS HUGEINT) * 2000000
+      |           - CAST(m.slope_med2 AS HUGEINT) * d.x AS r,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM daily d, smed m GROUP BY 1),
+      |r0 AS (
+      |  SELECT r, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY r) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |  FROM res),
+      |rmed AS (
+      |  SELECT CAST(max(n) AS BIGINT) AS n_days,
+      |    min(CASE WHEN cum - cnt <= (n - 1) // 2 AND (n - 1) // 2 < cum
+      |        THEN r END) +
+      |    min(CASE WHEN cum - cnt <= n // 2 AND n // 2 < cum THEN r END)
+      |      AS r_med2
+      |  FROM r0)
+      |SELECT rmed.n_days AS n_days, smed.n_pairs AS n_pairs,
+      |  CAST(slope_med2 AS DOUBLE) / 2000000.0 AS slope,
+      |  CAST(r_med2 AS DOUBLE) / 4000000.0 AS intercept_cents
+      |FROM smed, rmed""".stripMargin
+
   private def concOracle: String =
     s"""WITH per AS (
        |  SELECT l_suppkey,
@@ -504,6 +631,7 @@ object StatModels {
     "zipf_fit" -> (zipfFit _),
     "customer_rfm" -> (customerRfm _),
     "revenue_concentration" -> (revenueConcentration _),
+    "theilsen_trend" -> (theilsenTrend _),
     "anomaly_mad" -> (anomalyMad _))
 
   val oracles: Map[String, String] = Map(
@@ -512,5 +640,6 @@ object StatModels {
     "zipf_fit" -> zipfOracle,
     "customer_rfm" -> rfmOracle,
     "revenue_concentration" -> concOracle,
+    "theilsen_trend" -> theilsenOracle,
     "anomaly_mad" -> madOracle)
 }

@@ -200,6 +200,58 @@ object TimeSeries {
         $"dow", $"seasonal", $"residual")
   }
 
+  /** Maximum ACF lag, in days. */
+  val AcfMaxLag = 14
+
+  /** Autocorrelation function of the daily revenue series at lags
+    * 1..[[AcfMaxLag]] — the seasonality detector that motivates
+    * [[tsSeasonalDecompose]]'s 7-day period (a weekly cycle shows as an
+    * ACF peak at lag 7), and the standard diagnostic before fitting any
+    * forecasting model. Standard biased estimator: r_k = Σ_t
+    * (x_t−x̄)(x_{t−k}−x̄) / Σ_t (x_t−x̄)², full-series mean and
+    * denominator.
+    *
+    * Exactness: mean-centering is exact via the n-scaling trick — dev_t
+    * = n·x_t − T is BIGINT (no FP mean), and both numerator and
+    * denominator carry the same n² factor, which cancels in the ratio.
+    * dev products reach ~10³⁰ at the 100× corpus, so they multiply and
+    * sum in DECIMAL(38,0) / HUGEINT (the [[StatModels.olsPriceTrend]]
+    * discipline); the single FP step is one division of identical
+    * correctly-rounded doubles, 6dp-rounded and −0.0-normalized.
+    *
+    * Scale shape: the only data-scale exchange is the daily aggregate;
+    * lag pairing is a self-join of the CALENDAR-bounded series (2.4k
+    * rows per 6.5 fixture-years — bounded by time span, not corpus
+    * volume) on a 14-day date band, broadcast on the lagged side, so
+    * the pairing is O(days·maxLag) regardless of corpus size.
+    */
+  def tsAutocorr(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val devs = Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+      .withColumn("dev",
+        count(lit(1)).over(wAll) * $"cents" - sum($"cents").over(wAll))
+      .select($"day", $"dev")
+      .localCheckpoint() // calendar-bounded; three consumers, one fan-out
+    val den = devs.agg(
+      sum($"dev".cast("decimal(38,0)") * $"dev").as("den"))
+    val pairs = devs.as("a")
+      .join(broadcast(devs.as("b")),
+        datediff($"a.day", $"b.day").between(1, AcfMaxLag))
+      .groupBy(datediff($"a.day", $"b.day").cast("long").as("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum($"a.dev".cast("decimal(38,0)") * $"b.dev").as("num"))
+    pairs.crossJoin(broadcast(den))
+      .select($"lag", $"n_pairs",
+        (round($"num".cast("double") / $"den".cast("double"), 6) + lit(0.0))
+          .as("acf"))
+  }
+
   private def cusumOracle: String =
     s"""WITH daily AS (
        |  SELECT CAST(o_orderdate AS DATE) AS day,
@@ -254,14 +306,38 @@ object TimeSeries {
        |    AS residual
        |FROM sea""".stripMargin
 
+  private def autocorrOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |devs AS (
+       |  SELECT day,
+       |    CAST(count(*) OVER () AS BIGINT) * cents
+       |      - CAST(sum(cents) OVER () AS BIGINT) AS dev
+       |  FROM daily),
+       |den AS (SELECT sum(CAST(dev AS HUGEINT) * dev) AS den FROM devs),
+       |pairs AS (
+       |  SELECT CAST(a.day - b.day AS BIGINT) AS lag,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    sum(CAST(a.dev AS HUGEINT) * b.dev) AS num
+       |  FROM devs a JOIN devs b
+       |    ON a.day - b.day BETWEEN 1 AND $AcfMaxLag
+       |  GROUP BY 1)
+       |SELECT lag, n_pairs,
+       |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS acf
+       |FROM pairs, den""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ewma_user_value" -> (ewmaUserValue _),
     "ts_interpolate" -> (interpolateHourly _),
     "ts_cusum" -> (tsCusum _),
+    "ts_autocorr" -> (tsAutocorr _),
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _))
 
   val oracles: Map[String, String] = Map(
     "ts_cusum" -> cusumOracle,
+    "ts_autocorr" -> autocorrOracle,
     "ts_seasonal_decompose" -> decomposeOracle,
     "ts_interpolate" ->
       """WITH obs AS (

@@ -156,6 +156,52 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_autocorr == naive BigInt centered products, |acf| <= 1") {
+    val rows = relational.TimeSeries.tsAutocorr(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag")).sorted.toSeq ==
+      (1L to relational.TimeSeries.AcfMaxLag).toSeq)
+    val daily = Tables.orders(spark, sf)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        r.getAs[Long]("cents")).toMap
+    val n = BigInt(daily.size)
+    val tot = daily.values.map(BigInt(_)).sum
+    val dev = daily.view.mapValues(c => n * c - tot).toMap
+    val den = dev.values.map(d => d * d).sum
+    for (r <- rows) {
+      val k = r.getAs[Long]("lag")
+      val pairs = dev.keys.filter(d => dev.contains(d - k)).toSeq
+      assert(r.getAs[Long]("n_pairs") == pairs.length)
+      val num = pairs.map(d => dev(d) * dev(d - k)).sum
+      val want = BigDecimal(BigDecimal(num).toDouble / BigDecimal(den).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getAs[Double]("acf") == want, s"lag $k: ${r.getAs[Double]("acf")} vs $want")
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("ts_autocorr: a planted period-2 series alternates sign by lag parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftacf")
+    // 64 days strictly alternating $100/$300: acf is strongly negative
+    // at odd lags and strongly positive at even lags
+    val rows = (0 until 64).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2024, 3, 1).plusDays(i).atStartOfDay()),
+        if (i % 2 == 0) 100.0 else 300.0)
+    }
+    rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = relational.TimeSeries.tsAutocorr(spark, tmp.toString).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    (1L to relational.TimeSeries.AcfMaxLag).foreach { k =>
+      if (k % 2 == 1) assert(got(k) < -0.75, s"odd lag $k: ${got(k)}")
+      else assert(got(k) > 0.75, s"even lag $k: ${got(k)}")
+    }
+  }
+
   test("EWMA with one event equals that event's value") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
       .toDF("user_id", "ts", "value")

@@ -145,6 +145,59 @@ class StatModelsSpec extends SparkSpec {
     assert(got("b") == (4L, 2.50, 1.00, 1L))
   }
 
+  test("theilsen_trend == naive BigInt pairwise-slope median") {
+    val r = relational.StatModels.theilsenTrend(spark, sf).collect()(0)
+    val daily = Tables.orders(spark, sf)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round($"o_totalprice" * 100, 0)
+          .cast("long")).as("cents"))
+      .collect()
+      .map(row => (row.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        row.getAs[Long]("cents")))
+      .sortBy(_._1)
+    def fdiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b
+      if (a % b != 0 && ((a < 0) != (b < 0))) q - 1 else q
+    }
+    def med2Of(v: Seq[BigInt]): BigInt = {
+      val s = v.sorted
+      s((s.length - 1) / 2) + s(s.length / 2)
+    }
+    val slopes = for {
+      i <- daily.indices; j <- 0 until i
+    } yield fdiv(BigInt(daily(i)._2 - daily(j)._2) * 1000000,
+      BigInt(daily(i)._1 - daily(j)._1))
+    val slopeMed2 = med2Of(slopes)
+    assert(r.getAs[Long]("n_days") == daily.length)
+    assert(r.getAs[Long]("n_pairs") == slopes.length)
+    assert(r.getAs[Double]("slope") == slopeMed2.toDouble / 2000000.0)
+    val resid = daily.map { case (x, y) =>
+      BigInt(y) * 2000000 - slopeMed2 * BigInt(x)
+    }
+    assert(r.getAs[Double]("intercept_cents") ==
+      med2Of(resid).toDouble / 4000000.0)
+  }
+
+  test("theilsen_trend: planted linear trend survives a wild outlier day") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftts")
+    // y = 1000 + 7 cents/day on 31 days, one day blasted 100x: OLS
+    // slope would move by ~2 cents/day; the slope median must not
+    val rows = (0 until 31).map { i =>
+      val day = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      val cents = if (i == 15) 10000000L else 100000L + 7L * i
+      (i.toLong, 1L, "O", cents / 100.0, day, "1-URGENT", "c", 0L, "x")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority", "o_comment")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = relational.StatModels.theilsenTrend(spark, tmp.toString).collect()(0)
+    assert(r.getAs[Long]("n_days") == 31)
+    assert(r.getAs[Long]("n_pairs") == 31L * 30 / 2)
+    assert(r.getAs[Double]("slope") == 7.0,
+      s"slope ${r.getAs[Double]("slope")} dragged off the planted 7 cents/day")
+  }
+
   test("source_kl_divergence: KL >= 0 per source, all sources present") {
     val rows = relational.StatModels.sourceKl(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)
