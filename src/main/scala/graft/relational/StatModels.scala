@@ -513,6 +513,130 @@ object StatModels {
         ($"r_med2".cast("double") / 4000000.0).as("intercept_cents"))
   }
 
+  /** Number of bootstrap resamples. */
+  val BootB = 64
+
+  /** Cumulative Poisson(1) CDF thresholds c_k = e⁻¹·Σ_{j≤k} 1/j!,
+    * k = 0..5 (P(m > 5) ≈ 6e-4 collapses to m = 6). Computed once and
+    * the SAME doubles drive both engines — the Spark side via `lit`,
+    * the oracle via shortest-round-trip literals with an `e0` suffix
+    * (scientific notation parses as DOUBLE in both engines; a bare
+    * 17-digit decimal literal would go through DECIMAL and could land
+    * one ulp off).
+    */
+  private lazy val bootThresholds: Seq[Double] = {
+    var term = 1.0
+    var cum = 0.0
+    (0 to 5).map { k =>
+      if (k > 0) term /= k
+      cum += term
+      cum * math.exp(-1.0)
+    }
+  }
+
+  /** Poisson bootstrap of the mean order value (cents): the
+    * uncertainty quantification every corpus-level point estimate
+    * should ship with, in the only bootstrap shape that works at
+    * 100 TB. Classical resampling draws n rows WITH replacement per
+    * resample — a global shuffle per replicate; the Poisson bootstrap
+    * (multinomial ≈ independent Poisson(1) multipliers, exact as
+    * n → ∞) instead gives every row an i.i.d. multiplier PER RESAMPLE,
+    * so all [[BootB]] replicates fold in ONE narrow scan with map-side
+    * partial aggregation down to B group rows — no data shuffle at any
+    * corpus size, the [[graft.pipeline.Curation.stratifiedSample]]
+    * derandomization applied to inference.
+    *
+    * Determinism: the multiplier is the Poisson(1) inverse CDF of
+    * u = md5(o_orderkey ':' b)/2⁶⁰ — the catalog's hash-uniform draw,
+    * rerun-stable on both engines. Per-resample sums Σm·c, Σm are
+    * BIGINT-exact; mean_b is one division of identical exact integers;
+    * the 95% CI bounds are order statistics of the B=64 resample means
+    * (ranks 2 and 62), located by row_number over a B-row bounded
+    * table — no data-scale sort anywhere.
+    */
+  def bootstrapCi(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, d)
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+    val point = o.agg(
+      count(lit(1)).as("n_orders"), sum($"cents").as("tot"))
+    val draws = o
+      .select($"o_orderkey", $"cents",
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u",
+        expr("conv(substring(md5(concat(cast(o_orderkey AS string), ':', " +
+          "cast(b AS string))), 1, 15), 16, 10)")
+          .cast("double") / lit(1152921504606846976e0))
+      .withColumn("m",
+        bootThresholds.zipWithIndex.foldRight(lit(6L)) {
+          case ((c, k), rest) => when($"u" < lit(c), k.toLong).otherwise(rest)
+        })
+    val means = draws.groupBy($"b")
+      .agg(sum($"m" * $"cents").as("wc"), sum($"m").as("wn"))
+      .select($"b", ($"wc".cast("double") / $"wn".cast("double")).as("mean_b"))
+    val rnW = Window.orderBy($"mean_b", $"b")
+    val loRank = (BootB - 1) * 25 / 1000 + 1
+    val hiRank = (BootB - 1) * 975 / 1000 + 1
+    val ci = means.withColumn("rn", row_number().over(rnW))
+      .agg(
+        count(lit(1)).as("n_resamples"),
+        max(when($"rn" === loRank, $"mean_b")).as("lo"),
+        max(when($"rn" === hiRank, $"mean_b")).as("hi"))
+    point.crossJoin(broadcast(ci)).select(
+      $"n_orders", $"n_resamples",
+      (round($"tot".cast("double") / $"n_orders".cast("double"), 4) +
+        lit(0.0)).as("mean_cents"),
+      (round($"lo", 4) + lit(0.0)).as("ci_lo_cents"),
+      (round($"hi", 4) + lit(0.0)).as("ci_hi_cents"))
+  }
+
+  private def bootstrapOracle: String = {
+    val cases = bootThresholds.zipWithIndex
+      .map { case (c, k) => s"WHEN u < ${c}e0 THEN $k" }
+      .mkString(" ")
+    val loRank = (BootB - 1) * 25 / 1000 + 1
+    val hiRank = (BootB - 1) * 975 / 1000 + 1
+    s"""WITH o AS (
+       |  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |pt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       |         CAST(sum(cents) AS BIGINT) AS tot
+       |  FROM o),
+       |draws AS (
+       |  SELECT b, cents,
+       |    CASE $cases ELSE 6 END AS m
+       |  FROM (
+       |    SELECT b.b, o.cents,
+       |      CAST(CAST(CONCAT('0x',
+       |        substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':' ||
+       |                   CAST(b.b AS VARCHAR)), 1, 15))
+       |        AS BIGINT) AS DOUBLE) / 1152921504606846976e0 AS u
+       |    FROM o CROSS JOIN
+       |      (SELECT unnest(generate_series(0, ${BootB - 1})) AS b) b)),
+       |means AS (
+       |  SELECT b,
+       |    CAST(CAST(sum(m * cents) AS BIGINT) AS DOUBLE)
+       |      / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) AS mean_b
+       |  FROM draws GROUP BY b),
+       |ranked AS (
+       |  SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn
+       |  FROM means),
+       |ci AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+       |    max(CASE WHEN rn = $loRank THEN mean_b END) AS lo,
+       |    max(CASE WHEN rn = $hiRank THEN mean_b END) AS hi
+       |  FROM ranked)
+       |SELECT n_orders, n_resamples,
+       |  round(CAST(tot AS DOUBLE) / CAST(n_orders AS DOUBLE), 4) + 0.0
+       |    AS mean_cents,
+       |  round(lo, 4) + 0.0 AS ci_lo_cents,
+       |  round(hi, 4) + 0.0 AS ci_hi_cents
+       |FROM pt, ci""".stripMargin
+  }
+
   private def theilsenOracle: String =
     """WITH daily AS (
       |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
@@ -632,6 +756,7 @@ object StatModels {
     "customer_rfm" -> (customerRfm _),
     "revenue_concentration" -> (revenueConcentration _),
     "theilsen_trend" -> (theilsenTrend _),
+    "bootstrap_ci" -> (bootstrapCi _),
     "anomaly_mad" -> (anomalyMad _))
 
   val oracles: Map[String, String] = Map(
@@ -641,5 +766,6 @@ object StatModels {
     "customer_rfm" -> rfmOracle,
     "revenue_concentration" -> concOracle,
     "theilsen_trend" -> theilsenOracle,
+    "bootstrap_ci" -> bootstrapOracle,
     "anomaly_mad" -> madOracle)
 }

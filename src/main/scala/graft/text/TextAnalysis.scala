@@ -223,7 +223,44 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 4).as("norm_entropy"))
   }
 
+  /** Flesch reading-ease + Flesch–Kincaid grade level per document —
+    * the classic readability gate of a text-quality stack (too-high
+    * grade ≈ legalese/boilerplate, too-low ≈ fragment spam), one tier
+    * above [[quality]]'s ratio heuristics. Heuristic counters, stated
+    * plainly: sentences = terminal-punctuation marks ([.!?], min 1),
+    * syllables = vowel-run groups ([aeiouy]+ on the lowercased text) —
+    * the standard dictionary-free approximation; real syllabification
+    * swaps the regex, not the dataflow.
+    *
+    * Exactness: all three counters are exact integers (identical
+    * regexes under Java and RE2 semantics for these literal classes);
+    * the two score formulas are FP over identical doubles in identical
+    * op order, 4dp-rounded and −0.0-normalized. Pure narrow map — zero
+    * exchanges, whole-stage codegen, linear in input splits.
+    */
+  def readability(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, d).select(
+      $"doc_id",
+      greatest(lit(1L), size(toks($"text")).cast("long")).as("w"),
+      greatest(lit(1L),
+        size(expr("regexp_extract_all(text, '[.!?]', 0)")).cast("long"))
+        .as("s"),
+      size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long").as("syl"))
+    val wps = $"w".cast("double") / $"s".cast("double")
+    val spw = $"syl".cast("double") / $"w".cast("double")
+    counts.select(
+      $"doc_id", $"w".as("n_words"), $"s".as("n_sentences"),
+      $"syl".as("n_syllables"),
+      (round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4) +
+        lit(0.0)).as("flesch"),
+      (round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4) +
+        lit(0.0)).as("fk_grade"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (readability _),
     "text_entropy" -> (tokenEntropy _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
@@ -235,6 +272,22 @@ object TextAnalysis {
     "text_corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "text_readability" ->
+      """SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+        |  round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |               - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+        |    + 0.0 AS flesch,
+        |  round(0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |        + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59, 4)
+        |    + 0.0 AS fk_grade
+        |FROM (SELECT doc_id,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> x <> '')) AS BIGINT)) AS w,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)) AS s,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+        |  FROM documents) c""".stripMargin,
     "text_entropy" ->
       """WITH tf AS (
         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c

@@ -198,6 +198,49 @@ class StatModelsSpec extends SparkSpec {
       s"slope ${r.getAs[Double]("slope")} dragged off the planted 7 cents/day")
   }
 
+  test("bootstrap_ci == driver md5 replay; CI brackets the point estimate") {
+    val r = relational.StatModels.bootstrapCi(spark, sf).collect()(0)
+    val B = relational.StatModels.BootB
+    assert(r.getAs[Long]("n_resamples") == B)
+    val orders = Tables.orders(spark, sf)
+      .select($"o_orderkey",
+        org.apache.spark.sql.functions.round($"o_totalprice" * 100, 0)
+          .cast("long"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    // exact replay of the hash-Poisson draw: first 15 md5 hex digits / 2^60
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(key: Long, b: Int): Double = {
+      val hex = md.digest(s"$key:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976e0
+    }
+    val e1 = math.exp(-1.0)
+    val thr = {
+      var t = 1.0; var c = 0.0
+      (0 to 5).map { k => if (k > 0) t /= k; c += t; c * e1 }
+    }
+    def mult(uu: Double): Long =
+      thr.indexWhere(uu < _) match { case -1 => 6L; case k => k.toLong }
+    val means = (0 until B).map { b =>
+      var wc = 0L; var wn = 0L
+      orders.foreach { case (k, c) =>
+        val m = mult(u(k, b)); wc += m * c; wn += m
+      }
+      (b, wc.toDouble / wn.toDouble)
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lo = r4(sorted((B - 1) * 25 / 1000))
+    val hi = r4(sorted((B - 1) * 975 / 1000))
+    assert(r.getAs[Double]("ci_lo_cents") == lo,
+      s"lo ${r.getAs[Double]("ci_lo_cents")} vs replay $lo")
+    assert(r.getAs[Double]("ci_hi_cents") == hi)
+    val mean = r.getAs[Double]("mean_cents")
+    assert(lo < mean && mean < hi, s"CI [$lo,$hi] must bracket $mean")
+    assert(r.getAs[Long]("n_orders") == orders.length)
+  }
+
   test("source_kl_divergence: KL >= 0 per source, all sources present") {
     val rows = relational.StatModels.sourceKl(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)

@@ -524,6 +524,54 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L) == (0L, 0L, 0.0), "gram-less doc reports zeros")
   }
 
+  test("readability: planted doc counts exact, monosyllabic text maxes flesch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftread")
+    Seq(
+      // 6 words, 2 sentences, syllable groups: he-llo wo-rld how are you to-day
+      // -> e-o o-(rld? 'world' = 'o') ... counted by [aeiouy]+ runs
+      (1L, "Hello world. How are you today?", "en", "web", 31L),
+      (2L, "go go go", "en", "web", 8L), // 3 words 1 sentence 3 syl-groups
+      (3L, "", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.readability(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    // doc 1: vowel runs lowercased — e,o / o / o / a,e / ou / o,a
+    val (w1, s1, syl1, fl1, fk1) = got(1L)
+    assert((w1, s1, syl1) == (6L, 2L, 9L), s"doc1 counters ${got(1L)}")
+    def flesch(w: Long, s: Long, syl: Long) =
+      206.835 - 1.015 * (w.toDouble / s) - 84.6 * (syl.toDouble / w)
+    def fk(w: Long, s: Long, syl: Long) =
+      0.39 * (w.toDouble / s) + 11.8 * (syl.toDouble / w) - 15.59
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fl1 == r4(flesch(6, 2, 9)) && fk1 == r4(fk(6, 2, 9)))
+    // doc 2: one syllable per word -> near the top of the flesch scale
+    val (w2, s2, syl2, fl2, _) = got(2L)
+    assert((w2, s2, syl2) == (3L, 1L, 3L))
+    assert(fl2 == r4(flesch(3, 1, 3)) && fl2 > 115.0)
+    // doc 3: empty text clamps to the (1,1,0) floor, no NaN/Inf
+    val (w3, s3, syl3, fl3, fk3) = got(3L)
+    assert((w3, s3, syl3) == (1L, 1L, 0L))
+    assert(!fl3.isNaN && !fl3.isInfinite && !fk3.isNaN)
+  }
+
+  test("readability == naive Java-regex recomputation on the fixture corpus") {
+    val got = TextAnalysis.readability(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val w = math.max(1, text.split("\\s+").count(_.nonEmpty)).toLong
+      val s = math.max(1, "[.!?]".r.findAllIn(text).length).toLong
+      val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      assert(got(id) == ((w, s, syl)), s"doc $id: ${got(id)} vs ($w,$s,$syl)")
+    }
+  }
+
   test("token stats: ttr in (0,1], bpe count >= whitespace token count") {
     val st = TextAnalysis.textStats(spark, sf).collect()
     st.foreach { r =>
