@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -298,13 +299,103 @@ object Graph {
        |SELECT doc AS doc_id, CAST(min(d) AS BIGINT) AS hops
        |FROM walk GROUP BY doc""".stripMargin
 
+  /** Power-iteration steps for the stationary distribution. */
+  val MarkovIters = 16
+
+  /** Stationary distribution of the user-journey Markov chain: π such
+    * that πP = π over the event-type transition matrix
+    * ([[Analytics.eventTransitions]]' P), by [[MarkovIters]] power-
+    * iteration steps from the uniform start — "where does a user
+    * timeline spend its time in the long run", the chain-level summary
+    * one tier above per-edge transition probabilities.
+    *
+    * Cross-engine exactness WITHOUT convergence arguments: the entire
+    * iteration runs on an e6 fixed-point integer grid — p6 =
+    * ⌊1e6·cnt/tot⌋ per edge, each step v'(t) = Σ_s ⌊v(s)·p6(s,t)/1e6⌋
+    * — so both engines compute IDENTICAL BIGINTs at every step and the
+    * hash match is exact by construction whether or not 16 steps have
+    * mixed (all quantities nonnegative, so `div` and `//` agree). The
+    * floor remainders leak ≤1e-6 mass per edge per step; π is reported
+    * both raw (pi_e6) and normalized.
+    *
+    * Scale shape: ONE data-scale exchange builds the transition counts
+    * (the user-window lead); everything after runs on the
+    * domain-bounded k×k matrix (k = event types), checkpointed once —
+    * the iteration is k-row joins regardless of corpus size, the
+    * [[pagerankNations]] bounded-iteration discipline. The oracle
+    * replays the identical unrolled iteration (the
+    * [[graft.sim.Fusion]] embed_mmr unrolled-greedy convention).
+    */
+  def markovStationary(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = Window.partitionBy($"from_type")
+    val tr = graft.Tables.events(spark, d)
+      .withColumn("to_type", lead($"event_type", 1).over(wu))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum($"cnt").over(wf))
+      .select($"from_type", $"to_type",
+        expr("(cnt * 1000000) div tot").as("p6"))
+      .localCheckpoint() // k x k bounded; 16 iteration consumers
+    val types = tr.select($"from_type".as("t"))
+      .union(tr.select($"to_type".as("t"))).distinct().localCheckpoint()
+    val nT = types.agg(count(lit(1)).as("n"))
+    var v = types.crossJoin(broadcast(nT))
+      .select($"t", expr("1000000 div n").cast("long").as("v"))
+    for (_ <- 1 to MarkovIters) {
+      v = v.join(tr, v("t") === tr("from_type"))
+        .groupBy($"to_type")
+        .agg(sum(expr("(v * p6) div 1000000")).as("v"))
+        .select($"to_type".as("t"), $"v")
+    }
+    v.crossJoin(broadcast(v.agg(sum($"v").as("vt"))))
+      .select($"t".as("event_type"), $"v".as("pi_e6"),
+        (round($"v".cast("double") / $"vt".cast("double"), 6) + lit(0.0))
+          .as("pi"))
+  }
+
+  private def markovOracle: String = {
+    val steps = (1 to MarkovIters).map { i =>
+      s"""v$i AS (
+         |  SELECT tr.to_type AS t,
+         |    CAST(sum((v${i - 1}.v * tr.p6) // 1000000) AS BIGINT) AS v
+         |  FROM v${i - 1} JOIN tr ON v${i - 1}.t = tr.from_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS to_type
+       |  FROM events),
+       |tr AS (
+       |  SELECT from_type, to_type,
+       |    (CAST(count(*) AS BIGINT) * 1000000)
+       |      // CAST(sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT)
+       |      AS p6
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |types AS (SELECT from_type AS t FROM tr UNION SELECT to_type FROM tr),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM types),
+       |v0 AS (SELECT t, CAST(1000000 // (SELECT n FROM n) AS BIGINT) AS v
+       |       FROM types),
+       |$steps
+       |SELECT t AS event_type, v AS pi_e6,
+       |  round(CAST(v AS DOUBLE)
+       |        / CAST((SELECT CAST(sum(v) AS BIGINT) FROM v$MarkovIters)
+       |               AS DOUBLE), 6) + 0.0 AS pi
+       |FROM v$MarkovIters""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> (triangles _),
     "graph_pagerank_nations" -> (pagerankNations _),
+    "graph_markov_stationary" -> (markovStationary _),
     "graph_reach_hops" -> (reachHops _))
 
   val oracles: Map[String, String] = Map(
     "graph_triangles" -> trianglesOracle,
     "graph_pagerank_nations" -> pagerankOracle,
+    "graph_markov_stationary" -> markovOracle,
     "graph_reach_hops" -> reachOracle)
 }

@@ -156,6 +156,50 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("markov_stationary pi_e6 == exact Long replay of the e6 iteration") {
+    val got = relational.Graph.markovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver replay: lead-derived transition counts, then the identical
+    // fixed-point iteration in Long arithmetic
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val trans = evs.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq
+    val cnt = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val p6 = cnt.map { case ((f, t), c) => (f, t) -> c * 1000000L / tot(f) }
+    val types = (cnt.keys.map(_._1) ++ cnt.keys.map(_._2)).toSet.toSeq.sorted
+    var v: Map[String, Long] = types.map(_ -> 1000000L / types.size).toMap
+    (1 to relational.Graph.MarkovIters).foreach { _ =>
+      v = p6.groupBy(_._1._2).map { case (t, edges) =>
+        t -> edges.map { case ((f, _), p) => v.getOrElse(f, 0L) * p / 1000000L }.sum
+      }
+    }
+    assert(got == v, s"got $got want $v")
+  }
+
+  test("markov_stationary: planted 2-state chain converges to (1/3, 2/3)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftmkv")
+    // 100 two-event users: 50 A->B, 25 B->A, 25 B->B
+    // => P(A->B)=1, P(B->A)=P(B->B)=1/2, stationary pi = (1/3, 2/3)
+    val rows = (0 until 100).flatMap { u =>
+      val (e1, e2) =
+        if (u < 50) ("A", "B") else if (u < 75) ("B", "A") else ("B", "B")
+      Seq(
+        (u * 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u.toLong, e1, 1.0),
+        (u * 2L + 1, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), u.toLong, e2, 1.0))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = relational.Graph.markovStationary(spark, tmp.toString).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got("A") - 1.0 / 3) < 1e-3, s"A: ${got("A")}")
+    assert(math.abs(got("B") - 2.0 / 3) < 1e-3, s"B: ${got("B")}")
+  }
+
   test("ts_autocorr == naive BigInt centered products, |acf| <= 1") {
     val rows = relational.TimeSeries.tsAutocorr(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("lag")).sorted.toSeq ==
