@@ -43,6 +43,16 @@ class PlanBudgetSpec extends SparkSpec {
     // window, final fold — every post-scan payload is domain-bounded
     // (<= ~49k cells/type at ANY corpus size), never raw rows
     "anomaly_mad" -> 5,
+    // daily agg (data-scale) + slope-freq agg + residual-freq agg; both
+    // frequency exchanges carry calendar-bounded pair/day payloads
+    "theilsen_trend" -> 3,
+    // daily agg + 16 k-row iteration aggs + the type-union distinct:
+    // every post-scan exchange moves <= k (event-type count) rows, the
+    // pagerank bounded-iteration shape — structural, not data-scale
+    "graph_markov_stationary" -> 34,
+    // orders agg + 64-row resample agg + the rank window's single
+    // partition (64 rows) + final fold
+    "bootstrap_ci" -> 4,
     // gram window on doc_id -> bench/train distinct -> per-doc counts
     "decontam_ngrams" -> 4,
     // (part,supp) cost agg -> partkey window -> top-100
@@ -166,6 +176,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q11_important_parts", // one-row global total
     "q22_wealthy_inactive", // one-row avg-balance scalar
     "range_join_tiers", // 3-row tier table
+    "ts_autocorr", // calendar-bounded daily series band self-join + 1-row den
+    "theilsen_trend", // calendar-bounded pair join + 1-row slope/intercept
+    "bootstrap_ci", // one-row point-estimate x one-row CI broadcast
+    "graph_markov_stationary", // k-row vector x one-row total broadcast
     "tfidf_topk") // one-row corpus doc count
 
   test("decontam_embed is a ZERO-exchange narrow scan (the MaxCosine contract)") {
