@@ -138,9 +138,81 @@ object Classifier {
         sum(when($"pred" === $"y", 1L).otherwise(0L)).as("n_correct"))
   }
 
+  /** Number of PR-curve threshold steps (interior equal-width cuts). */
+  val PrSteps = 19
+
+  /** Precision–recall sweep for the fitted discriminant: TP/FP/FN at
+    * [[PrSteps]] equal-width score thresholds between the observed
+    * min/max (same 1-row bounds broadcast and integer bin arithmetic
+    * as [[qualityCalibration]] — a rank-based sweep would need the
+    * banned global sort), plus precision/recall/F1. The curve a filter
+    * deployment reads to pick its operating point, one tier above the
+    * calibration table's fixed sign threshold.
+    *
+    * Shape: the scored stream crosses the bounded threshold list by
+    * explode (CPU-only ×19 amplification), then ONE partial+final
+    * aggregate onto 19 group rows — no data-scale shuffle. All counts
+    * are exact integers; the three ratios are single divisions of
+    * identical exact integers, 6dp-rounded, −0.0-safe (all
+    * nonnegative).
+    */
+  def prCurve(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val scored = qualityClassifier(spark, d)
+    val bounds = scored.agg(min($"score").as("mn"), max($"score").as("mx"))
+    scored.crossJoin(broadcast(bounds))
+      .select($"y", $"score", $"mn", $"mx",
+        explode(sequence(lit(1L), lit(PrSteps.toLong))).as("j"))
+      .select($"y", $"score", $"j",
+        ($"mn" + expr("(j * (mx - mn + 1)) div " + (PrSteps + 1))).as("thr"))
+      .groupBy($"j", $"thr")
+      .agg(
+        sum(when($"score" >= $"thr" && $"y" === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when($"score" >= $"thr" && $"y" === -1L, 1L).otherwise(0L)).as("fp"),
+        sum(when($"score" < $"thr" && $"y" === 1L, 1L).otherwise(0L)).as("fn"))
+      .select($"j", $"thr", $"tp", $"fp", $"fn",
+        round($"tp".cast("double") /
+          greatest($"tp" + $"fp", lit(1L)).cast("double"), 6).as("precision"),
+        round($"tp".cast("double") /
+          greatest($"tp" + $"fn", lit(1L)).cast("double"), 6).as("recall"),
+        round(lit(2.0) * $"tp".cast("double") /
+          greatest(lit(2L) * $"tp" + $"fp" + $"fn", lit(1L)).cast("double"), 6)
+          .as("f1"))
+  }
+
+  /** Cohen's kappa between the learned prediction and the heuristic
+    * label — chance-corrected agreement, the honest "is the classifier
+    * actually learning the rule" scalar (raw accuracy flatters any
+    * imbalanced gate; kappa does not). κ = (p_o − p_e)/(1 − p_e) with
+    * p_o, p_e computed as single divisions of the exact 2×2 confusion
+    * counts from ONE corpus aggregate (identical FP op order both
+    * engines; counts would overflow int64 squared, so the marginals
+    * divide before multiplying).
+    */
+  def kappa(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = qualityClassifier(spark, d).agg(
+      count(lit(1)).as("n"),
+      sum(when($"pred" === 1L && $"y" === 1L, 1L).otherwise(0L)).as("tp"),
+      sum(when($"pred" === 1L && $"y" === -1L, 1L).otherwise(0L)).as("fp"),
+      sum(when($"pred" === -1L && $"y" === 1L, 1L).otherwise(0L)).as("fn"),
+      sum(when($"pred" === -1L && $"y" === -1L, 1L).otherwise(0L)).as("tn"))
+    val nD = $"n".cast("double")
+    val po = ($"tp" + $"tn").cast("double") / nD
+    val pe = (($"tp" + $"fp").cast("double") / nD) *
+      (($"tp" + $"fn").cast("double") / nD) +
+      (($"fn" + $"tn").cast("double") / nD) *
+        (($"fp" + $"tn").cast("double") / nD)
+    c.select($"n", $"tp", $"fp", $"fn", $"tn",
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      (round((po - pe) / (lit(1.0) - pe), 6) + lit(0.0)).as("kappa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> (qualityClassifier _),
     "quality_gated_sample" -> (qualityGatedSample _),
+    "classifier_pr_curve" -> (prCurve _),
+    "classifier_kappa" -> (kappa _),
     "quality_calibration" -> (qualityCalibration _))
 
   /** The classifier fit as a reusable CTE block (feature CTE → 1-row
@@ -226,6 +298,68 @@ object Classifier {
          |  CAST(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
          |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
          |FROM scored, bounds GROUP BY 1""".stripMargin,
+    "classifier_pr_curve" ->
+      s"""WITH $fitCtes,
+         |scored AS (
+         |  SELECT doc_id, y, $scoreExpr AS score FROM f, mu),
+         |bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+         |thr AS (
+         |  SELECT j, mn + (j * (mx - mn + 1)) // ${PrSteps + 1} AS thr
+         |  FROM bounds,
+         |    (SELECT CAST(unnest(generate_series(1, $PrSteps)) AS BIGINT) AS j))
+         |SELECT j, thr,
+         |  CAST(sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN score >= thr AND y = -1 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN score < thr AND y = 1 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS fn,
+         |  round(CAST(sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END)
+         |             AS DOUBLE)
+         |        / CAST(greatest(sum(CASE WHEN score >= thr THEN 1 ELSE 0 END),
+         |                        1) AS DOUBLE), 6) AS precision,
+         |  round(CAST(sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END)
+         |             AS DOUBLE)
+         |        / CAST(greatest(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END),
+         |                        1) AS DOUBLE), 6) AS recall,
+         |  round(2.0 * CAST(sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END)
+         |              AS DOUBLE)
+         |        / CAST(greatest(2 * sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END)
+         |                        + sum(CASE WHEN score >= thr AND y = -1 THEN 1 ELSE 0 END)
+         |                        + sum(CASE WHEN score < thr AND y = 1 THEN 1 ELSE 0 END),
+         |                        1) AS DOUBLE), 6) AS f1
+         |FROM scored, thr GROUP BY j, thr""".stripMargin,
+    "classifier_kappa" ->
+      s"""WITH $fitCtes,
+         |scored AS (
+         |  SELECT y,
+         |    CAST(CASE WHEN $scoreExpr > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |  FROM f, mu),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred = 1 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN pred = -1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN pred = -1 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM scored)
+         |SELECT n, tp, fp, fn, tn,
+         |  round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         |  round((CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST(tp + fn AS DOUBLE) / CAST(n AS DOUBLE))
+         |        + (CAST(fn + tn AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST(fp + tn AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS pe,
+         |  round((CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE)
+         |         - ((CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE))
+         |              * (CAST(tp + fn AS DOUBLE) / CAST(n AS DOUBLE))
+         |            + (CAST(fn + tn AS DOUBLE) / CAST(n AS DOUBLE))
+         |              * (CAST(fp + tn AS DOUBLE) / CAST(n AS DOUBLE))))
+         |        / (1.0
+         |           - ((CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE))
+         |                * (CAST(tp + fn AS DOUBLE) / CAST(n AS DOUBLE))
+         |              + (CAST(fn + tn AS DOUBLE) / CAST(n AS DOUBLE))
+         |                * (CAST(fp + tn AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+         |    + 0.0 AS kappa
+         |FROM c""".stripMargin,
     "quality_gated_sample" ->
       s"""WITH $fitCtes,
          |src AS (

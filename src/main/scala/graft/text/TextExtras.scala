@@ -182,14 +182,74 @@ object TextExtras {
           .otherwise($"n_shared".cast("double") / $"n_grams").as("overlap_ratio"))
   }
 
+  /** Pairwise vocabulary Jaccard between sources — the corpus-level
+    * diversity diagnostic behind mixture decisions: two sources whose
+    * vocabularies nearly coincide add less than their token counts
+    * suggest (and a near-1 overlap flags a mislabeled/duplicated
+    * source). Exact set arithmetic, no sketches: the distinct
+    * (source, token) table joins itself on token with source_a <
+    * source_b, so each shared type contributes exactly one pair row
+    * and the per-pair count IS |V_a ∩ V_b|; union sizes come from the
+    * bounded per-source type counts (broadcast back).
+    *
+    * Scale shape: one (source, token) distinct exchange (vocab-bounded
+    * payload — types, not occurrences) + the token-keyed self-join
+    * whose per-token fan-out is capped by C(n_sources, 2) — a few
+    * hundred rows per type at ANY corpus size, never quadratic in
+    * data. The [[gramOverlap]] df-join discipline lifted from docs to
+    * sources.
+    */
+  def sourceVocabOverlap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val st = Tables.documents(spark, d)
+      .select($"source", explode(TextAnalysis.toks($"text")).as("tok"))
+      .distinct()
+      .localCheckpoint() // vocab-bounded; pair + size consumers
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("v"))
+    val inter = st.as("a")
+      .join(st.as("b"),
+        $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"v".as("va"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select($"source".as("src_b"), $"v".as("vb"))),
+        Seq("src_b"))
+      .select($"src_a", $"src_b", $"va", $"vb", $"inter",
+        round($"inter".cast("double") /
+          ($"va" + $"vb" - $"inter").cast("double"), 6).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_topk" -> (ngramTopk _),
     "text_repetition" -> (repetition _),
     "text_chunks" -> (chunks _),
     "text_gram_overlap" -> (gramOverlap _),
+    "source_vocab_overlap" -> (sourceVocabOverlap _),
     "text_pii_redact" -> (piiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "source_vocab_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, tok
+        |  FROM (SELECT source,
+        |          unnest(list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> '')) AS tok
+        |        FROM documents)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+        |          FROM st GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS inter
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, sa.v AS va, sb.v AS vb, i.inter,
+        |  round(CAST(i.inter AS DOUBLE)
+        |        / CAST(sa.v + sb.v - i.inter AS DOUBLE), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.source = i.src_a
+        |JOIN sizes sb ON sb.source = i.src_b""".stripMargin,
     "text_gram_overlap" ->
       s"""WITH d0 AS (
          |  SELECT doc_id,

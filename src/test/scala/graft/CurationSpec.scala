@@ -87,6 +87,55 @@ class CurationSpec extends SparkSpec {
       "per-bin correct counts must sum to global accuracy count")
   }
 
+  test("pr_curve: recall monotone in threshold, counts tie out to the scorer") {
+    val rows = graft.pipeline.Classifier.prCurve(spark, sf)
+      .orderBy("j").collect()
+    assert(rows.length == graft.pipeline.Classifier.PrSteps)
+    val scored = graft.pipeline.Classifier.qualityClassifier(spark, sf).collect()
+    val nPos = scored.count(_.getLong(1) == 1L)
+    rows.foreach { r =>
+      // tp + fn is the label-positive count at EVERY threshold
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == nPos)
+      val (p, rec, f1) = (r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"), r.getAs[Double]("f1"))
+      assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1 && f1 >= 0 && f1 <= 1)
+    }
+    // raising the threshold can only shrink the accepted set
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("tp") <= a.getAs[Long]("tp"))
+      assert(b.getAs[Double]("recall") <= a.getAs[Double]("recall"))
+      assert(b.getAs[Long]("tp") + b.getAs[Long]("fp") <=
+        a.getAs[Long]("tp") + a.getAs[Long]("fp"))
+    }
+    // per-threshold counts replay exactly against the scored corpus
+    rows.foreach { r =>
+      val thr = r.getAs[Long]("thr")
+      val tp = scored.count(s => s.getLong(2) >= thr && s.getLong(1) == 1L)
+      val fp = scored.count(s => s.getLong(2) >= thr && s.getLong(1) == -1L)
+      assert(r.getAs[Long]("tp") == tp && r.getAs[Long]("fp") == fp)
+    }
+  }
+
+  test("kappa == naive confusion-matrix recomputation, bounded by accuracy") {
+    val r = graft.pipeline.Classifier.kappa(spark, sf).collect()(0)
+    val scored = graft.pipeline.Classifier.qualityClassifier(spark, sf).collect()
+      .map(s => (s.getLong(1), s.getLong(3)))
+    val n = scored.length.toDouble
+    val tp = scored.count { case (y, p) => y == 1 && p == 1 }
+    val fp = scored.count { case (y, p) => y == -1 && p == 1 }
+    val fn = scored.count { case (y, p) => y == 1 && p == -1 }
+    val tn = scored.count { case (y, p) => y == -1 && p == -1 }
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) == ((tp, fp, fn, tn)))
+    val po = (tp + tn) / n
+    val pe = ((tp + fp) / n) * ((tp + fn) / n) + ((fn + tn) / n) * ((fp + tn) / n)
+    val want = BigDecimal((po - pe) / (1 - pe))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("kappa") == want)
+    assert(r.getAs[Double]("kappa") > 0.5,
+      "classifier should beat chance agreement decisively on the fixture")
+  }
+
   test("quality classifier fit is rerun-exact (scores bit-identical across runs)") {
     val a = graft.pipeline.Classifier.qualityClassifier(spark, sf)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))

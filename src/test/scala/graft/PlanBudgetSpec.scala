@@ -53,6 +53,9 @@ class PlanBudgetSpec extends SparkSpec {
     // orders agg + 64-row resample agg + the rank window's single
     // partition (64 rows) + final fold
     "bootstrap_ci" -> 4,
+    // (source, token) distinct + the token-keyed self-join + pair agg;
+    // every payload is vocabulary-bounded (types, not occurrences)
+    "source_vocab_overlap" -> 3,
     // gram window on doc_id -> bench/train distinct -> per-doc counts
     "decontam_ngrams" -> 4,
     // (part,supp) cost agg -> partkey window -> top-100
@@ -169,6 +172,7 @@ class PlanBudgetSpec extends SparkSpec {
     "source_kl_divergence", // one-row corpus-total broadcast
     "customer_rfm", // one-row boundary broadcasts (anchor + tertiles)
     "quality_calibration", // one-row score min/max broadcast
+    "classifier_pr_curve", // the calibration one-row bounds broadcast
     "mixture_sample", // inherits mixture_rates' one-row total broadcast
     "text_unigram_logprob", // one-row token-total broadcast
     "text_phrase_detect", // one-row corpus-total broadcast

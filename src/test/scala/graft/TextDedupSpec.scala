@@ -1,6 +1,6 @@
 package graft
 
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Dedup, TextAnalysis, TextExtras}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the text-analysis and dedup operators. The oracled
@@ -569,6 +569,40 @@ class TextDedupSpec extends SparkSpec {
       val s = math.max(1, "[.!?]".r.findAllIn(text).length).toLong
       val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
       assert(got(id) == ((w, s, syl)), s"doc $id: ${got(id)} vs ($w,$s,$syl)")
+    }
+  }
+
+  test("source_vocab_overlap: planted vocabularies score exact Jaccard; disjoint pairs absent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftvocab")
+    Seq(
+      (1L, "a b c d", "en", "A", 7L),
+      (2L, "c d e f", "en", "B", 7L),
+      (3L, "x y", "en", "C", 3L),
+      (4L, "d c", "en", "B", 3L)) // duplicates distinct away within B
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextExtras.sourceVocabOverlap(spark, tmp.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // |A|=4 |B|=4, inter {c,d} -> J = 2/6
+    assert(got(("A", "B")) == ((4L, 4L, 2L, 0.333333)))
+    // C shares nothing: the pair never materializes (inner join contract)
+    assert(!got.contains(("A", "C")) && !got.contains(("B", "C")))
+    assert(got.size == 1)
+  }
+
+  test("source_vocab_overlap == naive per-source set intersection on the fixture") {
+    val got = TextExtras.sourceVocabOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val vocab = Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(_.getString(1).split("\\s+")).filter(_.nonEmpty).toSet)
+      .toMap
+    for (((a, b), inter) <- got) {
+      assert(a < b)
+      assert(inter == (vocab(a) & vocab(b)).size.toLong,
+        s"($a,$b): $inter vs ${(vocab(a) & vocab(b)).size}")
     }
   }
 
