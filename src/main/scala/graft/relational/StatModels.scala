@@ -513,6 +513,77 @@ object StatModels {
         ($"r_med2".cast("double") / 4000000.0).as("intercept_cents"))
   }
 
+  /** Gini coefficient of customer revenue — the inequality scalar
+    * beside [[revenueConcentration]]'s HHI (HHI says "how dominated by
+    * the top", Gini says "how unequal overall"; training-data curation
+    * reads the same pair over source token counts). Formula
+    * G = (2·Σᵢ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending-sorted values
+    * — but computed WITHOUT any global sort: per-customer cent sums
+    * collapse onto the cent-value frequency grid, ranks come from
+    * cumulative counts over that (value-bounded) table, and the rank
+    * sum for a tied value c with count k starting after m rows is
+    * Σ_{i=m+1..m+k} i·c = c·(k·m + k(k+1)/2) — all exact integers,
+    * DECIMAL(38,0)/HUGEINT where products pass int64. The two FP
+    * divisions at the end run on identical correctly-rounded doubles.
+    *
+    * Scale shape: the per-customer aggregate is the only data-scale
+    * exchange; the frequency table is bounded by the distinct cent
+    * values, and its cumulative window is the [[anomalyMad]]
+    * frequency-algebra discipline.
+    */
+  def revenueGini(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, d)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+    val freq = per.groupBy($"cents").agg(count(lit(1)).as("k"))
+    val wc = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    freq
+      .withColumn("m", sum($"k").over(wc) - $"k")
+      .select(
+        $"k", $"cents",
+        // rank-weighted sum for this tie block, exactly
+        ($"cents".cast("decimal(38,0)") *
+          ($"k" * $"m" + expr("(k * (k + 1)) div 2"))).as("rw"))
+      .agg(
+        sum($"k").as("n"),
+        sum($"cents".cast("decimal(38,0)") * $"k").as("tot"),
+        sum($"rw").as("rwsum"))
+      .select($"n",
+        ($"tot".cast("double") / lit(100.0)).as("total_revenue"),
+        (round(
+          lit(2.0) * $"rwsum".cast("double") /
+            ($"n".cast("double") * $"tot".cast("double")) -
+            ($"n" + 1L).cast("double") / $"n".cast("double"), 6) + lit(0.0))
+          .as("gini"))
+  }
+
+  private def giniOracle: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |freq AS (
+      |  SELECT cents, CAST(count(*) AS BIGINT) AS k FROM per GROUP BY 1),
+      |cum AS (
+      |  SELECT cents, k,
+      |    CAST(sum(k) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - k AS m
+      |  FROM freq),
+      |g AS (
+      |  SELECT CAST(sum(k) AS BIGINT) AS n,
+      |    sum(CAST(cents AS HUGEINT) * k) AS tot,
+      |    sum(CAST(cents AS HUGEINT) * (k * m + (k * (k + 1)) // 2)) AS rwsum
+      |  FROM cum)
+      |SELECT n,
+      |  CAST(tot AS DOUBLE) / 100.0 AS total_revenue,
+      |  round(2.0 * CAST(rwsum AS DOUBLE)
+      |          / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+      |        - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS gini
+      |FROM g""".stripMargin
+
   /** Number of bootstrap resamples. */
   val BootB = 64
 
@@ -757,6 +828,7 @@ object StatModels {
     "revenue_concentration" -> (revenueConcentration _),
     "theilsen_trend" -> (theilsenTrend _),
     "bootstrap_ci" -> (bootstrapCi _),
+    "revenue_gini" -> (revenueGini _),
     "anomaly_mad" -> (anomalyMad _))
 
   val oracles: Map[String, String] = Map(
@@ -767,5 +839,6 @@ object StatModels {
     "revenue_concentration" -> concOracle,
     "theilsen_trend" -> theilsenOracle,
     "bootstrap_ci" -> bootstrapOracle,
+    "revenue_gini" -> giniOracle,
     "anomaly_mad" -> madOracle)
 }

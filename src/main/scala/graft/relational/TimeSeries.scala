@@ -252,6 +252,98 @@ object TimeSeries {
           .as("acf"))
   }
 
+  /** Haar levels in the wavelet spectrum: level ℓ contrasts adjacent
+    * 2^(ℓ−1)-day half-blocks, so ℓ=1 is day-to-day and ℓ=8 contrasts
+    * 128-day halves of 256-day blocks.
+    */
+  val WaveletLevels = 8
+
+  /** Haar wavelet variance spectrum of daily revenue: per level ℓ, the
+    * energy Σ_b d²(ℓ,b) of the unnormalized detail coefficients
+    * d(ℓ,b) = Σ(first half of block b) − Σ(second half) — "where does
+    * the variance live, by timescale". A weekly cycle concentrates
+    * energy at ℓ=2..3, a trend at the top levels; the multi-resolution
+    * companion of [[tsAutocorr]] (which localizes by lag, this by
+    * scale).
+    *
+    * No recursion: the Haar detail at level ℓ only needs block and
+    * half-block indices, so ONE pass over (idx, cents) × the 8-row
+    * level table computes every coefficient directly — day index from
+    * a 1-row min-day broadcast, block = idx div 2^ℓ, sign by the
+    * half-block parity. Missing days contribute nothing (implicit
+    * zero-imputation) and the ragged final block is the standard
+    * zero-padded tail — both deterministic. All coefficients are
+    * BIGINT cent sums; squares accumulate in DECIMAL(38,0)/HUGEINT.
+    *
+    * Output discipline: level energies exceed int64 (cents², ~10²⁰ at
+    * sf0.01 alone), and a >2⁶³ integer's conversion to double is NOT
+    * guaranteed to round identically across engines (observed 1-ulp
+    * divergence at level 6; and Spark's `div` on DECIMAL(38,0)
+    * silently overflows through long, verified, so no exact integer
+    * rescale exists either). The energy therefore ships LOSSLESS as
+    * the decimal string, and the cross-level comparison ships as an
+    * exact rank over the 8-row spectrum (decimal comparison is exact)
+    * — nothing in the output ever converts a >2⁵³ integer to FP.
+    *
+    * Scale shape: the daily aggregate is the only data-scale exchange;
+    * the coefficient table is calendar-bounded × 8 levels.
+    */
+  def tsWaveletSpectrum(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+    val d0 = daily.agg(min($"day").as("d0"))
+    val levels = (1 to WaveletLevels)
+      .map(l => (l.toLong, 1L << l, 1L << (l - 1)))
+      .toDF("level", "bs", "hs")
+    val det = daily.crossJoin(broadcast(d0))
+      .select(datediff($"day", $"d0").cast("long").as("i"), $"cents")
+      .crossJoin(broadcast(levels))
+      .select($"level",
+        expr("i div bs").as("b"),
+        when(expr("(i div hs) % 2") === 0L, $"cents")
+          .otherwise(-$"cents").as("sc"))
+      .groupBy($"level", $"b")
+      .agg(sum($"sc").as("dc"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy($"energy".desc, $"level")
+    det.groupBy($"level")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum($"dc".cast("decimal(38,0)") * $"dc").as("energy"))
+      .withColumn("energy_rank", row_number().over(wRank).cast("long"))
+      .select($"level", $"n_blocks",
+        $"energy".cast("string").as("energy"), $"energy_rank")
+  }
+
+  private def waveletOracle: String = {
+    val levelRows = (1 to WaveletLevels)
+      .map(l => s"(${l}, ${1L << l}, ${1L << (l - 1)})").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT min(day) AS d0 FROM daily),
+       |lv(level, bs, hs) AS (VALUES $levelRows),
+       |det AS (
+       |  SELECT CAST(level AS BIGINT) AS level, i // bs AS b,
+       |    CAST(sum(CASE WHEN (i // hs) % 2 = 0 THEN cents ELSE -cents END)
+       |         AS BIGINT) AS dc
+       |  FROM (SELECT CAST(day - (SELECT d0 FROM m) AS BIGINT) AS i, cents
+       |        FROM daily), lv
+       |  GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT level, CAST(count(*) AS BIGINT) AS n_blocks,
+       |         sum(CAST(dc AS HUGEINT) * dc) AS energy
+       |  FROM det GROUP BY 1)
+       |SELECT level, n_blocks,
+       |  CAST(energy AS VARCHAR) AS energy,
+       |  CAST(row_number() OVER (ORDER BY energy DESC, level) AS BIGINT)
+       |    AS energy_rank
+       |FROM sp""".stripMargin
+  }
+
   private def cusumOracle: String =
     s"""WITH daily AS (
        |  SELECT CAST(o_orderdate AS DATE) AS day,
@@ -333,11 +425,13 @@ object TimeSeries {
     "ts_interpolate" -> (interpolateHourly _),
     "ts_cusum" -> (tsCusum _),
     "ts_autocorr" -> (tsAutocorr _),
+    "ts_wavelet_spectrum" -> (tsWaveletSpectrum _),
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _))
 
   val oracles: Map[String, String] = Map(
     "ts_cusum" -> cusumOracle,
     "ts_autocorr" -> autocorrOracle,
+    "ts_wavelet_spectrum" -> waveletOracle,
     "ts_seasonal_decompose" -> decomposeOracle,
     "ts_interpolate" ->
       """WITH obs AS (

@@ -246,6 +246,56 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("wavelet spectrum == naive BigInt Haar details; period-2 energy ranks level 1 first") {
+    val rows = relational.TimeSeries.tsWaveletSpectrum(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("level")).sorted.toSeq ==
+      (1L to relational.TimeSeries.WaveletLevels).toSeq)
+    val daily = Tables.orders(spark, sf)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        r.getAs[Long]("cents"))
+    val minDay = daily.map(_._1).min
+    val series = daily.map { case (d, c) => (d - minDay) -> c }.toMap
+    for (r <- rows) {
+      val l = r.getAs[Long]("level").toInt
+      val (bs, hs) = (1L << l, 1L << (l - 1))
+      val det = series.groupBy(_._1 / bs).map { case (_, blk) =>
+        blk.map { case (i, c) => if ((i / hs) % 2 == 0) BigInt(c) else -BigInt(c) }.sum
+      }
+      assert(r.getAs[Long]("n_blocks") == det.size)
+      assert(BigInt(r.getAs[String]("energy")) == det.map(d => d * d).sum,
+        s"level $l energy mismatch")
+    }
+    // ranks are a permutation of 1..8
+    assert(rows.map(_.getAs[Long]("energy_rank")).sorted.toSeq == (1L to 8L).toSeq)
+    // planted alternating series: all variance lives at the finest scale
+    val tmp = java.nio.file.Files.createTempDirectory("graftwav")
+    (0 until 64).map { i =>
+      (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 3, 1).plusDays(i)),
+        if (i % 2 == 0) 100.0 else 300.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val planted = relational.TimeSeries.tsWaveletSpectrum(spark, tmp.toString)
+      .collect().map(r => r.getAs[Long]("level") ->
+        (r.getAs[String]("energy"), r.getAs[Long]("energy_rank"))).toMap
+    // the $200 alternation: d = -+20000 cents per 2-day block, 32 blocks
+    assert(BigInt(planted(1L)._1) == BigInt(32) * BigInt(20000) * BigInt(20000))
+    // complete blocks at levels 2..6 see equal half-sums (the alternation
+    // AND the series mean both cancel) -> exactly zero detail energy
+    (2L to 6L).foreach(l => assert(BigInt(planted(l)._1) == 0, s"level $l"))
+    // 64 days do NOT tile 128/256-day blocks: the zero-padded partial
+    // blocks at levels 7-8 carry the raw series DC (sum = 32*(10000 +
+    // 30000) cents), squared — the documented trend-at-the-top behavior
+    val dc = BigInt(32) * BigInt(40000)
+    assert(BigInt(planted(7L)._1) == dc * dc && BigInt(planted(8L)._1) == dc * dc)
+    assert(planted(7L)._2 == 1L && planted(8L)._2 == 2L,
+      s"DC ties rank by level: $planted")
+    assert(planted(1L)._2 == 3L, "the alternation is the top NON-DC scale")
+  }
+
   test("EWMA with one event equals that event's value") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
       .toDF("user_id", "ts", "value")

@@ -56,6 +56,10 @@ class PlanBudgetSpec extends SparkSpec {
     // (source, token) distinct + the token-keyed self-join + pair agg;
     // every payload is vocabulary-bounded (types, not occurrences)
     "source_vocab_overlap" -> 3,
+    // daily agg (data-scale) + (level, block) coefficient agg + per-level
+    // energy agg + the 8-row rank window; post-scan payloads are
+    // calendar-bounded x 8 levels
+    "ts_wavelet_spectrum" -> 4,
     // gram window on doc_id -> bench/train distinct -> per-doc counts
     "decontam_ngrams" -> 4,
     // (part,supp) cost agg -> partkey window -> top-100
@@ -181,6 +185,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q22_wealthy_inactive", // one-row avg-balance scalar
     "range_join_tiers", // 3-row tier table
     "ts_autocorr", // calendar-bounded daily series band self-join + 1-row den
+    "ts_wavelet_spectrum", // 1-row min-day + 8-row level-table broadcasts
     "theilsen_trend", // calendar-bounded pair join + 1-row slope/intercept
     "bootstrap_ci", // one-row point-estimate x one-row CI broadcast
     "graph_markov_stationary", // k-row vector x one-row total broadcast

@@ -241,6 +241,41 @@ class StatModelsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_orders") == orders.length)
   }
 
+  test("revenue_gini == naive sorted-rank formula; planted extremes hit 0 and (n-1)/n") {
+    val r = relational.StatModels.revenueGini(spark, sf).collect()(0)
+    val cents = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round($"o_totalprice" * 100, 0)
+          .cast("long")).as("c"))
+      .collect().map(_.getAs[Long]("c")).sorted
+    val n = cents.length
+    val tot = cents.map(BigInt(_)).sum
+    val rw = cents.zipWithIndex.map { case (c, i) => BigInt(c) * (i + 1) }.sum
+    val want = BigDecimal(
+      2.0 * rw.toDouble / (n.toDouble * tot.toDouble) - (n + 1.0) / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Double]("gini") == want,
+      s"gini ${r.getAs[Double]("gini")} vs naive $want")
+    assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+    // planted: perfectly equal customers -> gini 0
+    val tmp = java.nio.file.Files.createTempDirectory("graftgini")
+    (1 to 40).map(i => (i.toLong, i.toLong,
+      java.sql.Date.valueOf("2024-01-01"), 250.00))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val eq = relational.StatModels.revenueGini(spark, tmp.toString).collect()(0)
+    assert(eq.getAs[Double]("gini") == 0.0)
+    // planted: one customer owns everything measurable -> near (n-1)/n
+    (1 to 40).map(i => (i.toLong, i.toLong,
+      java.sql.Date.valueOf("2024-01-01"), if (i == 40) 1000000.00 else 0.01))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val one = relational.StatModels.revenueGini(spark, tmp.toString).collect()(0)
+    assert(one.getAs[Double]("gini") > 0.97, s"got ${one.getAs[Double]("gini")}")
+  }
+
   test("source_kl_divergence: KL >= 0 per source, all sources present") {
     val rows = relational.StatModels.sourceKl(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)
