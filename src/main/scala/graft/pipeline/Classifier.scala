@@ -208,7 +208,48 @@ object Classifier {
       (round((po - pe) / (lit(1.0) - pe), 6) + lit(0.0)).as("kappa"))
   }
 
+  /** Exact ROC AUC of the fitted discriminant via the rank-sum
+    * (Mann–Whitney U) identity with midrank tie handling — the
+    * threshold-free companion of [[prCurve]]'s 19-point sweep (AUC is
+    * the number a model card reports; the identity AUC = U/(n₊·n₋)
+    * computes it exactly without enumerating thresholds, Hanley &
+    * McNeil 1982).
+    *
+    * Scale shape: scores collapse onto a (score → pos/neg count)
+    * frequency table (bounded by the feature lattice — ≤ |x1|·|x2|·
+    * |x3|·|x4| distinct scores at ANY corpus size, map-side combined);
+    * one cumulative window over that bounded table (single partition —
+    * the [[graft.relational.StatModels]] frequency-table discipline)
+    * yields 2U = Σ_s n₊(s)·(2·cumneg(<s) + n₋(s)) in EXACT integers
+    * (DECIMAL(38,0) so 100 TB counts cannot overflow the product; ties
+    * contribute the ½ via the uncancelled factor of 2). The only FP is
+    * the final division — nonnegative, so no −0.0 leaf.
+    */
+  def rocAuc(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val freq = qualityClassifier(spark, d)
+      .groupBy($"score")
+      .agg(
+        sum(when($"y" === 1L, 1L).otherwise(0L)).as("np_s"),
+        sum(when($"y" === -1L, 1L).otherwise(0L)).as("nn_s"))
+    val w = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    freq
+      .withColumn("cn", coalesce(sum($"nn_s").over(w), lit(0L)))
+      .agg(
+        sum($"np_s").as("np"), sum($"nn_s").as("nn"),
+        sum($"np_s".cast("decimal(38,0)") *
+          (lit(2L) * $"cn" + $"nn_s").cast("decimal(38,0)")).as("u2"))
+      .select(
+        $"np", $"nn",
+        (round($"u2".cast("double") /
+          (lit(2.0) * $"np".cast("double") * $"nn".cast("double")), 6)
+          + lit(0.0)).as("auc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "classifier_roc_auc" -> (rocAuc _),
     "quality_classifier" -> (qualityClassifier _),
     "quality_gated_sample" -> (qualityGatedSample _),
     "classifier_pr_curve" -> (prCurve _),
@@ -278,6 +319,27 @@ object Classifier {
     * and joins the two verdicts.
     */
   val oracles: Map[String, String] = Map(
+    "classifier_roc_auc" ->
+      s"""WITH $fitCtes,
+         |scored AS (
+         |  SELECT y, $scoreExpr AS score FROM f, mu),
+         |freq AS (
+         |  SELECT score,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np_s,
+         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn_s
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT np_s, nn_s,
+         |    coalesce(sum(nn_s) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+         |  FROM freq)
+         |SELECT CAST(sum(np_s) AS BIGINT) AS np,
+         |  CAST(sum(nn_s) AS BIGINT) AS nn,
+         |  round(CAST(sum(CAST(np_s AS HUGEINT) *
+         |                 CAST(2 * cn + nn_s AS HUGEINT)) AS DOUBLE) /
+         |        (2.0 * CAST(sum(np_s) AS DOUBLE) * CAST(sum(nn_s) AS DOUBLE)),
+         |        6) + 0.0 AS auc
+         |FROM cum""".stripMargin,
     "quality_classifier" ->
       s"""WITH $fitCtes
          |SELECT doc_id, y,

@@ -820,7 +820,201 @@ object StatModels {
        |FROM meds m JOIN mads d USING (event_type)
        |            JOIN outl o USING (event_type)""".stripMargin
 
+  /** ln 2 as a compile-time double literal, embedded identically in
+    * both engines (never computed as `ln(2)` at query time — the
+    * [[StatAudit]] no-query-time-transcendental-constant discipline).
+    */
+  private val Ln2 = 0.6931471805599453
+
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * from the corpus mixture — the SYMMETRIC, bounded ([0, ln 2])
+    * companion of [[sourceKl]] (KL is infinite under missing mass and
+    * asymmetric; JSD is the score data-mixture monitors actually
+    * threshold on, Lin 1991).
+    *
+    * The out-of-vocabulary trick keeps the dataflow source-vocab-sized:
+    * for tokens ABSENT from source s, p=0 so the p-side term vanishes
+    * and the q-side term is q·ln(q/(q/2)) = q·ln2 — so
+    * JSD = ½·Σ_{t∈s}[p·ln(p/m) + q·ln(q/m)] + ½·ln2·(1 − Σ_{t∈s} q),
+    * and the complement mass Σ_{t∈s} q is an EXACT integer sum of
+    * corpus token counts over the source's vocabulary divided once.
+    * Same (source, token) frequency backbone as [[sourceKl]] (vocab-
+    * bounded exchanges, map-side combined); FP only in the bounded
+    * per-source term sum, 6dp-rounded per the KL association-order
+    * precedent, −0.0-normalized (a source matching the corpus exactly
+    * rounds to zero from below).
+    */
+  def sourceJs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val st = Tables.documents(spark, d)
+      .select($"source", explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val srcTot = st.groupBy($"source").agg(sum($"c_st").as("c_s"))
+    val tokTot = st.groupBy($"tok").agg(sum($"c_st").as("c_t"))
+    val corpus = srcTot.agg(sum($"c_s").as("c_tot"))
+    val p = $"c_st".cast("double") / $"c_s".cast("double")
+    val q = $"c_t".cast("double") / $"c_tot".cast("double")
+    val m = (p + q) / lit(2.0)
+    st.join(tokTot, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpus))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(p * log(p / m) + q * log(q / m)).as("in_vocab"),
+        sum($"c_t").as("c_t_sum"),
+        first($"c_tot").as("c_tot"))
+      .select(
+        $"source", $"n_types",
+        (round($"c_t_sum".cast("double") / $"c_tot".cast("double"), 6)
+          + lit(0.0)).as("vocab_mass"),
+        (round(lit(0.5) * $"in_vocab" +
+          lit(0.5) * lit(Ln2) *
+            (lit(1.0) - $"c_t_sum".cast("double") / $"c_tot".cast("double")),
+          6) + lit(0.0)).as("jsd"))
+  }
+
+  private def jsOracle: String =
+    s"""WITH st AS (
+       |  SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS c_st
+       |  FROM (SELECT source,
+       |          unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                             x -> x <> '')) AS t
+       |        FROM documents) x
+       |  GROUP BY source, t),
+       |src AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s
+       |        FROM st GROUP BY source),
+       |tok AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+       |        FROM st GROUP BY tok),
+       |corpus AS (SELECT CAST(sum(c_s) AS BIGINT) AS c_tot FROM src),
+       |terms AS (
+       |  SELECT st.source AS source,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    sum(
+       |      (CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE)) *
+       |      ln((CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE)) /
+       |         ((CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE) +
+       |           CAST(c_t AS DOUBLE) / CAST(c_tot AS DOUBLE)) / 2.0)) +
+       |      (CAST(c_t AS DOUBLE) / CAST(c_tot AS DOUBLE)) *
+       |      ln((CAST(c_t AS DOUBLE) / CAST(c_tot AS DOUBLE)) /
+       |         ((CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE) +
+       |           CAST(c_t AS DOUBLE) / CAST(c_tot AS DOUBLE)) / 2.0)))
+       |      AS in_vocab,
+       |    CAST(sum(c_t) AS BIGINT) AS c_t_sum,
+       |    CAST(first(c_tot) AS BIGINT) AS c_tot
+       |  FROM st
+       |  JOIN tok ON st.tok = tok.tok
+       |  JOIN src ON st.source = src.source
+       |  CROSS JOIN corpus
+       |  GROUP BY st.source)
+       |SELECT source, n_types,
+       |  round(CAST(c_t_sum AS DOUBLE) / CAST(c_tot AS DOUBLE), 6) + 0.0
+       |    AS vocab_mass,
+       |  round(0.5 * in_vocab +
+       |        0.5 * $Ln2 *
+       |          (1.0 - CAST(c_t_sum AS DOUBLE) / CAST(c_tot AS DOUBLE)),
+       |        6) + 0.0 AS jsd
+       |FROM terms""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov drift test between the click and
+    * purchase value distributions — the nonparametric whole-shape
+    * comparison a drift monitor runs when mean/quantile deltas are too
+    * blunt (any distributional change moves sup|F₁−F₂|).
+    *
+    * Scale shape: the raw scan collapses once onto the value cent grid
+    * (domain-bounded ≤ ~49k cells at ANY corpus size, map-side
+    * combined); both empirical CDFs are cumulative BIGINT counts over
+    * that bounded grid (single-partition window — the [[anomalyMad]]
+    * frequency-table discipline, never a data-scale sort). The D
+    * statistic is located as max|cum₁·n₂ − cum₂·n₁| in EXACT
+    * cross-multiplied integers (DECIMAL(38,0) so 100 TB counts cannot
+    * overflow the product); the only FP is the final division, the
+    * asymptotic scaling λ = D·√(n₁n₂/(n₁+n₂)), and the 3-term
+    * Smirnov tail Q(λ) = 2Σ(−1)^{k−1}e^{−2k²λ²} — identical op order
+    * both engines, 6dp-rounded.
+    */
+  def ksValueDrift(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val freq = Tables.events(spark, d)
+      .filter($"event_type" === "click" || $"event_type" === "purchase")
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
+      .groupBy($"c")
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("f1"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("f2"))
+    val w = Window.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dNum = abs(
+      $"cum1".cast("decimal(38,0)") * $"n2".cast("decimal(38,0)") -
+        $"cum2".cast("decimal(38,0)") * $"n1".cast("decimal(38,0)"))
+    val agg = freq
+      .withColumn("cum1", sum($"f1").over(w))
+      .withColumn("cum2", sum($"f2").over(w))
+      .withColumn("n1", sum($"f1").over(Window.partitionBy()))
+      .withColumn("n2", sum($"f2").over(Window.partitionBy()))
+      .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+        max(dNum).as("d_num"))
+    val dStat = $"d_num".cast("double") /
+      ($"n1".cast("double") * $"n2".cast("double"))
+    val lam = dStat * sqrt(
+      ($"n1".cast("double") * $"n2".cast("double")) /
+        ($"n1".cast("double") + $"n2".cast("double")))
+    val l2 = lam * lam
+    val pVal = lit(2.0) * (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2) +
+      exp(lit(-18.0) * l2))
+    agg.select(
+      $"n1".as("n_click"), $"n2".as("n_purchase"),
+      (round(dStat, 6) + lit(0.0)).as("d_stat"),
+      (round(lam, 6) + lit(0.0)).as("lambda"),
+      (round(pVal, 6) + lit(0.0)).as("p_value"))
+  }
+
+  private def ksOracle: String =
+    """WITH freq AS (
+      |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f2
+      |  FROM events
+      |  WHERE event_type = 'click' OR event_type = 'purchase'
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT c, f1, f2,
+      |    sum(f1) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    sum(f2) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |    sum(f1) OVER () AS n1,
+      |    sum(f2) OVER () AS n2
+      |  FROM freq),
+      |agg AS (
+      |  SELECT CAST(first(n1) AS BIGINT) AS n1,
+      |    CAST(first(n2) AS BIGINT) AS n2,
+      |    max(abs(CAST(cum1 AS HUGEINT) * CAST(n2 AS HUGEINT) -
+      |            CAST(cum2 AS HUGEINT) * CAST(n1 AS HUGEINT)))
+      |      AS d_num
+      |  FROM cum),
+      |stat AS (
+      |  SELECT n1, n2,
+      |    CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |      AS d_stat,
+      |    CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) *
+      |      sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+      |           (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS lam
+      |  FROM agg)
+      |SELECT n1 AS n_click, n2 AS n_purchase,
+      |  round(d_stat, 6) + 0.0 AS d_stat,
+      |  round(lam, 6) + 0.0 AS lambda,
+      |  round(2.0 * (exp(-2.0 * (lam * lam)) - exp(-8.0 * (lam * lam)) +
+      |               exp(-18.0 * (lam * lam))), 6) + 0.0 AS p_value
+      |FROM stat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_js_divergence" -> (sourceJs _),
+    "ks_value_drift" -> (ksValueDrift _),
     "ols_price_trend" -> (olsPriceTrend _),
     "source_kl_divergence" -> (sourceKl _),
     "zipf_fit" -> (zipfFit _),
@@ -832,6 +1026,8 @@ object StatModels {
     "anomaly_mad" -> (anomalyMad _))
 
   val oracles: Map[String, String] = Map(
+    "source_js_divergence" -> jsOracle,
+    "ks_value_drift" -> ksOracle,
     "ols_price_trend" -> olsOracle,
     "source_kl_divergence" -> klOracle,
     "zipf_fit" -> zipfOracle,

@@ -136,6 +136,30 @@ class CurationSpec extends SparkSpec {
       "classifier should beat chance agreement decisively on the fixture")
   }
 
+  test("classifier_roc_auc == naive pairwise concordance with tie halving") {
+    val r = graft.pipeline.Classifier.rocAuc(spark, sf).collect()(0)
+    val scored = graft.pipeline.Classifier.qualityClassifier(spark, sf)
+      .collect().map(s => (s.getLong(1), s.getLong(2)))
+    val pos = scored.filter(_._1 == 1L).map(_._2)
+    val neg = scored.filter(_._1 == -1L).map(_._2)
+    assert(r.getAs[Long]("np") == pos.length)
+    assert(r.getAs[Long]("nn") == neg.length)
+    // naive via midranks (O(n log n); the pairwise definition squared
+    // is too slow even at sf0.001)
+    val ranked = scored.map(_._2).sorted.zipWithIndex
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> (xs.map(_._2.toLong + 1).sum.toDouble / xs.length)
+      }
+    val rankSum = pos.map(ranked).sum
+    val u = rankSum - pos.length.toDouble * (pos.length + 1.0) / 2.0
+    val want = u / (pos.length.toDouble * neg.length.toDouble)
+    assert(math.abs(r.getAs[Double]("auc") - want) < 1e-6,
+      s"auc ${r.getAs[Double]("auc")} vs naive $want")
+    // the learned score should rank the heuristic label far above chance
+    assert(r.getAs[Double]("auc") > 0.9,
+      s"discriminant AUC suspiciously low: ${r.getAs[Double]("auc")}")
+  }
+
   test("quality classifier fit is rerun-exact (scores bit-identical across runs)") {
     val a = graft.pipeline.Classifier.qualityClassifier(spark, sf)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))

@@ -82,6 +82,19 @@ class PlanBudgetSpec extends SparkSpec {
     // per-source fold; every payload is vocabulary-keyed counts (the
     // text_bigram_logprob shape)
     "source_kl_divergence" -> 5,
+    // identical backbone to source_kl_divergence (the JSD twin)
+    "source_js_divergence" -> 5,
+    // bounded contingency agg off one corpus scan + three re-aggregates
+    // of the checkpointed ≤(sources × langs)-cell grid — every
+    // post-scan exchange is grid-bounded, corpus-size-independent
+    "mi_source_lang" -> 4,
+    // (score → ±count) frequency agg + the bounded single-partition
+    // cumulative window + final 1-row fold; the frequency table is
+    // feature-lattice-bounded at any corpus size
+    "classifier_roc_auc" -> 3,
+    // cent-grid frequency agg + the bounded single-partition CDF
+    // window + final 1-row fold (the anomaly_mad frequency discipline)
+    "ks_value_drift" -> 3,
     // bigram lead window + unigram agg + pair agg + the w2-keyed
     // re-exchange into the second frequency join; every exchange
     // payload is vocabulary-keyed (map-side combined)
@@ -174,6 +187,8 @@ class PlanBudgetSpec extends SparkSpec {
     "heavy_hitter_tokens", // one-row total-count threshold
     "mixture_rates", // one-row corpus-total broadcast
     "source_kl_divergence", // one-row corpus-total broadcast
+    "source_js_divergence", // one-row corpus-total broadcast (KL twin)
+    "mi_source_lang", // one-row total + one-row entropy broadcasts
     "customer_rfm", // one-row boundary broadcasts (anchor + tertiles)
     "quality_calibration", // one-row score min/max broadcast
     "classifier_pr_curve", // the calibration one-row bounds broadcast

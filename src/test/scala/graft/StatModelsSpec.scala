@@ -276,6 +276,70 @@ class StatModelsSpec extends SparkSpec {
     assert(one.getAs[Double]("gini") > 0.97, s"got ${one.getAs[Double]("gini")}")
   }
 
+  test("source_js_divergence == naive driver JSD; bounded by ln 2") {
+    val rows = relational.StatModels.sourceJs(spark, sf).collect()
+    val toks = Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val bySrc = toks.groupBy(_._1).map { case (s, ts) =>
+      s -> ts.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    }
+    val corpus = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val cTot = toks.length.toDouble
+    assert(rows.length == bySrc.size)
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      val cs = bySrc(src).values.sum.toDouble
+      // full-vocabulary naive JSD (no complement-mass shortcut)
+      val jsd = corpus.map { case (t, ct) =>
+        val p = bySrc(src).getOrElse(t, 0L) / cs
+        val q = ct / cTot
+        val m = (p + q) / 2.0
+        (if (p > 0) p * math.log(p / m) else 0.0) +
+          q * math.log(q / m)
+      }.sum / 2.0
+      val got = r.getAs[Double]("jsd")
+      assert(math.abs(got - jsd) < 1e-5, s"$src: $got vs naive $jsd")
+      assert(got >= 0.0 && got <= 0.6931472, s"$src out of [0, ln2]: $got")
+      assert(r.getAs[Long]("n_types") == bySrc(src).size)
+    }
+  }
+
+  test("ks_value_drift == naive driver KS on collected values") {
+    val r = relational.StatModels.ksValueDrift(spark, sf).collect()(0)
+    val vals = Tables.events(spark, sf)
+      .filter($"event_type" === "click" || $"event_type" === "purchase")
+      .select($"event_type", $"value").collect()
+      .map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "purchase").map(_._2).sorted
+    assert(r.getAs[Long]("n_click") == a.length)
+    assert(r.getAs[Long]("n_purchase") == b.length)
+    val grid = (a ++ b).distinct.sorted
+    val dNaive = grid.map { c =>
+      math.abs(a.count(_ <= c).toDouble / a.length -
+        b.count(_ <= c).toDouble / b.length)
+    }.max
+    assert(math.abs(r.getAs[Double]("d_stat") - dNaive) < 1e-6,
+      s"D ${r.getAs[Double]("d_stat")} vs naive $dNaive")
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 0.0 && p <= 1.0001, s"p out of range: $p")
+    // same distribution against itself -> D = 0 exactly
+    val tmp = java.nio.file.Files.createTempDirectory("graftks")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (1 to 50).flatMap(i => Seq(
+      (i.toLong * 2, ts0, i.toLong, "click", i * 1.25, "{}"),
+      (i.toLong * 2 + 1, ts0, i.toLong, "purchase", i * 1.25, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val same = relational.StatModels.ksValueDrift(spark, tmp.toString)
+      .collect()(0)
+    // exactly +0.0 — the NegZero discipline at the leaf
+    assert(java.lang.Double.doubleToRawLongBits(
+      same.getAs[Double]("d_stat")) == 0L)
+  }
+
   test("source_kl_divergence: KL >= 0 per source, all sources present") {
     val rows = relational.StatModels.sourceKl(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)
