@@ -387,13 +387,99 @@ object Graph {
        |FROM v$MarkovIters""".stripMargin
   }
 
+  /** Peeling rounds per k level — enough for the bucket-capped dup
+    * graph to reach fixpoint (spec-asserted on the fixture); at scale
+    * the FIXED unrolling keeps both engines computing the identical
+    * partial result whether or not the peel has converged.
+    */
+  val KcorePeelRounds = 4
+  /** Coreness is reported capped at this k (cores are nested, so the
+    * cap only truncates the tail of the ladder).
+    */
+  val KcoreMax = 4
+
+  /** k-core decomposition of the near-duplicate graph: per document
+    * its degree and its coreness (the largest k such that the vertex
+    * survives iterated removal of all degree-<k vertices, capped at
+    * [[KcoreMax]]) — the standard density ladder for duplicate-cluster
+    * triage (a high-coreness region is a template farm; a degree-1
+    * appendage is an incidental near-dup; Seidman 1983).
+    *
+    * Algorithm: iterative peeling, SEQUENTIALLY CHAINED across k —
+    * the (k+1)-core is peeled from the k-core's surviving adjacency
+    * (cores are nested), so each level starts from the already-shrunk
+    * edge list. Each round is one degree aggregate + one semi-join
+    * pair on the surviving adjacency, checkpointed to cut lineage —
+    * frontier-shrinking keyed shuffles only, the [[reachHops]]
+    * discipline; all quantities are exact integers. The oracle replays
+    * the identical fixed unrolling ([[markovStationary]] convention).
+    */
+  def kcore(spark: SparkSession, d: String): DataFrame =
+    kcoreOfEdges(dupEdges(spark, d))
+
+  /** Core peel over an a < b edge list. Exposed so specs can drive it
+    * with synthetic graphs (the [[trianglesOfEdges]] convention).
+    */
+  def kcoreOfEdges(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).localCheckpoint()
+    val deg0 = und.groupBy($"a").agg(count(lit(1)).as("degree"))
+    var adj = und
+    var res = deg0.select($"a", $"degree", lit(1L).as("coreness"))
+    for (k <- 2 to KcoreMax) {
+      for (_ <- 1 to KcorePeelRounds) {
+        val keep = adj.groupBy($"a").agg(count(lit(1)).as("dg"))
+          .filter($"dg" >= k).select($"a")
+        adj = adj.join(keep, "a")
+          .join(keep.select($"a".as("b")), "b")
+          .select($"a", $"b").localCheckpoint()
+      }
+      val inK = adj.select($"a").distinct().withColumn("ink", lit(1L))
+      res = res.join(inK, Seq("a"), "left")
+        .select($"a", $"degree",
+          ($"coreness" + coalesce($"ink", lit(0L))).as("coreness"))
+    }
+    res.select($"a".as("doc_id"), $"degree", $"coreness")
+  }
+
+  private def kcoreOracle: String = {
+    val levels = (2 to KcoreMax).flatMap { k =>
+      (1 to KcorePeelRounds).map { r =>
+        val prev =
+          if (r == 1 && k == 2) "und"
+          else if (r == 1) s"a${k - 1}_$KcorePeelRounds"
+          else s"a${k}_${r - 1}"
+        s"""a${k}_$r AS MATERIALIZED (
+           |  SELECT adj.a, adj.b FROM $prev adj
+           |  JOIN (SELECT a FROM $prev GROUP BY a HAVING count(*) >= $k) ka
+           |    ON adj.a = ka.a
+           |  JOIN (SELECT a FROM $prev GROUP BY a HAVING count(*) >= $k) kb
+           |    ON adj.b = kb.a)""".stripMargin
+      }
+    }.mkString(",\n")
+    val coreSum = (2 to KcoreMax).map { k =>
+      s"(CASE WHEN deg.a IN (SELECT a FROM a${k}_$KcorePeelRounds) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $jaccardEdgeCtes,
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree
+       |        FROM und GROUP BY a),
+       |$levels
+       |SELECT deg.a AS doc_id, deg.degree,
+       |  CAST(1 + $coreSum AS BIGINT) AS coreness
+       |FROM deg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (kcore _),
     "graph_triangles" -> (triangles _),
     "graph_pagerank_nations" -> (pagerankNations _),
     "graph_markov_stationary" -> (markovStationary _),
     "graph_reach_hops" -> (reachHops _))
 
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_pagerank_nations" -> pagerankOracle,
     "graph_markov_stationary" -> markovOracle,

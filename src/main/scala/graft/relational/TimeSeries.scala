@@ -420,7 +420,174 @@ object TimeSeries {
        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS acf
        |FROM pairs, den""".stripMargin
 
+  /** Maximum cross-correlation lead/lag in days. */
+  val CcfMaxLag = 7
+
+  /** Lead–lag cross-correlation between the daily-revenue and
+    * daily-order-count series: Pearson r of (revenue on day d, orders
+    * on day d+ℓ) for ℓ ∈ [0, [[CcfMaxLag]]] — the "does volume lead
+    * value" diagnostic that [[tsAutocorr]] (self-correlation) cannot
+    * answer. Each lag gets the FULL six exact sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) because the overlapping window shifts
+    * per lag, so per-lag means differ — the [[StatModels]] one-pass
+    * OLS/corr discipline, per lag.
+    *
+    * Scale shape: the fact scan collapses once onto the calendar-
+    * bounded daily grid (checkpointed — the band join must not rescan
+    * orders); the ≤ (days × 8)-row band join and the 8-group aggregate
+    * are bounded at any corpus size. All cross-products are exact
+    * DECIMAL(38,0); FP is the closed-form r per group row, identical
+    * op order both engines, 6dp-rounded and −0.0-normalized (r is
+    * signed).
+    */
+  def tsCcf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(
+        sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint() // calendar-bounded; both join sides, one scan
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val g = daily.as("a")
+      .join(broadcast(daily.as("b")),
+        datediff($"b.day", $"a.day").between(0, CcfMaxLag))
+      .groupBy(datediff($"b.day", $"a.day").cast("long").as("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"a.cents")).as("sx"), sum(dec($"b.cnt")).as("sy"),
+        sum(dec($"a.cents") * dec($"b.cnt")).as("sxy"),
+        sum(dec($"a.cents") * dec($"a.cents")).as("sxx"),
+        sum(dec($"b.cnt") * dec($"b.cnt")).as("syy"))
+    val num = (dec($"n") * $"sxy" - $"sx" * $"sy").cast("double")
+    val denx = (dec($"n") * $"sxx" - $"sx" * $"sx").cast("double")
+    val deny = (dec($"n") * $"syy" - $"sy" * $"sy").cast("double")
+    g.select($"lag", $"n",
+      when(denx * deny > 0.0,
+        round(num / sqrt(denx * deny), 6) + lit(0.0))
+        .otherwise(lit(0.0)).as("ccf"))
+  }
+
+  private def ccfOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |      AS cents,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM orders GROUP BY 1),
+       |g AS (
+       |  SELECT CAST(b.day - a.day AS BIGINT) AS lag,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(a.cents AS HUGEINT)) AS sx,
+       |    sum(CAST(b.cnt AS HUGEINT)) AS sy,
+       |    sum(CAST(a.cents AS HUGEINT) * CAST(b.cnt AS HUGEINT)) AS sxy,
+       |    sum(CAST(a.cents AS HUGEINT) * CAST(a.cents AS HUGEINT)) AS sxx,
+       |    sum(CAST(b.cnt AS HUGEINT) * CAST(b.cnt AS HUGEINT)) AS syy
+       |  FROM daily a JOIN daily b
+       |    ON b.day - a.day BETWEEN 0 AND $CcfMaxLag
+       |  GROUP BY 1)
+       |SELECT lag, n,
+       |  CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+       |            CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) > 0.0
+       |       THEN round(
+       |         CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+       |         sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+       |              CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+       |         6) + 0.0
+       |       ELSE 0.0 END AS ccf
+       |FROM g""".stripMargin
+
+  /** Holt smoothing parameters — compile-time literals embedded in
+    * both engines.
+    */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.3
+  /** Forecast horizon in days. */
+  val HoltHorizon = 7
+
+  /** Holt double-exponential (level + trend) forecast of daily revenue
+    * — the classical local-trend forecaster one tier above
+    * [[ewmaUserValue]]'s level-only EWMA (Holt 1957): per observation
+    * l′ = α·x + (1−α)(l+b), b′ = β(l′−l) + (1−β)b, initialized l=x₁,
+    * b=0; the h-step forecast is l+h·b for h ∈ [1, [[HoltHorizon]]].
+    *
+    * The recursion is inherently sequential, so the scalable split is
+    * the [[graft.relational.Graph.pagerankNations]] contract-then-
+    * iterate shape: the 100 TB fact scan collapses once onto the
+    * calendar-bounded daily grid; the fold then runs INSIDE one row —
+    * `aggregate` over the sorted bounded array — never a driver
+    * collect, never a data-scale window. FP determinism holds because
+    * the fold's op ORDER is fixed by the sorted array on both engines
+    * (the cross-row-sum association hazard does not exist for a
+    * sequential recursion); DuckDB replays the identical recurrence as
+    * a recursive CTE. Output is 6dp-rounded dollars, −0.0-normalized
+    * (a negative trend can round a forecast to zero from below).
+    */
+  def tsHoltForecast(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val state = Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+      .agg(sort_array(collect_list(struct($"day", $"cents"))).as("s"))
+      .select(
+        size($"s").cast("long").as("n_days"),
+        expr(
+          s"""aggregate(
+             |  s,
+             |  named_struct('l', CAST(0.0 AS DOUBLE),
+             |               'b', CAST(0.0 AS DOUBLE), 'i', 0),
+             |  (acc, x) -> IF(acc.i = 0,
+             |    named_struct('l', CAST(x.cents AS DOUBLE),
+             |                 'b', CAST(0.0 AS DOUBLE), 'i', 1),
+             |    named_struct(
+             |      'l', $HoltAlpha * CAST(x.cents AS DOUBLE) +
+             |           ${1 - HoltAlpha} * (acc.l + acc.b),
+             |      'b', $HoltBeta * (($HoltAlpha * CAST(x.cents AS DOUBLE) +
+             |             ${1 - HoltAlpha} * (acc.l + acc.b)) - acc.l) +
+             |           ${1 - HoltBeta} * acc.b,
+             |      'i', acc.i + 1)))""".stripMargin).as("st"))
+    state
+      .select($"n_days", $"st.l".as("l"), $"st.b".as("b"),
+        explode(sequence(lit(1L), lit(HoltHorizon.toLong))).as("h"))
+      .select(
+        $"h", $"n_days",
+        (round($"l" / lit(100.0), 6) + lit(0.0)).as("level"),
+        (round($"b" / lit(100.0), 6) + lit(0.0)).as("trend"),
+        (round(($"l" + $"h".cast("double") * $"b") / lit(100.0), 6)
+          + lit(0.0)).as("forecast"))
+  }
+
+  private def holtOracle: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY 1),
+       |series AS (
+       |  SELECT row_number() OVER (ORDER BY day) AS rn, cents FROM daily),
+       |rec AS (
+       |  SELECT 1 AS i, CAST(cents AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+       |  FROM series WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.i + 1,
+       |    $HoltAlpha * CAST(s.cents AS DOUBLE) +
+       |      ${1 - HoltAlpha} * (r.l + r.b),
+       |    $HoltBeta * (($HoltAlpha * CAST(s.cents AS DOUBLE) +
+       |        ${1 - HoltAlpha} * (r.l + r.b)) - r.l) +
+       |      ${1 - HoltBeta} * r.b
+       |  FROM rec r JOIN series s ON s.rn = r.i + 1),
+       |fin AS (
+       |  SELECT i, l, b FROM rec WHERE i = (SELECT max(i) FROM rec)),
+       |hs AS (SELECT unnest(range(1, ${HoltHorizon + 1})) AS h)
+       |SELECT CAST(h AS BIGINT) AS h, CAST(i AS BIGINT) AS n_days,
+       |  round(l / 100.0, 6) + 0.0 AS level,
+       |  round(b / 100.0, 6) + 0.0 AS trend,
+       |  round((l + CAST(h AS DOUBLE) * b) / 100.0, 6) + 0.0 AS forecast
+       |FROM hs, fin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ccf" -> (tsCcf _),
+    "ts_holt_forecast" -> (tsHoltForecast _),
     "ewma_user_value" -> (ewmaUserValue _),
     "ts_interpolate" -> (interpolateHourly _),
     "ts_cusum" -> (tsCusum _),
@@ -429,6 +596,8 @@ object TimeSeries {
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _))
 
   val oracles: Map[String, String] = Map(
+    "ts_ccf" -> ccfOracle,
+    "ts_holt_forecast" -> holtOracle,
     "ts_cusum" -> cusumOracle,
     "ts_autocorr" -> autocorrOracle,
     "ts_wavelet_spectrum" -> waveletOracle,

@@ -296,6 +296,124 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(planted(1L)._2 == 3L, "the alternation is the top NON-DC scale")
   }
 
+  test("kcore: planted clique/cycle/path graph decomposes exactly; fixture reaches fixpoint") {
+    // K5 on 1-5 (coreness 4), a 4-cycle on 10-13 (coreness 2), a path
+    // 20-21-22 (coreness 1), and a pendant 6 hanging off the clique
+    val clique = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val cyc = Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+    val path = Seq((20L, 21L), (21L, 22L))
+    val pend = Seq((1L, 6L))
+    val e = (clique ++ cyc ++ path ++ pend).toDF("a", "b")
+    val got = relational.Graph.kcoreOfEdges(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (v <- 1L to 5L) assert(got(v)._2 == 4L, s"clique vertex $v: ${got(v)}")
+    for (v <- 10L to 13L) assert(got(v)._2 == 2L, s"cycle vertex $v: ${got(v)}")
+    for (v <- Seq(20L, 21L, 22L, 6L))
+      assert(got(v)._2 == 1L, s"tree vertex $v: ${got(v)}")
+    assert(got(1L)._1 == 5L) // 4 clique neighbors + the pendant
+    assert(got(21L)._1 == 2L)
+
+    // fixture: KcorePeelRounds suffices — one extra round of peeling
+    // changes nothing (fixpoint), and coreness is consistent with a
+    // driver-side peel to true fixpoint
+    val fx = relational.Graph.kcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val edges = text.Dedup.jaccardPairs(spark, sf)
+      .filter($"jacc" >= 0.5).select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def peel(k: Int, es: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      var cur = es
+      var done = false
+      while (!done) {
+        val deg = (cur.map(_._1) ++ cur.map(_._2))
+          .groupBy(identity).map { case (v, xs) => v -> xs.length }
+        val next = cur.filter(p => deg(p._1) >= k && deg(p._2) >= k)
+        done = next.length == cur.length
+        cur = next
+      }
+      cur
+    }
+    var es: Seq[(Long, Long)] = edges
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    (edges.map(_._1) ++ edges.map(_._2)).distinct.foreach(want(_) = 1L)
+    for (k <- 2 to relational.Graph.KcoreMax) {
+      es = peel(k, es)
+      (es.map(_._1) ++ es.map(_._2)).distinct.foreach(want(_) = k.toLong)
+    }
+    assert(fx == want.toMap, "fixture coreness != driver peel to fixpoint")
+  }
+
+  test("ts_ccf lag 0 == Pearson(rev, cnt); all lags naive-checked, |ccf| <= 1") {
+    val rows = relational.TimeSeries.tsCcf(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.size == relational.TimeSeries.CcfMaxLag + 1)
+    val daily = Tables.orders(spark, sf)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"),
+        count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.toEpochDay)
+    val byDay = daily.map(x => x._1.toEpochDay -> (x._2, x._3)).toMap
+    for (lag <- 0L to relational.TimeSeries.CcfMaxLag.toLong) {
+      val pts = byDay.keys.toSeq.flatMap { d0 =>
+        byDay.get(d0 + lag).map(y => (byDay(d0)._1.toDouble, y._2.toDouble))
+      }
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val r = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (gotN, gotR) = rows(lag)
+      assert(gotN == pts.length)
+      assert(math.abs(gotR - r) < 1e-5, s"lag $lag: $gotR vs naive $r")
+      assert(gotR >= -1.0 && gotR <= 1.0)
+    }
+  }
+
+  test("ts_holt_forecast == driver recursion replay; constant series is flat") {
+    val rows = relational.TimeSeries.tsHoltForecast(spark, sf).collect()
+    assert(rows.length == relational.TimeSeries.HoltHorizon)
+    val cents = Tables.orders(spark, sf)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val a = relational.TimeSeries.HoltAlpha
+    val b = relational.TimeSeries.HoltBeta
+    var l = cents.head.toDouble; var tr = 0.0
+    for (x <- cents.tail) {
+      val l2 = a * x + (1 - a) * (l + tr)
+      tr = b * (l2 - l) + (1 - b) * tr
+      l = l2
+    }
+    for (r <- rows) {
+      val h = r.getAs[Long]("h")
+      val want = BigDecimal((l + h * tr) / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("forecast") - want) < 1e-6,
+        s"h=$h: ${r.getAs[Double]("forecast")} vs replay $want")
+      assert(r.getAs[Long]("n_days") == cents.length)
+    }
+    // constant series: level == the constant, trend 0, forecasts flat
+    val tmp = java.nio.file.Files.createTempDirectory("graftholt")
+    (1 to 30).map(i => (i.toLong, 1L,
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+      500.00))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val flat = relational.TimeSeries.tsHoltForecast(spark, tmp.toString)
+      .collect()
+    for (r <- flat) {
+      assert(r.getAs[Double]("forecast") == 500.0)
+      assert(r.getAs[Double]("trend") == 0.0)
+      assert(java.lang.Double.doubleToRawLongBits(
+        r.getAs[Double]("trend")) == 0L)
+    }
+  }
+
   test("EWMA with one event equals that event's value") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
       .toDF("user_id", "ts", "value")

@@ -46,6 +46,17 @@ class PlanBudgetSpec extends SparkSpec {
     // daily agg (data-scale) + slope-freq agg + residual-freq agg; both
     // frequency exchanges carry calendar-bounded pair/day payloads
     "theilsen_trend" -> 3,
+    // daily agg (data-scale) + the calendar-bounded band join's 8-group
+    // agg + final fold; post-scan payloads are <= days x 8 rows
+    "ts_ccf" -> 3,
+    // daily agg (data-scale) + the 1-row array fold + horizon explode;
+    // post-scan payloads are calendar-bounded
+    "ts_holt_forecast" -> 3,
+    // sequentially-chained fixed peel: 3 k-levels x 4 rounds of
+    // (degree agg + two semi-joins) on the SHRINKING checkpointed
+    // adjacency + the final coreness joins — structural, not
+    // data-scale; every payload is the surviving edge list
+    "graph_kcore" -> 60,
     // daily agg + 16 k-row iteration aggs + the type-union distinct:
     // every post-scan exchange moves <= k (event-type count) rows, the
     // pagerank bounded-iteration shape — structural, not data-scale
@@ -200,6 +211,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q22_wealthy_inactive", // one-row avg-balance scalar
     "range_join_tiers", // 3-row tier table
     "ts_autocorr", // calendar-bounded daily series band self-join + 1-row den
+    "ts_ccf", // calendar-bounded daily band self-join (the acf shape)
     "ts_wavelet_spectrum", // 1-row min-day + 8-row level-table broadcasts
     "theilsen_trend", // calendar-bounded pair join + 1-row slope/intercept
     "bootstrap_ci", // one-row point-estimate x one-row CI broadcast
