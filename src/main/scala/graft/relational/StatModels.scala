@@ -1012,7 +1012,295 @@ object StatModels {
       |               exp(-18.0 * (lam * lam))), 6) + 0.0 AS p_value
       |FROM stat""".stripMargin
 
+  /** Spearman rank correlation between the two per-document size
+    * signals (stored character count vs whitespace token count) —
+    * the monotone-association check that Pearson misses (a heavy-tail
+    * corpus can have near-zero linear correlation yet perfect rank
+    * agreement); the standard screen before fitting anything linear
+    * on corpus stats.
+    *
+    * Exactness via DOUBLED midranks: per distinct value v with
+    * frequency c and cumulative count before it C, the doubled
+    * midrank 2r(v) = 2C + c + 1 is an exact BIGINT, so Spearman
+    * reduces to Pearson over integer (2rₓ, 2r_y) pairs with the full
+    * six DECIMAL(38,0) sufficient statistics — no FP until the one
+    * closed-form division (the [[olsPriceTrend]] discipline; the
+    * doubling cancels in r).
+    *
+    * Scale shape: ONE corpus scan collapses onto the joint (x, y)
+    * frequency grid (value-domain-bounded, map-side combined,
+    * checkpointed — three consumers); the marginal doubled-midrank
+    * tables are re-aggregates of that grid (single-partition
+    * cumulative window over the bounded marginals) broadcast back
+    * onto it; one final count-weighted aggregate. The corpus is never
+    * rescanned and never re-tokenized.
+    */
+  def spearmanDocSignals(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val jf = Tables.documents(spark, d)
+      .select($"n_chars".as("x"),
+        size(graft.text.TextAnalysis.toks($"text")).cast("long").as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def rank2(col0: String): DataFrame = {
+      val w = Window.orderBy(col(col0))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      jf.groupBy(col(col0)).agg(sum($"cnt").as("c"))
+        .withColumn("r2",
+          lit(2L) * coalesce(sum($"c").over(w), lit(0L)) + $"c" + 1L)
+        .select(col(col0), $"r2")
+    }
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val g = jf
+      .join(broadcast(rank2("x").withColumnRenamed("r2", "rx")), "x")
+      .join(broadcast(rank2("y").withColumnRenamed("r2", "ry")), "y")
+      .agg(
+        sum($"cnt").as("n"),
+        sum(dec($"cnt") * dec($"rx")).as("su"),
+        sum(dec($"cnt") * dec($"ry")).as("sv"),
+        sum(dec($"cnt") * (dec($"rx") * dec($"ry"))).as("suv"),
+        sum(dec($"cnt") * (dec($"rx") * dec($"rx"))).as("suu"),
+        sum(dec($"cnt") * (dec($"ry") * dec($"ry"))).as("svv"))
+    val num = (dec($"n") * $"suv" - $"su" * $"sv").cast("double")
+    val denx = (dec($"n") * $"suu" - $"su" * $"su").cast("double")
+    val deny = (dec($"n") * $"svv" - $"sv" * $"sv").cast("double")
+    g.select($"n",
+      when(denx * deny > 0.0,
+        round(num / sqrt(denx * deny), 6) + lit(0.0))
+        .otherwise(lit(0.0)).as("rho"))
+  }
+
+  private def spearmanOracle: String =
+    """WITH jf AS MATERIALIZED (
+      |  SELECT n_chars AS x,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |                         t -> t <> '')) AS BIGINT) AS y,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |rx AS (
+      |  SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+      |      AS rx
+      |  FROM (SELECT x, CAST(sum(cnt) AS BIGINT) AS c
+      |        FROM jf GROUP BY x) fx),
+      |ry AS (
+      |  SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+      |      AS ry
+      |  FROM (SELECT y, CAST(sum(cnt) AS BIGINT) AS c
+      |        FROM jf GROUP BY y) fy),
+      |g AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(rx AS HUGEINT)) AS su,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(ry AS HUGEINT)) AS sv,
+      |    sum(CAST(cnt AS HUGEINT) * (CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)))
+      |      AS suv,
+      |    sum(CAST(cnt AS HUGEINT) * (CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)))
+      |      AS suu,
+      |    sum(CAST(cnt AS HUGEINT) * (CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)))
+      |      AS svv
+      |  FROM jf JOIN rx USING (x) JOIN ry USING (y))
+      |SELECT n,
+      |  CASE WHEN CAST(CAST(n AS HUGEINT) * suu - su * su AS DOUBLE) *
+      |            CAST(CAST(n AS HUGEINT) * svv - sv * sv AS DOUBLE) > 0.0
+      |       THEN round(
+      |         CAST(CAST(n AS HUGEINT) * suv - su * sv AS DOUBLE) /
+      |         sqrt(CAST(CAST(n AS HUGEINT) * suu - su * su AS DOUBLE) *
+      |              CAST(CAST(n AS HUGEINT) * svv - sv * sv AS DOUBLE)),
+      |         6) + 0.0
+      |       ELSE 0.0 END AS rho
+      |FROM g""".stripMargin
+
+  /** Tail-trim fraction denominator: n div 20 = 5% per tail. */
+  val TrimDiv = 20L
+
+  /** Trimmed and winsorized means of event value per type — the
+    * robust-location pair one tier above [[anomalyMad]]'s
+    * median/MAD: trim DISCARDS the 5% tails, winsorize CLAMPS them to
+    * the cut boundaries (Tukey; the location estimates a metrics
+    * pipeline publishes when raw means are outlier-dragged).
+    *
+    * Entirely frequency-table algebra on the (type, cent) grid
+    * (domain-bounded at any corpus size, map-side combined): per cell
+    * the in-window mass is max(0, min(cum, hi) − max(cum − cnt, lo))
+    * with lo = n div 20, hi = n − n div 20 — EXACT BIGINTs, so both
+    * sums and both boundary order statistics (located as the lo/hi−1
+    * cumulative positions, the [[medianFromFreq]] shape) are exact;
+    * the only FP is the final /100 to dollars, nonnegative.
+    */
+  def robustTrimmedMean(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val freq = Tables.events(spark, d)
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
+      .groupBy($"event_type", $"c").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"c")
+    val wAll = Window.partitionBy($"event_type")
+    val t = freq
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .withColumn("lo", expr(s"n div $TrimDiv"))
+      .withColumn("hi", expr(s"n - n div $TrimDiv"))
+      .withColumn("inw",
+        greatest(lit(0L),
+          least($"cum", $"hi") - greatest($"cum" - $"cnt", $"lo")))
+    t.groupBy($"event_type")
+      .agg(
+        first($"n").as("n"),
+        sum($"inw" * $"c").as("tsum"),
+        first($"hi" - $"lo").as("tcnt"),
+        first($"lo").as("lo_mass"),
+        first($"n" - $"hi").as("hi_mass"),
+        // boundary order statistics: value at 0-based cumulative
+        // position lo (first kept) and hi - 1 (last kept)
+        min(when($"cum" - $"cnt" <= $"lo" && $"lo" < $"cum", $"c"))
+          .as("p_lo"),
+        min(when($"cum" - $"cnt" <= $"hi" - 1L && $"hi" - 1L < $"cum", $"c"))
+          .as("p_hi"))
+      .select(
+        $"event_type", $"n",
+        (($"tsum".cast("double") / $"tcnt".cast("double")) / lit(100.0))
+          .as("trimmed_mean"),
+        ((($"tsum" + $"lo_mass" * $"p_lo" + $"hi_mass" * $"p_hi")
+          .cast("double") / $"n".cast("double")) / lit(100.0))
+          .as("winsorized_mean"))
+  }
+
+  private def trimOracle: String =
+    s"""WITH freq AS (
+       |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |t AS (
+       |  SELECT event_type, c, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM freq),
+       |b AS (
+       |  SELECT event_type, c, cnt, cum, n,
+       |    n // $TrimDiv AS lo, n - n // $TrimDiv AS hi
+       |  FROM t),
+       |g AS (
+       |  SELECT event_type,
+       |    CAST(first(n) AS BIGINT) AS n,
+       |    CAST(sum(greatest(0, least(cum, hi) - greatest(cum - cnt, lo)) * c)
+       |      AS BIGINT) AS tsum,
+       |    CAST(first(hi - lo) AS BIGINT) AS tcnt,
+       |    CAST(first(lo) AS BIGINT) AS lo_mass,
+       |    CAST(first(n - hi) AS BIGINT) AS hi_mass,
+       |    CAST(min(CASE WHEN cum - cnt <= lo AND lo < cum THEN c END)
+       |      AS BIGINT) AS p_lo,
+       |    CAST(min(CASE WHEN cum - cnt <= hi - 1 AND hi - 1 < cum THEN c END)
+       |      AS BIGINT) AS p_hi
+       |  FROM b GROUP BY event_type)
+       |SELECT event_type, n,
+       |  (CAST(tsum AS DOUBLE) / CAST(tcnt AS DOUBLE)) / 100.0
+       |    AS trimmed_mean,
+       |  (CAST(tsum + lo_mass * p_lo + hi_mass * p_hi AS DOUBLE)
+       |    / CAST(n AS DOUBLE)) / 100.0 AS winsorized_mean
+       |FROM g""".stripMargin
+
+  /** Mann–Whitney U test between the click and purchase value
+    * distributions — the rank-based location test completing the
+    * drift pair with [[ksValueDrift]] (KS is shape-sensitive,
+    * Mann–Whitney is the power-optimal rank test for a location
+    * shift). U comes from the same exact doubled-midrank frequency
+    * machinery as [[graft.pipeline.Classifier.rocAuc]] (U = AUC·n₁n₂);
+    * the normal approximation uses the tie-corrected variance
+    * σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))) with every tie-term an
+    * exact integer — FP enters only at the final z-score division,
+    * 6dp-rounded, −0.0-normalized (z is signed).
+    */
+  def mannWhitney(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val freq = Tables.events(spark, d)
+      .filter($"event_type" === "click" || $"event_type" === "purchase")
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
+      .groupBy($"c")
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("f1"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("f2"))
+    val w = Window.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val t = $"f1" + $"f2"
+    val g = freq
+      .withColumn("cb", coalesce(sum($"f1" + $"f2").over(w), lit(0L)))
+      .agg(
+        sum($"f1").as("n1"), sum($"f2").as("n2"),
+        // 2·(rank-sum of group 1): Σ f1·(2·cum_before + t + 1)
+        sum(dec($"f1") * dec(lit(2L) * $"cb" + t + 1L)).as("rs2"),
+        // tie correction Σ t³ − t over the pooled grid
+        sum(dec(t) * dec(t) * dec(t) - dec(t)).as("ties"))
+    val n = $"n1" + $"n2"
+    val u = ($"rs2" - dec($"n1") * dec($"n1" + 1L)).cast("double") / lit(2.0)
+    val mu = (dec($"n1") * dec($"n2")).cast("double") / lit(2.0)
+    val sig2 = ((dec($"n1") * dec($"n2")).cast("double") / lit(12.0)) *
+      ((n + 1L).cast("double") -
+        $"ties".cast("double") /
+          (dec(n) * dec(n - 1L)).cast("double"))
+    g.select(
+      $"n1".as("n_click"), $"n2".as("n_purchase"),
+      u.as("u"), mu.as("mu"),
+      when(sig2 > 0.0,
+        round((u - mu) / sqrt(sig2), 6) + lit(0.0))
+        .otherwise(lit(0.0)).as("z"))
+  }
+
+  private def mwOracle: String =
+    """WITH freq AS (
+      |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f2
+      |  FROM events
+      |  WHERE event_type = 'click' OR event_type = 'purchase'
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT c, f1, f2,
+      |    coalesce(sum(f1 + f2) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM freq),
+      |g AS (
+      |  SELECT CAST(sum(f1) AS BIGINT) AS n1, CAST(sum(f2) AS BIGINT) AS n2,
+      |    sum(CAST(f1 AS HUGEINT) * CAST(2 * cb + (f1 + f2) + 1 AS HUGEINT))
+      |      AS rs2,
+      |    sum(CAST(f1 + f2 AS HUGEINT) * CAST(f1 + f2 AS HUGEINT) *
+      |        CAST(f1 + f2 AS HUGEINT) - CAST(f1 + f2 AS HUGEINT)) AS ties
+      |  FROM cum)
+      |SELECT n1 AS n_click, n2 AS n_purchase,
+      |  CAST(rs2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT) AS DOUBLE)
+      |    / 2.0 AS u,
+      |  CAST(CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) AS DOUBLE) / 2.0 AS mu,
+      |  CASE WHEN
+      |    (CAST(CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) AS DOUBLE) / 12.0) *
+      |    (CAST(n1 + n2 + 1 AS DOUBLE) -
+      |     CAST(ties AS DOUBLE) /
+      |       CAST(CAST(n1 + n2 AS HUGEINT) * CAST(n1 + n2 - 1 AS HUGEINT)
+      |            AS DOUBLE)) > 0.0
+      |  THEN round(
+      |    (CAST(rs2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT) AS DOUBLE)
+      |       / 2.0 -
+      |     CAST(CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) AS DOUBLE) / 2.0) /
+      |    sqrt(
+      |      (CAST(CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) AS DOUBLE) / 12.0)
+      |      * (CAST(n1 + n2 + 1 AS DOUBLE) -
+      |         CAST(ties AS DOUBLE) /
+      |           CAST(CAST(n1 + n2 AS HUGEINT) * CAST(n1 + n2 - 1 AS HUGEINT)
+      |                AS DOUBLE))),
+      |    6) + 0.0
+      |  ELSE 0.0 END AS z
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "spearman_doc_signals" -> (spearmanDocSignals _),
+    "robust_trimmed_mean" -> (robustTrimmedMean _),
+    "mannwhitney_value_drift" -> (mannWhitney _),
     "source_js_divergence" -> (sourceJs _),
     "ks_value_drift" -> (ksValueDrift _),
     "ols_price_trend" -> (olsPriceTrend _),
@@ -1026,6 +1314,9 @@ object StatModels {
     "anomaly_mad" -> (anomalyMad _))
 
   val oracles: Map[String, String] = Map(
+    "spearman_doc_signals" -> spearmanOracle,
+    "robust_trimmed_mean" -> trimOracle,
+    "mannwhitney_value_drift" -> mwOracle,
     "source_js_divergence" -> jsOracle,
     "ks_value_drift" -> ksOracle,
     "ols_price_trend" -> olsOracle,

@@ -106,6 +106,16 @@ class PlanBudgetSpec extends SparkSpec {
     // cent-grid frequency agg + the bounded single-partition CDF
     // window + final 1-row fold (the anomaly_mad frequency discipline)
     "ks_value_drift" -> 3,
+    // same freq backbone as ks_value_drift: grid agg + bounded
+    // midrank window + final fold
+    "mannwhitney_value_drift" -> 3,
+    // (type, cent) grid agg + the type-partitioned cumulative windows
+    // + final per-type fold — all post-scan payloads grid-bounded
+    "robust_trimmed_mean" -> 3,
+    // joint (x, y) grid agg off one corpus scan + two marginal
+    // aggs with their bounded single-partition midrank windows +
+    // the count-weighted final fold on the checkpointed grid
+    "spearman_doc_signals" -> 7,
     // bigram lead window + unigram agg + pair agg + the w2-keyed
     // re-exchange into the second frequency join; every exchange
     // payload is vocabulary-keyed (map-side combined)

@@ -340,6 +340,113 @@ class StatModelsSpec extends SparkSpec {
       same.getAs[Double]("d_stat")) == 0L)
   }
 
+  test("spearman_doc_signals == naive midrank correlation; planted monotone -> 1") {
+    val r = relational.StatModels.spearmanDocSignals(spark, sf).collect()(0)
+    val pts = Tables.documents(spark, sf)
+      .select($"n_chars",
+        org.apache.spark.sql.functions.size(text.TextAnalysis.toks($"text"))
+          .cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def midranks(vs: Seq[Long]): Map[Long, Double] =
+      vs.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+    val mx = midranks(pts.map(_._1)); val my = midranks(pts.map(_._2))
+    val rp = pts.map(p => (mx(p._1), my(p._2)))
+    val n = rp.length.toDouble
+    val su = rp.map(_._1).sum; val sv = rp.map(_._2).sum
+    val suv = rp.map(p => p._1 * p._2).sum
+    val suu = rp.map(p => p._1 * p._1).sum
+    val svv = rp.map(p => p._2 * p._2).sum
+    val want = (n * suv - su * sv) /
+      math.sqrt((n * suu - su * su) * (n * svv - sv * sv))
+    assert(r.getAs[Long]("n") == pts.length)
+    assert(math.abs(r.getAs[Double]("rho") - want) < 1e-5,
+      s"rho ${r.getAs[Double]("rho")} vs naive $want")
+    // chars and token count should co-rank strongly on natural text
+    assert(r.getAs[Double]("rho") > 0.5)
+
+    // planted: y a strictly monotone function of x (distinct) -> rho = 1
+    val tmp = java.nio.file.Files.createTempDirectory("graftsp")
+    (1 to 100).map(i =>
+      (i.toLong, ("w " * i).trim, "en", "s", i.toLong * 7 + 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val mono = relational.StatModels.spearmanDocSignals(spark, tmp.toString)
+      .collect()(0)
+    assert(mono.getAs[Double]("rho") == 1.0)
+  }
+
+  test("robust_trimmed_mean == naive sorted trim/winsorize; outlier robustness") {
+    val rows = relational.StatModels.robustTrimmedMean(spark, sf).collect()
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val vs = byType(r.getAs[String]("event_type")).map(_._2).sorted
+      val n = vs.length
+      val lo = n / 20; val hi = n - n / 20
+      val kept = vs.slice(lo, hi)
+      val trimmed = kept.sum.toDouble / kept.length / 100.0
+      val win = (kept.sum + lo.toLong * vs(lo) +
+        (n - hi).toLong * vs(hi - 1)).toDouble / n / 100.0
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("trimmed_mean") - trimmed) < 1e-9,
+        s"${r.getAs[String]("event_type")}: trimmed")
+      assert(math.abs(r.getAs[Double]("winsorized_mean") - win) < 1e-9,
+        s"${r.getAs[String]("event_type")}: winsorized")
+    }
+    // planted: one wild outlier drags the mean but not the trimmed mean
+    val tmp = java.nio.file.Files.createTempDirectory("grafttrim")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    ((1 to 99).map(i => (i.toLong, ts0, 1L, "click", 10.0, "{}")) :+
+      ((100L, ts0, 1L, "click", 1000000.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val t = relational.StatModels.robustTrimmedMean(spark, tmp.toString)
+      .collect()(0)
+    assert(t.getAs[Double]("trimmed_mean") == 10.0)
+    assert(t.getAs[Double]("winsorized_mean") < 100.0)
+  }
+
+  test("mannwhitney_value_drift == naive rank-sum; planted shift moves z") {
+    val r = relational.StatModels.mannWhitney(spark, sf).collect()(0)
+    val vals = Tables.events(spark, sf)
+      .filter($"event_type" === "click" || $"event_type" === "purchase")
+      .select($"event_type", $"value").collect()
+      .map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+    val pooled = vals.map(_._2)
+    val mr = pooled.sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+    val n1 = vals.count(_._1 == "click"); val n2 = vals.length - n1
+    val r1 = vals.filter(_._1 == "click").map(x => mr(x._2)).sum
+    val u = r1 - n1.toDouble * (n1 + 1) / 2.0
+    assert(r.getAs[Long]("n_click") == n1)
+    assert(math.abs(r.getAs[Double]("u") - u) < 1e-6,
+      s"U ${r.getAs[Double]("u")} vs naive $u")
+    assert(r.getAs[Double]("mu") == n1.toDouble * n2 / 2.0)
+    // tie-corrected z against the naive variance formula
+    val nn = (n1 + n2).toDouble
+    val ties = pooled.groupBy(identity).values
+      .map(g => math.pow(g.length, 3) - g.length).sum
+    val sig2 = (n1.toDouble * n2 / 12.0) *
+      ((nn + 1) - ties / (nn * (nn - 1)))
+    val z = (u - n1.toDouble * n2 / 2.0) / math.sqrt(sig2)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5,
+      s"z ${r.getAs[Double]("z")} vs naive $z")
+    // planted: purchase values uniformly above click -> U = 0, z << 0
+    val tmp = java.nio.file.Files.createTempDirectory("graftmw")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    ((1 to 50).map(i => (i.toLong, ts0, 1L, "click", i * 1.0, "{}")) ++
+      (1 to 50).map(i => (100L + i, ts0, 1L, "purchase", 1000.0 + i, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val sh = relational.StatModels.mannWhitney(spark, tmp.toString).collect()(0)
+    assert(sh.getAs[Double]("u") == 0.0)
+    assert(sh.getAs[Double]("z") < -8.0, s"z ${sh.getAs[Double]("z")}")
+  }
+
   test("source_kl_divergence: KL >= 0 per source, all sources present") {
     val rows = relational.StatModels.sourceKl(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)
