@@ -228,7 +228,78 @@ object HeavyHitters {
     "heavy_hitter_tokens" -> (frequentTokens _),
     "cms_token_estimates" -> (cmsTokenEstimates _),
     "cms_dataflow_estimates" -> (cmsDataflowEstimates _),
-    "hll_dataflow_distinct" -> (hllDataflowDistinct _))
+    "hll_dataflow_distinct" -> (hllDataflowDistinct _),
+    "hll_intersection" -> (hllIntersection _))
+
+  /** Sketch-algebra set intersection: estimated |click ∩ view| active
+    * user-days from the per-type HLL register tables via
+    * inclusion–exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    * the UNION sketch is the cell-wise register max (the one set
+    * operation HLL supports losslessly; Flajolet '07 §4) — the
+    * mergeable-summary answer to "how many users do both" that never
+    * ships raw keys between groups. Exact companions for all three
+    * cardinalities ride along so the estimate is audited in-row.
+    *
+    * Shape: ONE distinct pass over the filtered scan (the (type, key)
+    * set, checkpointed — register build and both exact companions
+    * consume it); registers are ≤ 2×64 cells, the union merge and
+    * both estimates are bounded-table algebra; the exact-intersection
+    * companion is one keyed count (m = 2 ⇔ the user-day is in both
+    * sets, since the input is distinct per type). All register math
+    * is the exact integer form of [[hllDataflowDistinct]]; the
+    * estimate triple is rounded to whole keys BEFORE the
+    * inclusion–exclusion subtraction, so est_both is an exact BIGINT
+    * difference (signed: a sketch can go negative on tiny overlaps —
+    * that is the honest sketch answer).
+    */
+  def hllIntersection(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dk = Tables.events(spark, d)
+      .filter($"event_type" === "click" || $"event_type" === "view")
+      .select($"event_type",
+        concat($"user_id".cast("string"), lit("@"),
+          to_date($"ts").cast("string")).as("k"))
+      .distinct()
+      .localCheckpoint() // user-day-bounded; three consumers, one scan
+    val cells = dk
+      .withColumn("h", Dedup.md5Prefix32($"k", 1))
+      .withColumn("bucket", expr("h div 67108864"))
+      .withColumn("w", $"h" % 67108864)
+      .withColumn("rho",
+        when($"w" === 0, lit(27)).otherwise(lit(27) - length(bin($"w"))))
+      .groupBy($"event_type", $"bucket")
+      .agg(max($"rho").as("maxrho"))
+      .localCheckpoint() // <= 2 x 64 cells; per-type and union consumers
+    def sCol = (sum(expr(
+      "shiftleft(CAST(1 AS BIGINT), CAST(27 - maxrho AS INT))")) +
+      (lit(HllBuckets) - count(lit(1))) * lit(134217728L)).as("s")
+    val estOfS = round(lit(0.709) * lit(4096.0) * lit(134217728.0) / $"s")
+      .cast("long")
+    val perType = cells.groupBy($"event_type").agg(sCol)
+      .agg(
+        sum(when($"event_type" === "click", estOfS).otherwise(0L))
+          .as("est_click"),
+        sum(when($"event_type" === "view", estOfS).otherwise(0L))
+          .as("est_view"))
+    val union = cells.groupBy($"bucket").agg(max($"maxrho").as("maxrho"))
+      .agg(sCol)
+      .select(estOfS.as("est_union"))
+    val ex = dk.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .agg(
+        sum(when($"event_type" === "click", $"n").otherwise(0L))
+          .as("n_exact_click"),
+        sum(when($"event_type" === "view", $"n").otherwise(0L))
+          .as("n_exact_view"))
+    val both = dk.groupBy($"k").agg(count(lit(1)).as("m"))
+      .agg(sum(when($"m" === 2L, 1L).otherwise(0L)).as("n_exact_both"))
+    ex.crossJoin(broadcast(both))
+      .crossJoin(broadcast(perType))
+      .crossJoin(broadcast(union))
+      .select(
+        $"n_exact_click", $"n_exact_view", $"n_exact_both",
+        $"est_click", $"est_view", $"est_union",
+        ($"est_click" + $"est_view" - $"est_union").as("est_both"))
+  }
 
   val oracles: Map[String, String] = Map(
     "heavy_hitter_tokens" ->
@@ -259,6 +330,56 @@ object HeavyHitters {
          |SELECT p.tok, p.cnt, min(c.c) AS est
          |FROM probes p JOIN counters c USING (ri, bucket)
          |GROUP BY p.tok, p.cnt""".stripMargin,
+    "hll_intersection" ->
+      """WITH dk AS MATERIALIZED (
+        |  SELECT DISTINCT event_type,
+        |    CAST(user_id AS VARCHAR) || '@' ||
+        |    CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |         AS VARCHAR) AS k
+        |  FROM events
+        |  WHERE event_type = 'click' OR event_type = 'view'),
+        |cells AS MATERIALIZED (
+        |  SELECT event_type, h // 67108864 AS bucket,
+        |    max(CASE WHEN h % 67108864 = 0 THEN 27
+        |             ELSE 27 - length(bin(h % 67108864)) END) AS maxrho
+        |  FROM (SELECT event_type,
+        |          CAST('0x' || substring(md5(k), 1, 8) AS BIGINT) AS h
+        |        FROM dk) x
+        |  GROUP BY event_type, h // 67108864),
+        |pt AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN est ELSE 0 END)
+        |      AS BIGINT) AS est_click,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN est ELSE 0 END)
+        |      AS BIGINT) AS est_view
+        |  FROM (
+        |    SELECT event_type,
+        |      CAST(round(0.709 * 4096.0 * 134217728.0 /
+        |        (CAST(sum(CAST(1 AS BIGINT) << (27 - maxrho)) AS BIGINT)
+        |         + (64 - count(*)) * 134217728)) AS BIGINT) AS est
+        |    FROM cells GROUP BY event_type) s),
+        |un AS (
+        |  SELECT CAST(round(0.709 * 4096.0 * 134217728.0 /
+        |    (CAST(sum(CAST(1 AS BIGINT) << (27 - maxrho)) AS BIGINT)
+        |     + (64 - count(*)) * 134217728)) AS BIGINT) AS est_union
+        |  FROM (SELECT bucket, max(maxrho) AS maxrho
+        |        FROM cells GROUP BY bucket) u),
+        |ex AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN n ELSE 0 END)
+        |      AS BIGINT) AS n_exact_click,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN n ELSE 0 END)
+        |      AS BIGINT) AS n_exact_view
+        |  FROM (SELECT event_type, count(*) AS n
+        |        FROM dk GROUP BY event_type) e),
+        |bo AS (
+        |  SELECT CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_both
+        |  FROM (SELECT k, count(*) AS m FROM dk GROUP BY k) b)
+        |SELECT n_exact_click, n_exact_view, n_exact_both,
+        |  est_click, est_view, est_union,
+        |  est_click + est_view - est_union AS est_both
+        |FROM ex, bo, pt, un""".stripMargin,
     "hll_dataflow_distinct" ->
       """WITH keys AS (
         |  SELECT event_type,

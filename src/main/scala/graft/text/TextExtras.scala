@@ -221,7 +221,71 @@ object TextExtras {
           ($"va" + $"vb" - $"inter").cast("double"), 6).as("jaccard"))
   }
 
+  /** Result width of the burstiness head. */
+  val BurstTop = 30
+
+  /** Token burstiness (variance-to-mean ratio of per-document counts,
+    * the Fano factor) for the [[BurstTop]] highest-frequency tokens —
+    * the classic content-vs-function-word separator (Church & Gale
+    * 1995): a function word's occurrences are near-Poisson (VMR ≈ 1),
+    * a topical word clumps into few documents (VMR ≫ 1). The signal a
+    * keyword extractor or stopword-list builder reads alongside raw
+    * frequency.
+    *
+    * Exactness: over the FULL corpus of N docs, mean = tf/N and
+    * E[c²] = Σc²/N, so VMR = (N·Σc² − tf²)/(N·tf) — documents not
+    * containing the token contribute zero to both sums, so the
+    * per-(doc, token) aggregate never materializes zeros. All
+    * numerators are exact DECIMAL(38,0); FP is one division,
+    * 6dp-rounded (nonnegative). The head cut is TakeOrdered on
+    * (tf desc, token), never a global sort.
+    */
+  def tokenBurstiness(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docCnt = Tables.documents(spark, d).agg(count(lit(1)).as("nd"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val perDoc = Tables.documents(spark, d)
+      .select($"doc_id", explode(TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    perDoc.groupBy($"tok")
+      .agg(
+        sum($"c").as("tf"),
+        count(lit(1)).as("df"),
+        sum(dec($"c") * dec($"c")).as("sq"))
+      .crossJoin(broadcast(docCnt))
+      .select($"tok", $"tf", $"df",
+        (round((dec($"nd") * $"sq" - dec($"tf") * dec($"tf")).cast("double") /
+          (dec($"nd") * dec($"tf")).cast("double"), 6) + lit(0.0))
+          .as("vmr"))
+      .orderBy($"tf".desc, $"tok".asc)
+      .limit(BurstTop)
+  }
+
+  private def burstOracle: String =
+    s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, t AS tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                             x -> x <> '')) AS t
+       |        FROM documents) x
+       |  GROUP BY doc_id, t),
+       |g AS (
+       |  SELECT tok, CAST(sum(c) AS BIGINT) AS tf,
+       |    CAST(count(*) AS BIGINT) AS df,
+       |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sq
+       |  FROM perdoc GROUP BY tok)
+       |SELECT tok, tf, df,
+       |  round(CAST(CAST(nd AS HUGEINT) * sq -
+       |             CAST(tf AS HUGEINT) * CAST(tf AS HUGEINT) AS DOUBLE) /
+       |        CAST(CAST(nd AS HUGEINT) * CAST(tf AS HUGEINT) AS DOUBLE),
+       |        6) + 0.0 AS vmr
+       |FROM g, nd
+       |ORDER BY tf DESC, tok ASC
+       |LIMIT $BurstTop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_burstiness" -> (tokenBurstiness _),
     "text_ngram_topk" -> (ngramTopk _),
     "text_repetition" -> (repetition _),
     "text_chunks" -> (chunks _),
@@ -230,6 +294,7 @@ object TextExtras {
     "text_pii_redact" -> (piiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "token_burstiness" -> burstOracle,
     "source_vocab_overlap" ->
       """WITH st AS (
         |  SELECT DISTINCT source, tok

@@ -93,4 +93,34 @@ class HeavyHittersSpec extends SparkSpec {
         s"$et: estimate $est too far from exact $exact")
     }
   }
+
+  test("hll_intersection: inclusion-exclusion identity holds; exact companions tie out") {
+    val r = HeavyHitters.hllIntersection(spark, sf).collect()(0)
+    // exact companions against an independent driver recount
+    import org.apache.spark.sql.functions._
+    val keys = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit("@"),
+          to_date(col("ts")).cast("string")).as("k"))
+      .distinct().collect().map(x => (x.getString(0), x.getString(1)))
+    val a = keys.filter(_._1 == "click").map(_._2).toSet
+    val b = keys.filter(_._1 == "view").map(_._2).toSet
+    assert(r.getAs[Long]("n_exact_click") == a.size)
+    assert(r.getAs[Long]("n_exact_view") == b.size)
+    assert(r.getAs[Long]("n_exact_both") == (a & b).size)
+    // the estimate triple satisfies inclusion-exclusion BY CONSTRUCTION
+    assert(r.getAs[Long]("est_both") ==
+      r.getAs[Long]("est_click") + r.getAs[Long]("est_view") -
+        r.getAs[Long]("est_union"))
+    // union register merge can only lower the union estimate's s —
+    // union est >= max of the per-type ests
+    assert(r.getAs[Long]("est_union") >=
+      math.max(r.getAs[Long]("est_click"), r.getAs[Long]("est_view")))
+    // sketch regime: overlap estimate lands within coarse sketch error
+    val exact = (a & b).size
+    assert(math.abs(r.getAs[Long]("est_both") - exact).toDouble /
+      math.max(exact, 1) <= 0.8,
+      s"est_both ${r.getAs[Long]("est_both")} vs exact $exact")
+  }
 }

@@ -133,6 +133,12 @@ class PlanBudgetSpec extends SparkSpec {
     // register agg (bounded <= groups x 64 cells) + exact
     // count-distinct companion (two-phase) + group join
     "hll_dataflow_distinct" -> 4,
+    // one (type, key) distinct off the scan + register agg; the
+    // per-type/union/exact/both folds all re-aggregate the two
+    // checkpointed frames (<= 128 cells / key-set) — bounded payloads
+    "hll_intersection" -> 8,
+    // (doc, tok) agg + the vocab-keyed moment agg + TakeOrdered head
+    "token_burstiness" -> 3,
     // sketch pipelines: doc -> band/chunk -> pair
     "dedup_minhash_pairs" -> 3,
     "dedup_simhash_pairs" -> 3,
@@ -226,7 +232,9 @@ class PlanBudgetSpec extends SparkSpec {
     "theilsen_trend", // calendar-bounded pair join + 1-row slope/intercept
     "bootstrap_ci", // one-row point-estimate x one-row CI broadcast
     "graph_markov_stationary", // k-row vector x one-row total broadcast
-    "tfidf_topk") // one-row corpus doc count
+    "tfidf_topk", // one-row corpus doc count
+    "token_burstiness", // one-row corpus doc count
+    "hll_intersection") // four 1-row sketch/exact folds cross-joined
 
   test("decontam_embed is a ZERO-exchange narrow scan (the MaxCosine contract)") {
     // The r6 rewrite put the bounded eval matrix inside the expression;

@@ -616,4 +616,42 @@ class TextDedupSpec extends SparkSpec {
       .join(TextAnalysis.tokenCount(spark, sf), "doc_id").collect()
     joined.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
+
+  test("token_burstiness == naive Fano factor; planted clump vs uniform") {
+    val rows = TextExtras.tokenBurstiness(spark, sf).collect()
+    assert(rows.length == TextExtras.BurstTop)
+    val perDoc = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .flatMap(r => r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .map(t => (r.getLong(0), t)))
+    val nDocs = Tables.documents(spark, sf).count().toDouble
+    val byTok = perDoc.groupBy(_._2)
+    // descending tf with token tiebreak
+    val tfs = rows.map(r => (r.getAs[Long]("tf"), r.getAs[String]("tok")))
+    assert(tfs.sameElements(tfs.sortBy(p => (-p._1, p._2))))
+    for (r <- rows) {
+      val occs = byTok(r.getAs[String]("tok")).groupBy(_._1)
+        .map(_._2.length.toLong).toSeq
+      val tf = occs.sum
+      assert(r.getAs[Long]("tf") == tf)
+      assert(r.getAs[Long]("df") == occs.length)
+      val mean = tf / nDocs
+      val esq = occs.map(c => c.toDouble * c).sum / nDocs
+      val want = (esq - mean * mean) / mean
+      assert(math.abs(r.getAs[Double]("vmr") - want) < 1e-5,
+        s"${r.getAs[String]("tok")}: vmr ${r.getAs[Double]("vmr")} vs $want")
+    }
+    // planted: token 'u' once in every doc (VMR -> 0 as clumping
+    // vanishes); token 'z' clumped 10x in a tenth of docs (VMR >> 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graftburst")
+    (1 to 100).map(i => (i.toLong,
+      if (i <= 10) "u " + ("z " * 10).trim else "u",
+      "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = TextExtras.tokenBurstiness(spark, tmp.toString).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Double]("vmr")).toMap
+    assert(p("u") == 0.0) // exactly one per doc: zero variance
+    assert(p("z") > 5.0, s"clumped token VMR ${p("z")}")
+  }
 }
