@@ -621,7 +621,91 @@ object Analytics {
        |GROUP BY o_orderpriority""".stripMargin
   }
 
+  /** Two-proportion z-test on same-day click→purchase conversion
+    * between the two deterministic experiment arms (user_id parity —
+    * the hash-bucket assignment an experimentation platform uses) —
+    * the A/B readout every product analytics deployment runs. Unit =
+    * a user-day with ≥1 click; converted ⇔ that user-day also has ≥1
+    * purchase. Per arm: unit count, converter count, rates, and the
+    * pooled-variance z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)).
+    *
+    * Shape: ONE per-(user, day) flag aggregate (map-side combined)
+    * then a 2-row arm fold; all counts exact BIGINTs, FP only in the
+    * rate divisions and the final z, identical op order both engines,
+    * 6dp-rounded, −0.0-normalized (z is signed), degenerate pooled
+    * rate guarded to z = 0.
+    */
+  def abConversionZtest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val arms = Tables.events(spark, d)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(
+        max(when($"event_type" === "click", 1L).otherwise(0L)).as("clk"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .filter($"clk" === 1L)
+      .groupBy(($"user_id" % 2).as("arm"))
+      .agg(count(lit(1)).as("n"), sum($"conv").as("x"))
+    val g = arms.agg(
+      sum(when($"arm" === 0L, $"n").otherwise(0L)).as("n_a"),
+      sum(when($"arm" === 0L, $"x").otherwise(0L)).as("x_a"),
+      sum(when($"arm" === 1L, $"n").otherwise(0L)).as("n_b"),
+      sum(when($"arm" === 1L, $"x").otherwise(0L)).as("x_b"))
+    val pA = $"x_a".cast("double") / $"n_a".cast("double")
+    val pB = $"x_b".cast("double") / $"n_b".cast("double")
+    val pool = ($"x_a" + $"x_b").cast("double") /
+      ($"n_a" + $"n_b").cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double")))
+    g.select(
+      $"n_a", $"x_a", $"n_b", $"x_b",
+      (round(pA, 6) + lit(0.0)).as("p_a"),
+      (round(pB, 6) + lit(0.0)).as("p_b"),
+      when(se > 0.0, round((pA - pB) / se, 6) + lit(0.0))
+        .otherwise(lit(0.0)).as("z"))
+  }
+
+  private def abOracle: String =
+    """WITH conv AS (
+      |  SELECT user_id,
+      |    CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS clk,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
+      |  FROM events
+      |  GROUP BY user_id,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)),
+      |arms AS (
+      |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(conv) AS BIGINT) AS x
+      |  FROM conv WHERE clk = 1 GROUP BY 1),
+      |g AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM arms)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) + 0.0 AS p_a,
+      |  round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) + 0.0 AS p_b,
+      |  CASE WHEN sqrt(
+      |      (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+      |      (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+      |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
+      |    THEN round(
+      |      (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+      |       CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+      |      sqrt(
+      |        (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+      |        (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+      |        (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
+      |      6) + 0.0
+      |    ELSE 0.0 END AS z
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_conversion_ztest" -> (abConversionZtest _),
     "funnel_stages" -> (funnelStages _),
     "cohort_retention" -> (cohortRetention _),
     "sessions_concurrency" -> (sessionsConcurrency _),
@@ -643,6 +727,7 @@ object Analytics {
     "event_seq_topk" -> (eventSeqTopk _))
 
   val oracles: Map[String, String] = Map(
+    "ab_conversion_ztest" -> abOracle,
     "stratified_topn" ->
       s"""SELECT source, doc_id, rk FROM (
          |  SELECT source, doc_id,

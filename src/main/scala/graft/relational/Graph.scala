@@ -326,19 +326,31 @@ object Graph {
     * replays the identical unrolled iteration (the
     * [[graft.sim.Fusion]] embed_mmr unrolled-greedy convention).
     */
-  def markovStationary(spark: SparkSession, d: String): DataFrame = {
+  /** The user-journey transition matrix with raw counts, per-source
+    * totals, and the e6 fixed-point probabilities — k × k bounded,
+    * checkpointed; shared by [[markovStationary]] and
+    * [[markovEntropyRate]].
+    */
+  private def eventTransMatrix(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val wf = Window.partitionBy($"from_type")
-    val tr = graft.Tables.events(spark, d)
+    graft.Tables.events(spark, d)
       .withColumn("to_type", lead($"event_type", 1).over(wu))
       .filter($"to_type".isNotNull)
       .groupBy($"event_type".as("from_type"), $"to_type")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("tot", sum($"cnt").over(wf))
-      .select($"from_type", $"to_type",
+      .select($"from_type", $"to_type", $"cnt", $"tot",
         expr("(cnt * 1000000) div tot").as("p6"))
       .localCheckpoint() // k x k bounded; 16 iteration consumers
+  }
+
+  /** The exact-BIGINT e6 power iteration: (t, v) after
+    * [[MarkovIters]] steps from the uniform start.
+    */
+  private def stationaryE6(tr: DataFrame): DataFrame = {
+    import tr.sparkSession.implicits._
     val types = tr.select($"from_type".as("t"))
       .union(tr.select($"to_type".as("t"))).distinct().localCheckpoint()
     val nT = types.agg(count(lit(1)).as("n"))
@@ -350,6 +362,12 @@ object Graph {
         .agg(sum(expr("(v * p6) div 1000000")).as("v"))
         .select($"to_type".as("t"), $"v")
     }
+    v
+  }
+
+  def markovStationary(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val v = stationaryE6(eventTransMatrix(spark, d))
     v.crossJoin(broadcast(v.agg(sum($"v").as("vt"))))
       .select($"t".as("event_type"), $"v".as("pi_e6"),
         (round($"v".cast("double") / $"vt".cast("double"), 6) + lit(0.0))
@@ -471,7 +489,81 @@ object Graph {
        |FROM deg""".stripMargin
   }
 
+  /** Entropy rate of the user-journey Markov chain: per state s its
+    * conditional next-step entropy H(s) = −Σ_t p(s,t)·ln p(s,t) and
+    * the stationary-weighted contribution π_s·H(s), whose sum is the
+    * chain's entropy rate (Cover & Thomas ch. 4) — "how predictable is
+    * the next user action", the information-theoretic summary ABOVE
+    * [[markovStationary]]'s where-does-time-go π.
+    *
+    * Same two-phase shape: the transition matrix and π come from the
+    * shared contracted pipeline ([[eventTransMatrix]] /
+    * [[stationaryE6]] — one data-scale exchange, then k-row algebra);
+    * probabilities are exact-count ratios cnt/tot so both engines see
+    * identical doubles; the ≤ k-term entropy sums follow the
+    * [[graft.relational.StatModels.sourceKl]] 6dp association-order
+    * precedent. All outputs nonnegative.
+    */
+  def markovEntropyRate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tr = eventTransMatrix(spark, d)
+    val v = stationaryE6(tr)
+    val p = $"cnt".cast("double") / $"tot".cast("double")
+    val h = tr.groupBy($"from_type")
+      .agg(sum(-p * log(p)).as("h_raw"))
+    h.join(v.withColumnRenamed("t", "from_type"), "from_type")
+      .crossJoin(broadcast(v.agg(sum($"v").as("vt"))))
+      .select(
+        $"from_type".as("event_type"),
+        (round($"v".cast("double") / $"vt".cast("double"), 6) + lit(0.0))
+          .as("pi"),
+        (round($"h_raw", 6) + lit(0.0)).as("h_state"),
+        (round(($"v".cast("double") / $"vt".cast("double")) * $"h_raw", 6)
+          + lit(0.0)).as("h_weighted"))
+  }
+
+  private def entropyRateOracle: String = {
+    val steps = (1 to MarkovIters).map { i =>
+      s"""v$i AS (
+         |  SELECT tr.to_type AS t,
+         |    CAST(sum((v${i - 1}.v * tr.p6) // 1000000) AS BIGINT) AS v
+         |  FROM v${i - 1} JOIN tr ON v${i - 1}.t = tr.from_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS to_type
+       |  FROM events),
+       |tr AS MATERIALIZED (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT) AS tot,
+       |    (CAST(count(*) AS BIGINT) * 1000000)
+       |      // CAST(sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT)
+       |      AS p6
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |types AS (SELECT from_type AS t FROM tr UNION SELECT to_type FROM tr),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM types),
+       |v0 AS (SELECT t, CAST(1000000 // (SELECT n FROM n) AS BIGINT) AS v
+       |       FROM types),
+       |$steps,
+       |vt AS (SELECT CAST(sum(v) AS BIGINT) AS vt FROM v$MarkovIters),
+       |h AS (
+       |  SELECT from_type,
+       |    sum(-(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) *
+       |        ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))) AS h_raw
+       |  FROM tr GROUP BY from_type)
+       |SELECT h.from_type AS event_type,
+       |  round(CAST(v.v AS DOUBLE) / CAST(vt.vt AS DOUBLE), 6) + 0.0 AS pi,
+       |  round(h_raw, 6) + 0.0 AS h_state,
+       |  round((CAST(v.v AS DOUBLE) / CAST(vt.vt AS DOUBLE)) * h_raw, 6) + 0.0
+       |    AS h_weighted
+       |FROM h JOIN v$MarkovIters v ON v.t = h.from_type
+       |CROSS JOIN vt""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "markov_entropy_rate" -> (markovEntropyRate _),
     "graph_kcore" -> (kcore _),
     "graph_triangles" -> (triangles _),
     "graph_pagerank_nations" -> (pagerankNations _),
@@ -479,6 +571,7 @@ object Graph {
     "graph_reach_hops" -> (reachHops _))
 
   val oracles: Map[String, String] = Map(
+    "markov_entropy_rate" -> entropyRateOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_pagerank_nations" -> pagerankOracle,

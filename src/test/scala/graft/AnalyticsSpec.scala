@@ -357,4 +357,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length == labels * 64)
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
   }
+
+  test("ab_conversion_ztest == naive per-user recount; planted split maxes |z|") {
+    val r = relational.Analytics.abConversionZtest(spark, sf).collect()(0)
+    val users = Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day"), $"event_type").collect()
+      .map(x => ((x.getLong(0), x.getDate(1).toString), x.getString(2)))
+      .groupBy(_._1).toSeq
+      .filter(_._2.exists(_._2 == "click"))
+      .map { case ((u, _), es) => (u, es.exists(_._2 == "purchase")) }
+    val a = users.filter(_._1 % 2 == 0); val b = users.filter(_._1 % 2 == 1)
+    assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+    assert(r.getAs[Long]("x_a") == a.count(_._2))
+    assert(r.getAs[Long]("x_b") == b.count(_._2))
+    val (na, xa) = (a.size.toDouble, a.count(_._2).toDouble)
+    val (nb, xb) = (b.size.toDouble, b.count(_._2).toDouble)
+    val pool = (xa + xb) / (na + nb)
+    val se = math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    // degenerate pooled rate (0 or 1): the query's guard pins z to 0
+    val z = if (se > 0.0) (xa / na - xb / nb) / se else 0.0
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5,
+      s"z ${r.getAs[Double]("z")} vs naive $z")
+    // planted: every even user converts, no odd user does -> z maximal
+    val tmp = java.nio.file.Files.createTempDirectory("graftab")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    ((1 to 200).map(i => (i.toLong, ts0, i.toLong, "click", 1.0, "{}")) ++
+      (1 to 200).filter(_ % 2 == 0).map(i =>
+        (1000L + i, ts0, i.toLong, "purchase", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val p = relational.Analytics.abConversionZtest(spark, tmp.toString)
+      .collect()(0)
+    assert(p.getAs[Double]("p_a") == 1.0 && p.getAs[Double]("p_b") == 0.0)
+    // p-pooled = 1/2: z = 1 / sqrt(0.25 * (2/100)) = sqrt(200)
+    assert(math.abs(p.getAs[Double]("z") - math.sqrt(200.0)) < 1e-3)
+  }
 }

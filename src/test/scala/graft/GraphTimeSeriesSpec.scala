@@ -414,6 +414,40 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("markov_entropy_rate: bounds, pi ties to stationary, uniform chain planted") {
+    val rows = relational.Graph.markovEntropyRate(spark, sf).collect()
+    val pi = relational.Graph.markovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("pi")).toMap
+    val k = rows.length
+    assert(k == pi.size)
+    for (r <- rows) {
+      val h = r.getAs[Double]("h_state")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-9,
+        s"${r.getString(0)}: h_state $h out of [0, ln k]")
+      assert(r.getAs[Double]("pi") == pi(r.getString(0)))
+      val w = r.getAs[Double]("h_weighted")
+      assert(w >= 0.0 && w <= h + 1e-9)
+    }
+    // planted: uniform 2-state chain -> every h_state = ln 2, pi = 1/2,
+    // rate = ln 2
+    val tmp = java.nio.file.Files.createTempDirectory("graftent")
+    val ts0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    // one timeline a,a,b,b,a,a,b,b,…: from each state the next step is
+    // a 50/50 split (a→a, a→b, b→b, b→a all equally frequent)
+    (0 until 401).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(ts0.plusMinutes(i)), 1L,
+        if (i % 4 < 2) "a" else "b", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val u = relational.Graph.markovEntropyRate(spark, tmp.toString).collect()
+    assert(u.length == 2)
+    for (r <- u) {
+      assert(math.abs(r.getAs[Double]("h_state") - math.log(2.0)) < 1e-3,
+        s"planted h_state ${r.getAs[Double]("h_state")}")
+      assert(math.abs(r.getAs[Double]("pi") - 0.5) < 1e-3)
+    }
+  }
+
   test("EWMA with one event equals that event's value") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
       .toDF("user_id", "ts", "value")

@@ -61,6 +61,12 @@ class PlanBudgetSpec extends SparkSpec {
     // every post-scan exchange moves <= k (event-type count) rows, the
     // pagerank bounded-iteration shape — structural, not data-scale
     "graph_markov_stationary" -> 34,
+    // the stationary pipeline's 16 k-row iteration aggs + the per-state
+    // entropy agg and its k-row join — bounded-iteration structural
+    "markov_entropy_rate" -> 38,
+    // per-user conversion-flag agg (map-side combined) + 2-row arm agg
+    // + final 1-row fold
+    "ab_conversion_ztest" -> 3,
     // orders agg + 64-row resample agg + the rank window's single
     // partition (64 rows) + final fold
     "bootstrap_ci" -> 4,
@@ -232,6 +238,7 @@ class PlanBudgetSpec extends SparkSpec {
     "theilsen_trend", // calendar-bounded pair join + 1-row slope/intercept
     "bootstrap_ci", // one-row point-estimate x one-row CI broadcast
     "graph_markov_stationary", // k-row vector x one-row total broadcast
+    "markov_entropy_rate", // the same k-row x one-row total broadcast
     "tfidf_topk", // one-row corpus doc count
     "token_burstiness", // one-row corpus doc count
     "hll_intersection") // four 1-row sketch/exact folds cross-joined
