@@ -520,8 +520,13 @@ object TimeSeries {
     * the fold's op ORDER is fixed by the sorted array on both engines
     * (the cross-row-sum association hazard does not exist for a
     * sequential recursion); DuckDB replays the identical recurrence as
-    * a recursive CTE. Output is 6dp-rounded dollars, −0.0-normalized
-    * (a negative trend can round a forecast to zero from below).
+    * a recursive CTE. Output is whole CENTS as BIGINT — a 6dp round at
+    * the series' 1e9+ magnitude is engine-divergent (the identical
+    * double rounded toward a 16-significant-digit decimal target lands
+    * on adjacent doubles; observed at the 100x rehearsal, the
+    * [[tsWaveletSpectrum]] hazard), while a 0-decimal round of the
+    * same exact double is one well-defined decision on both engines
+    * (HALF_UP == half-away-from-zero for every sign).
     */
   def tsHoltForecast(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -551,19 +556,19 @@ object TimeSeries {
         explode(sequence(lit(1L), lit(HoltHorizon.toLong))).as("h"))
       .select(
         $"h", $"n_days",
-        (round($"l" / lit(100.0), 6) + lit(0.0)).as("level"),
-        (round($"b" / lit(100.0), 6) + lit(0.0)).as("trend"),
-        (round(($"l" + $"h".cast("double") * $"b") / lit(100.0), 6)
-          + lit(0.0)).as("forecast"))
+        round($"l", 0).cast("long").as("level_cents"),
+        round($"b", 0).cast("long").as("trend_cents"),
+        round($"l" + $"h".cast("double") * $"b", 0).cast("long")
+          .as("forecast_cents"))
   }
 
   private def holtOracle: String =
-    s"""WITH RECURSIVE daily AS (
+    s"""WITH RECURSIVE daily AS MATERIALIZED (
        |  SELECT CAST(o_orderdate AS DATE) AS day,
        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
        |      AS cents
        |  FROM orders GROUP BY 1),
-       |series AS (
+       |series AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY day) AS rn, cents FROM daily),
        |rec AS (
        |  SELECT 1 AS i, CAST(cents AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
@@ -580,9 +585,10 @@ object TimeSeries {
        |  SELECT i, l, b FROM rec WHERE i = (SELECT max(i) FROM rec)),
        |hs AS (SELECT unnest(range(1, ${HoltHorizon + 1})) AS h)
        |SELECT CAST(h AS BIGINT) AS h, CAST(i AS BIGINT) AS n_days,
-       |  round(l / 100.0, 6) + 0.0 AS level,
-       |  round(b / 100.0, 6) + 0.0 AS trend,
-       |  round((l + CAST(h AS DOUBLE) * b) / 100.0, 6) + 0.0 AS forecast
+       |  CAST(round(l, 0) AS BIGINT) AS level_cents,
+       |  CAST(round(b, 0) AS BIGINT) AS trend_cents,
+       |  CAST(round(l + CAST(h AS DOUBLE) * b, 0) AS BIGINT)
+       |    AS forecast_cents
        |FROM hs, fin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

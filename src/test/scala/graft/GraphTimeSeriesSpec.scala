@@ -391,10 +391,10 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
     for (r <- rows) {
       val h = r.getAs[Long]("h")
-      val want = BigDecimal((l + h * tr) / 100.0)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(math.abs(r.getAs[Double]("forecast") - want) < 1e-6,
-        s"h=$h: ${r.getAs[Double]("forecast")} vs replay $want")
+      val want = BigDecimal(l + h * tr)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(r.getAs[Long]("forecast_cents") == want,
+        s"h=$h: ${r.getAs[Long]("forecast_cents")} vs replay $want")
       assert(r.getAs[Long]("n_days") == cents.length)
     }
     // constant series: level == the constant, trend 0, forecasts flat
@@ -407,10 +407,8 @@ class GraphTimeSeriesSpec extends SparkSpec {
     val flat = relational.TimeSeries.tsHoltForecast(spark, tmp.toString)
       .collect()
     for (r <- flat) {
-      assert(r.getAs[Double]("forecast") == 500.0)
-      assert(r.getAs[Double]("trend") == 0.0)
-      assert(java.lang.Double.doubleToRawLongBits(
-        r.getAs[Double]("trend")) == 0L)
+      assert(r.getAs[Long]("forecast_cents") == 50000L)
+      assert(r.getAs[Long]("trend_cents") == 0L)
     }
   }
 
