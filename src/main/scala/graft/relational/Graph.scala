@@ -562,7 +562,52 @@ object Graph {
        |CROSS JOIN vt""".stripMargin
   }
 
+  /** Next-event prediction accuracy of the first-order chain: per
+    * state the argmax transition (tie-broken to the lexicographically
+    * first successor) and the accuracy of always predicting it —
+    * exactly max(cnt)/tot, the majority-successor baseline every
+    * sequence model must beat before it earns its parameters. Bounded
+    * k×k algebra on the shared [[eventTransMatrix]]; counts exact,
+    * accuracy one division, 6dp.
+    */
+  def markovPredictionAccuracy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tr = eventTransMatrix(spark, d)
+    val w = Window.partitionBy($"from_type")
+      .orderBy($"cnt".desc, $"to_type".asc)
+    tr.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select(
+        $"from_type".as("event_type"),
+        $"to_type".as("predicted_next"),
+        $"tot".as("n"),
+        $"cnt".as("n_correct"),
+        (round($"cnt".cast("double") / $"tot".cast("double"), 6) + lit(0.0))
+          .as("accuracy"))
+  }
+
+  private def predAccOracle: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT) AS tot
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (
+      |  SELECT from_type, to_type, cnt, tot,
+      |    row_number() OVER (PARTITION BY from_type
+      |                       ORDER BY cnt DESC, to_type ASC) AS rk
+      |  FROM tr)
+      |SELECT from_type AS event_type, to_type AS predicted_next,
+      |  tot AS n, cnt AS n_correct,
+      |  round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS accuracy
+      |FROM r WHERE rk = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "markov_prediction_accuracy" -> (markovPredictionAccuracy _),
     "markov_entropy_rate" -> (markovEntropyRate _),
     "graph_kcore" -> (kcore _),
     "graph_triangles" -> (triangles _),
@@ -571,6 +616,7 @@ object Graph {
     "graph_reach_hops" -> (reachHops _))
 
   val oracles: Map[String, String] = Map(
+    "markov_prediction_accuracy" -> predAccOracle,
     "markov_entropy_rate" -> entropyRateOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_triangles" -> trianglesOracle,

@@ -191,12 +191,82 @@ object Skew {
         ($"offset" + $"local_sess" - $"merged").as("session_id"))
   }
 
+  /** Key-skew report over the catalog's three hot join/aggregate key
+    * families (orders.o_custkey, lineitem.l_suppkey, events.user_id) —
+    * the operational diagnostic that decides WHEN the salted twins
+    * ([[skewSaltedAgg]]/[[skewSaltedJoin]]) and bucketed windows
+    * ([[sessionizeBucketed]]) are worth their extra exchange: per key
+    * family its row count, distinct keys, the heaviest key and its
+    * count, top-key share of all rows, and the skew factor
+    * max·distinct/n (1.0 = perfectly uniform; the straggler multiplier
+    * a plain hash partition suffers).
+    *
+    * Shape per family: one key-frequency aggregate (map-side combined)
+    * + a 1-row fold; the heaviest key is located by a broadcast
+    * max-count filter with min-key tie-break (deterministic, never an
+    * unordered arg_max). All counts exact; the two ratios are single
+    * divisions, 6dp.
+    */
+  def skewReport(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def famReport(name: String, keys: DataFrame): DataFrame = {
+      val freq = keys.groupBy($"k").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // key-domain-bounded; two consumers
+      val g = freq.agg(
+        sum($"cnt").as("n"), count(lit(1)).as("n_keys"),
+        max($"cnt").as("max_cnt"))
+      val hot = freq.join(broadcast(g.select($"max_cnt".as("mc"))),
+        $"cnt" === $"mc")
+        .agg(min($"k").as("hot_key"))
+      g.crossJoin(broadcast(hot))
+        .select(
+          lit(name).as("key_family"),
+          $"n", $"n_keys", $"hot_key", $"max_cnt",
+          (round($"max_cnt".cast("double") / $"n".cast("double"), 6)
+            + lit(0.0)).as("top_share"),
+          (round($"max_cnt".cast("double") * $"n_keys".cast("double") /
+            $"n".cast("double"), 6) + lit(0.0)).as("skew_factor"))
+    }
+    famReport("orders.custkey",
+      Tables.orders(spark, d).select($"o_custkey".as("k")))
+      .unionAll(famReport("lineitem.suppkey",
+        Tables.lineitem(spark, d).select($"l_suppkey".as("k"))))
+      .unionAll(famReport("events.user_id",
+        Tables.events(spark, d).select($"user_id".as("k"))))
+  }
+
+  private def skewReportOracle: String = {
+    def fam(name: String, col: String, table: String): String =
+      s"""SELECT '$name' AS key_family,
+         |  CAST(sum(cnt) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  (SELECT min(k) FROM
+         |    (SELECT $col AS k, count(*) AS cnt FROM $table GROUP BY 1) h
+         |   WHERE cnt = (SELECT max(cnt) FROM
+         |     (SELECT $col AS k, count(*) AS cnt FROM $table GROUP BY 1) m))
+         |    AS hot_key,
+         |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         |    + 0.0 AS top_share,
+         |  round(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) /
+         |        CAST(sum(cnt) AS DOUBLE), 6) + 0.0 AS skew_factor
+         |FROM (SELECT $col AS k, count(*) AS cnt FROM $table GROUP BY 1) f"""
+        .stripMargin
+    s"""${fam("orders.custkey", "o_custkey", "orders")}
+       |UNION ALL
+       |${fam("lineitem.suppkey", "l_suppkey", "lineitem")}
+       |UNION ALL
+       |${fam("events.user_id", "user_id", "events")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_report" -> (skewReport _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "sessionize_bucketed" -> (sessionizeBucketed _))
 
   val oracles: Map[String, String] = Map(
+    "skew_report" -> skewReportOracle,
     "skew_salted_agg" ->
       """SELECT CASE WHEN event_id % 10 < 7 THEN 'hot'
         |            ELSE CAST(user_id AS VARCHAR) END AS skey,

@@ -229,7 +229,59 @@ object HeavyHitters {
     "cms_token_estimates" -> (cmsTokenEstimates _),
     "cms_dataflow_estimates" -> (cmsDataflowEstimates _),
     "hll_dataflow_distinct" -> (hllDataflowDistinct _),
-    "hll_intersection" -> (hllIntersection _))
+    "hll_intersection" -> (hllIntersection _),
+    "cms_join_size" -> (cmsJoinSize _))
+
+  /** Sketch-based equi-join size estimation (the AGMS/CMS inner-product
+    * estimator, Alon–Gibbons–Matias–Szegedy '99 / Cormode &
+    * Muthukrishnan '05 §4.2): |A ⋈ B| = Σ_k f_A(k)·f_B(k) estimated as
+    * min over lanes of the counter-table inner product Σ_i a[i]·b[i] —
+    * what a cost-based optimizer consults BEFORE committing to a join
+    * strategy, estimated from two constant-size sketches without
+    * shipping either key set. Estimate is an upper bound (colliding
+    * keys only add mass; spec-asserted).
+    *
+    * Probe streams: events.user_id vs orders.o_custkey (the
+    * user-activity ⋈ customer-orders join). Each side collapses to the
+    * ≤ depth×width counter table (map-side combined, constant shuffle
+    * payload at ANY corpus size); the inner product is a bounded-table
+    * join. The exact companion folds the two key-frequency tables —
+    * vocab-sized, the one data-scale exchange per side. Products are
+    * exact DECIMAL(38,0)/HUGEINT; sizes are emitted as LOSSLESS decimal
+    * strings (the [[graft.relational.TimeSeries]] wavelet convention —
+    * a join size at 100 TB exceeds both int64 and exact-double range);
+    * the ratio is one division, 6dp.
+    */
+  def cmsJoinSize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val a = Tables.events(spark, d).select($"user_id".cast("string").as("k"))
+    val b = Tables.orders(spark, d).select($"o_custkey".cast("string").as("k"))
+    def sketch(s: org.apache.spark.sql.DataFrame) = s
+      .select(posexplode(cmsBuckets(col("k"))).as(Seq("ri", "bucket")))
+      .groupBy($"ri", $"bucket").agg(count(lit(1)).as("c"))
+    val est = sketch(a).withColumnRenamed("c", "ca")
+      .join(sketch(b).withColumnRenamed("c", "cb"), Seq("ri", "bucket"))
+      .groupBy($"ri").agg(sum(dec($"ca") * dec($"cb")).as("lane"))
+      .agg(min($"lane").as("est_size"))
+    val exact = a.groupBy($"k").agg(count(lit(1)).as("fa"))
+      .join(b.groupBy($"k").agg(count(lit(1)).as("fb")), "k")
+      .agg(coalesce(sum(dec($"fa") * dec($"fb")), dec(lit(0L)))
+        .as("exact_size"))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    na.crossJoin(broadcast(nb))
+      .crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+      .select(
+        $"n_a", $"n_b",
+        $"exact_size".cast("string").as("exact_size"),
+        $"est_size".cast("string").as("est_size"),
+        // disjoint key sets (exact 0) would divide by zero: pin to 0
+        when($"exact_size" > 0,
+          round($"est_size".cast("double") / $"exact_size".cast("double"), 6)
+            + lit(0.0))
+          .otherwise(lit(0.0)).as("overcount_ratio"))
+  }
 
   /** Sketch-algebra set intersection: estimated |click ∩ view| active
     * user-days from the per-type HLL register tables via
@@ -330,6 +382,46 @@ object HeavyHitters {
          |SELECT p.tok, p.cnt, min(c.c) AS est
          |FROM probes p JOIN counters c USING (ri, bucket)
          |GROUP BY p.tok, p.cnt""".stripMargin,
+    "cms_join_size" ->
+      s"""WITH a AS MATERIALIZED (
+         |  SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |b AS MATERIALIZED (
+         |  SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+         |rows_ AS (SELECT unnest(range($CmsDepth)) AS ri),
+         |sa AS (
+         |  SELECT ri,
+         |    CAST('0x' || substring(md5(k), 1 + 8*ri, 8) AS BIGINT) % $CmsWidth
+         |      AS bucket,
+         |    CAST(count(*) AS BIGINT) AS ca
+         |  FROM a, rows_ GROUP BY 1, 2),
+         |sb AS (
+         |  SELECT ri,
+         |    CAST('0x' || substring(md5(k), 1 + 8*ri, 8) AS BIGINT) % $CmsWidth
+         |      AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cb
+         |  FROM b, rows_ GROUP BY 1, 2),
+         |est AS (
+         |  SELECT min(lane) AS est_size FROM (
+         |    SELECT sa.ri, sum(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT))
+         |      AS lane
+         |    FROM sa JOIN sb ON sa.ri = sb.ri AND sa.bucket = sb.bucket
+         |    GROUP BY sa.ri) l),
+         |ex AS (
+         |  SELECT coalesce(sum(CAST(fa AS HUGEINT) * CAST(fb AS HUGEINT)),
+         |                  CAST(0 AS HUGEINT)) AS exact_size
+         |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS fa FROM a GROUP BY k) x
+         |  JOIN (SELECT k, CAST(count(*) AS BIGINT) AS fb FROM b GROUP BY k) y
+         |    USING (k)),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b)
+         |SELECT n_a, n_b,
+         |  CAST(exact_size AS VARCHAR) AS exact_size,
+         |  CAST(est_size AS VARCHAR) AS est_size,
+         |  CASE WHEN exact_size > 0
+         |       THEN round(CAST(est_size AS DOUBLE)
+         |                  / CAST(exact_size AS DOUBLE), 6) + 0.0
+         |       ELSE 0.0 END AS overcount_ratio
+         |FROM na, nb, ex, est""".stripMargin,
     "hll_intersection" ->
       """WITH dk AS MATERIALIZED (
         |  SELECT DISTINCT event_type,

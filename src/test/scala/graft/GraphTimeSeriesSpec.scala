@@ -446,6 +446,41 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("markov_prediction_accuracy: argmax cell, accuracy in (0,1]; deterministic chain -> 1") {
+    val rows = relational.Graph.markovPredictionAccuracy(spark, sf).collect()
+    // naive transition recount
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._2, e._3)).map(_._4)
+      o.zip(o.drop(1))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    for (r <- rows) {
+      val from = r.getAs[String]("event_type")
+      val outs = trans.filter(_._1._1 == from)
+      val tot = outs.values.sum
+      val best = outs.toSeq.sortBy { case ((_, t), c) => (-c, t) }.head
+      assert(r.getAs[String]("predicted_next") == best._1._2)
+      assert(r.getAs[Long]("n") == tot)
+      assert(r.getAs[Long]("n_correct") == best._2)
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc > 0.0 && acc <= 1.0)
+    }
+    // planted deterministic cycle a->b->a: accuracy exactly 1.0
+    val tmp = java.nio.file.Files.createTempDirectory("graftpred")
+    val ts0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    (0 until 100).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(ts0.plusMinutes(i)), 1L,
+        if (i % 2 == 0) "a" else "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val det = relational.Graph.markovPredictionAccuracy(spark, tmp.toString)
+      .collect()
+    for (r <- det) assert(r.getAs[Double]("accuracy") == 1.0)
+  }
+
   test("EWMA with one event equals that event's value") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
       .toDF("user_id", "ts", "value")

@@ -123,4 +123,23 @@ class HeavyHittersSpec extends SparkSpec {
       math.max(exact, 1) <= 0.8,
       s"est_both ${r.getAs[Long]("est_both")} vs exact $exact")
   }
+
+  test("cms_join_size: exact == naive inner product; estimate never undercounts") {
+    val r = HeavyHitters.cmsJoinSize(spark, sf).collect()(0)
+    val fa = Tables.events(spark, sf).select(col("user_id")).collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val fb = Tables.orders(spark, sf).select(col("o_custkey")).collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val exact = fa.keys.map(k => fa(k) * fb.getOrElse(k, 0L)).sum
+    assert(r.getAs[String]("exact_size").toLong == exact)
+    assert(r.getAs[Long]("n_a") == fa.values.sum)
+    assert(r.getAs[Long]("n_b") == fb.values.sum)
+    // CMS inner product only ADDS colliding mass: est >= exact always
+    val est = BigInt(r.getAs[String]("est_size"))
+    assert(est >= BigInt(exact), s"undercount: $est < $exact")
+    assert(r.getAs[Double]("overcount_ratio") >= 1.0)
+    // and within the width bound's coarse regime on the fixture
+    assert(r.getAs[Double]("overcount_ratio") < 3.0,
+      s"ratio ${r.getAs[Double]("overcount_ratio")} suspiciously loose")
+  }
 }

@@ -145,6 +145,17 @@ class PlanBudgetSpec extends SparkSpec {
     "hll_intersection" -> 8,
     // (doc, tok) agg + the vocab-keyed moment agg + TakeOrdered head
     "token_burstiness" -> 3,
+    // two constant-size sketch aggs + the bounded inner-product join,
+    // plus the exact companion's two key-frequency aggs and fold and
+    // the two row-count folds — every post-scan payload is
+    // sketch-bounded or key-domain-bounded
+    "cms_join_size" -> 12,
+    // user-timeline window + k x k transition agg + the bounded
+    // argmax window
+    "markov_prediction_accuracy" -> 4,
+    // three families x (key-frequency agg + 1-row fold + broadcast
+    // hot-key locate) unioned — key-domain-bounded payloads
+    "skew_report" -> 12,
     // sketch pipelines: doc -> band/chunk -> pair
     "dedup_minhash_pairs" -> 3,
     "dedup_simhash_pairs" -> 3,
@@ -241,7 +252,9 @@ class PlanBudgetSpec extends SparkSpec {
     "markov_entropy_rate", // the same k-row x one-row total broadcast
     "tfidf_topk", // one-row corpus doc count
     "token_burstiness", // one-row corpus doc count
-    "hll_intersection") // four 1-row sketch/exact folds cross-joined
+    "hll_intersection", // four 1-row sketch/exact folds cross-joined
+    "cms_join_size", // four 1-row size/estimate folds cross-joined
+    "skew_report") // per-family 1-row hot-key fold cross-joined
 
   test("decontam_embed is a ZERO-exchange narrow scan (the MaxCosine contract)") {
     // The r6 rewrite put the bounded eval matrix inside the expression;

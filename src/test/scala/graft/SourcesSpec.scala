@@ -277,6 +277,47 @@ class SourcesSpec extends SparkSpec {
       "salting must drive a shuffled join, not a broadcast")
   }
 
+  test("skew_report == naive frequency recount; planted hot key dominates") {
+    val rows = relational.Skew.skewReport(spark, sf).collect()
+      .map(r => r.getAs[String]("key_family") -> r).toMap
+    assert(rows.size == 3)
+    val users = Tables.events(spark, sf).select($"user_id").collect()
+      .map(_.getLong(0))
+    val freq = users.groupBy(identity).map { case (k, v) => k -> v.length }
+    val r = rows("events.user_id")
+    assert(r.getAs[Long]("n") == users.length)
+    assert(r.getAs[Long]("n_keys") == freq.size)
+    val maxCnt = freq.values.max
+    assert(r.getAs[Long]("max_cnt") == maxCnt)
+    assert(r.getAs[Long]("hot_key") ==
+      freq.filter(_._2 == maxCnt).keys.min)
+    assert(math.abs(r.getAs[Double]("skew_factor") -
+      maxCnt.toDouble * freq.size / users.length) < 1e-5)
+    // planted: one user owns 90% of events -> skew_factor ~ 0.9 * keys
+    val tmp = java.nio.file.Files.createTempDirectory("graftskewr")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (1 to 100).map(i => (i.toLong, ts0,
+      if (i <= 90) 7L else i.toLong, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // orders/lineitem stubs so the other two families still scan
+    (1 to 10).map(i => (i.toLong, i.toLong,
+      java.sql.Date.valueOf("2024-01-01"), 1.0, "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    (1 to 10).map(i => (i.toLong, i.toLong, 1.0, 1.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val p = relational.Skew.skewReport(spark, tmp.toString).collect()
+      .map(x => x.getAs[String]("key_family") -> x).toMap
+    val pu = p("events.user_id")
+    assert(pu.getAs[Long]("hot_key") == 7L)
+    assert(pu.getAs[Double]("top_share") == 0.9)
+    assert(pu.getAs[Double]("skew_factor") == 0.9 * pu.getAs[Long]("n_keys"))
+  }
+
   test("native dot_f64 == interpreted zip_with dot (and codegen compiles)") {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sf)
