@@ -1122,10 +1122,52 @@ object Dedup {
        |       (10000 * (mx - dist)) // mx AS edit_sim_e4
        |FROM v WHERE (10000 * (mx - dist)) // mx >= $MinEditSimE4""".stripMargin
 
+  /** Blocking-quality evaluation of the MinHash-LSH candidate
+    * generator against the blocked-Jaccard ≥ 0.5 ground truth — the
+    * two numbers that justify ANY blocking scheme (Christen, "Data
+    * Matching" ch. 7): pair completeness = |truth ∩ candidates| /
+    * |truth| (recall of the blocker — what the S-curve analysis
+    * promises, here MEASURED), and reduction ratio = 1 − |candidates|
+    * / C(n,2) (how much of the quadratic pair space the blocker never
+    * touches — the entire economic case for LSH at 100 TB).
+    *
+    * Shape: both pair pipelines are the catalog's existing
+    * candidate-bounded dataflows; the eval adds one pair-keyed join of
+    * two narrow (a, b) sets + three 1-row folds. C(n,2) is computed in
+    * DECIMAL(38,0) (quadratic in corpus size — int64 overflows past
+    * ~4.3e9 docs) and only then divided; ratios 6dp, guarded for the
+    * empty-truth corpus.
+    */
+  def blockingEval(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val truth = jaccardPairs(spark, d).filter($"jacc" >= 0.5)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val cand = minhashPairs(spark, d)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nH = truth.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val nD = Tables.documents(spark, d).agg(count(lit(1)).as("n_docs"))
+    nD.crossJoin(broadcast(nT)).crossJoin(broadcast(nC))
+      .crossJoin(broadcast(nH))
+      .select(
+        $"n_docs", $"n_truth", $"n_cand", $"n_hit",
+        when($"n_truth" > 0L,
+          round($"n_hit".cast("double") / $"n_truth".cast("double"), 6)
+            + lit(0.0))
+          .otherwise(lit(0.0)).as("pair_completeness"),
+        (round(lit(1.0) - $"n_cand".cast("double") /
+          (dec($"n_docs") * dec($"n_docs" - 1L) / dec(lit(2L)))
+            .cast("double"), 6) + lit(0.0)).as("reduction_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_containment" -> (containmentPairs _),
     "dedup_edit_pairs" -> (editPairs _),
     "dedup_exact" -> (exact _),
+    "dedup_blocking_eval" -> (blockingEval _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_incremental_admit" -> (incrementalAdmission _),
     "dedup_incremental_pairs" -> (incrementalMinhashPairs _),
@@ -1135,6 +1177,77 @@ object Dedup {
     "dedup_span_extents" -> (spanExtents _),
     "dedup_span_scrub" -> (spanScrub _),
     "dedup_winnow_pairs" -> (winnowPairs _))
+
+  /** Composes the jaccard-pair and minhash-pair oracle CTE chains and
+    * folds the four counts + two ratios.
+    */
+  private def blockingEvalOracle: String = {
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $MinhashPrime) AS m$i"
+    }.mkString(",\n    ")
+    val bandBranches = (0 until Bands).map { t =>
+      val key = (0 until Rows).map(i => s"m${t * Rows + i}").mkString("[", ",", "]")
+      s"SELECT doc_id, $t AS band, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, list_distinct(t) AS dt, t[1] AS b1,
+       |         CAST(floor(len(t) / 10) AS BIGINT) AS b2, t
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |        FROM documents) x),
+       |dd AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY b1, b2) AS bsz FROM d0) y
+       |  WHERE bsz <= $MaxBucket),
+       |truth AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM dd a JOIN dd b
+       |    ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_filter(a.dt, x -> list_contains(b.dt, x)))
+       |          AS DOUBLE) /
+       |        (len(a.dt) + len(b.dt)
+       |         - len(list_filter(a.dt, x -> list_contains(b.dt, x))))
+       |        >= 0.5),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(len(t) - 2),
+       |           i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+       |  FROM d0 WHERE len(t) >= 3),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |$bandBranches),
+       |cb AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, band, band_key,
+       |           count(*) OVER (PARTITION BY band, band_key) AS bsz
+       |    FROM bands) x
+       |  WHERE bsz > 1 AND bsz <= $MaxBucket),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM cb a JOIN cb b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |       AND a.doc_id < b.doc_id),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+       |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |       FROM truth JOIN cand USING (doc_a, doc_b)),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT n_docs, n_truth, n_cand, n_hit,
+       |  CASE WHEN n_truth > 0
+       |       THEN round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+       |            + 0.0
+       |       ELSE 0.0 END AS pair_completeness,
+       |  round(1.0 - CAST(n_cand AS DOUBLE) /
+       |        CAST((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2 AS DOUBLE),
+       |        6) + 0.0 AS reduction_ratio
+       |FROM nd, nt, nc, nh""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_containment" -> containOracle,
@@ -1176,6 +1289,7 @@ object Dedup {
         |       min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents
         |GROUP BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+    "dedup_blocking_eval" -> blockingEvalOracle,
     "dedup_jaccard_pairs" ->
       """WITH d0 AS (
         |  SELECT doc_id, list_distinct(t) AS dt, t[1] AS b1,

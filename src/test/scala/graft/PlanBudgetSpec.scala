@@ -158,6 +158,10 @@ class PlanBudgetSpec extends SparkSpec {
     "skew_report" -> 12,
     // sketch pipelines: doc -> band/chunk -> pair
     "dedup_minhash_pairs" -> 3,
+    // composes the jaccard-truth and minhash-candidate pipelines
+    // (both candidate-bounded) + the pair-keyed hit join and four
+    // 1-row folds
+    "dedup_blocking_eval" -> 12,
     "dedup_simhash_pairs" -> 3,
     // gram window on doc_id -> gram-hash buckets -> doc-pair diagonal
     // (island window + extent agg share the third exchange)
@@ -254,6 +258,7 @@ class PlanBudgetSpec extends SparkSpec {
     "token_burstiness", // one-row corpus doc count
     "hll_intersection", // four 1-row sketch/exact folds cross-joined
     "cms_join_size", // four 1-row size/estimate folds cross-joined
+    "dedup_blocking_eval", // four 1-row count folds cross-joined
     "skew_report") // per-family 1-row hot-key fold cross-joined
 
   test("decontam_embed is a ZERO-exchange narrow scan (the MaxCosine contract)") {

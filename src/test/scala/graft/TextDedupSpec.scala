@@ -617,6 +617,38 @@ class TextDedupSpec extends SparkSpec {
     joined.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
 
+  test("dedup_blocking_eval == recount of the two pipelines; exact dupes give PC=1") {
+    val r = Dedup.blockingEval(spark, sf).collect()(0)
+    val truth = Dedup.jaccardPairs(spark, sf).filter($"jacc" >= 0.5)
+      .select($"doc_a", $"doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val cand = Dedup.minhashPairs(spark, sf).select($"doc_a", $"doc_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("n_truth") == truth.size)
+    assert(r.getAs[Long]("n_cand") == cand.size)
+    assert(r.getAs[Long]("n_hit") == (truth & cand).size)
+    assert(r.getAs[Long]("n_hit") <=
+      math.min(r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand")))
+    val rr = 1.0 - cand.size.toDouble / (nDocs.toDouble * (nDocs - 1) / 2)
+    assert(math.abs(r.getAs[Double]("reduction_ratio") - rr) < 1e-5)
+
+    // planted: 10 identical-text pairs + unique fillers -> every truth
+    // pair is an exact dup, so each collides in EVERY band: PC = 1.0
+    val tmp = java.nio.file.Files.createTempDirectory("graftblk")
+    val dup = (0 until 10).flatMap(i => Seq(
+      (i * 2L, s"alpha beta gamma delta epsilon zeta eta theta clone$i x", "en", "s", 1L),
+      (i * 2L + 1, s"alpha beta gamma delta epsilon zeta eta theta clone$i x", "en", "s", 1L)))
+    val fill = (100 until 120).map(i =>
+      (i.toLong, s"unique$i solo$i words$i only$i here$i now$i", "en", "s", 1L))
+    (dup ++ fill).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = Dedup.blockingEval(spark, tmp.toString).collect()(0)
+    assert(p.getAs[Long]("n_truth") >= 10)
+    assert(p.getAs[Double]("pair_completeness") == 1.0,
+      s"PC ${p.getAs[Double]("pair_completeness")}")
+  }
+
   test("token_burstiness == naive Fano factor; planted clump vs uniform") {
     val rows = TextExtras.tokenBurstiness(spark, sf).collect()
     assert(rows.length == TextExtras.BurstTop)
