@@ -591,7 +591,145 @@ object TimeSeries {
        |    AS forecast_cents
        |FROM hs, fin""".stripMargin
 
+  /** Time-weighted average value per user (TWAP — the finance/metrics
+    * staple that plain AVG gets wrong on irregular event spacing: a
+    * value held for an hour must weigh 60× one held for a minute):
+    * Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t₁) over each user's timeline, step
+    * interpolation.
+    *
+    * Exactness: weights are exact epoch-microsecond deltas, values
+    * exact cents; each product micros×cents can pass int64 (a
+    * multi-year hold × a large value), so products and sums ride
+    * DECIMAL(38,0)/HUGEINT; ONE user-keyed window (lead) + one
+    * aggregate, FP only at the final division. Single-event users
+    * (zero span) are excluded — a TWAP over zero time is undefined.
+    */
+  def twapUserValue(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("t"),
+        round($"value" * 100, 0).cast("long").as("c"), $"event_id")
+      .withColumn("t2", lead($"t", 1).over(w))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"t2".isNotNull, dec($"c") * dec($"t2" - $"t"))
+          .otherwise(dec(lit(0L)))).as("wsum"),
+        (max($"t") - min($"t")).as("span"))
+      .filter($"span" > 0L)
+      .select($"user_id", $"n_events",
+        (($"wsum".cast("double") / $"span".cast("double")) / lit(100.0))
+          .as("twap"))
+  }
+
+  private def twapOracle: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS c,
+      |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    sum(CASE WHEN t2 IS NOT NULL
+      |             THEN CAST(c AS HUGEINT) * CAST(t2 - t AS HUGEINT)
+      |             ELSE CAST(0 AS HUGEINT) END) AS wsum,
+      |    CAST(max(t) - min(t) AS BIGINT) AS span
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  (CAST(wsum AS DOUBLE) / CAST(span AS DOUBLE)) / 100.0 AS twap
+      |FROM g WHERE span > 0""".stripMargin
+
+  /** Exact click→purchase conversion-delay quantiles (p50/p90/p99 in
+    * seconds) over the as-of pairs ([[RelQueries.asofPurchaseClick]]'s
+    * running-conditional-max shape — no join): the latency
+    * distribution an attribution window is calibrated against.
+    *
+    * The delay domain is calendar-bounded seconds, so quantiles are
+    * order statistics located by cumulative counts over the bounded
+    * frequency grid (the [[StatModels.robustTrimmedMean]] discipline —
+    * never a global sort, never a per-group value buffer): the q-th
+    * statistic sits at 0-based position (n−1)·q_num div q_den. All
+    * integers end to end; the mean is the one division.
+    */
+  def conversionDelayQuantiles(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val delays = Tables.events(spark, d)
+      .withColumn("last_click",
+        max(when($"event_type" === "click", unix_micros($"ts"))).over(wu))
+      .filter($"event_type" === "purchase" && $"last_click".isNotNull)
+      // integer div, not `/`: Column `/` is double division, whose
+      // nearest-rounding can cross an integer boundary before the cast
+      .withColumn("us", unix_micros($"ts") - $"last_click")
+      .select(expr("us div 1000000").as("s"))
+    val freq = delays.groupBy($"s").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    def statAt(posNum: Long, posDen: Long) =
+      min(when($"cum" - $"cnt" <= expr(s"((n - 1) * $posNum) div $posDen") &&
+        expr(s"((n - 1) * $posNum) div $posDen") < $"cum", $"s"))
+    freq
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .agg(
+        first($"n").as("n"),
+        statAt(1L, 2L).as("p50_s"),
+        statAt(9L, 10L).as("p90_s"),
+        statAt(99L, 100L).as("p99_s"),
+        sum($"s" * $"cnt").as("ssum"))
+      .select($"n", $"p50_s", $"p90_s", $"p99_s",
+        (round($"ssum".cast("double") / $"n".cast("double"), 6) + lit(0.0))
+          .as("mean_s"))
+  }
+
+  private def delayOracle: String =
+    """WITH delays AS (
+      |  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) - last_click) // 1000000)
+      |    AS s
+      |  FROM (
+      |    SELECT ts, event_type,
+      |      max(CASE WHEN event_type = 'click'
+      |               THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        AS last_click
+      |    FROM events) t
+      |  WHERE event_type = 'purchase' AND last_click IS NOT NULL),
+      |freq AS (
+      |  SELECT CAST(s AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM delays GROUP BY 1),
+      |c AS (
+      |  SELECT s, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |  FROM freq)
+      |SELECT CAST(first(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN cum - cnt <= ((n - 1) * 1) // 2
+      |                 AND ((n - 1) * 1) // 2 < cum THEN s END) AS BIGINT)
+      |    AS p50_s,
+      |  CAST(min(CASE WHEN cum - cnt <= ((n - 1) * 9) // 10
+      |                 AND ((n - 1) * 9) // 10 < cum THEN s END) AS BIGINT)
+      |    AS p90_s,
+      |  CAST(min(CASE WHEN cum - cnt <= ((n - 1) * 99) // 100
+      |                 AND ((n - 1) * 99) // 100 < cum THEN s END) AS BIGINT)
+      |    AS p99_s,
+      |  round(CAST(sum(s * cnt) AS DOUBLE) / CAST(first(n) AS DOUBLE), 6)
+      |    + 0.0 AS mean_s
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "twap_user_value" -> (twapUserValue _),
+    "conversion_delay_quantiles" -> (conversionDelayQuantiles _),
     "ts_ccf" -> (tsCcf _),
     "ts_holt_forecast" -> (tsHoltForecast _),
     "ewma_user_value" -> (ewmaUserValue _),
@@ -602,6 +740,8 @@ object TimeSeries {
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _))
 
   val oracles: Map[String, String] = Map(
+    "twap_user_value" -> twapOracle,
+    "conversion_delay_quantiles" -> delayOracle,
     "ts_ccf" -> ccfOracle,
     "ts_holt_forecast" -> holtOracle,
     "ts_cusum" -> cusumOracle,

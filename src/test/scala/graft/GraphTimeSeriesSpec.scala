@@ -481,6 +481,66 @@ class GraphTimeSeriesSpec extends SparkSpec {
     for (r <- det) assert(r.getAs[Double]("accuracy") == 1.0)
   }
 
+  test("twap_user_value == naive step integral; bounded by min/max; constant flat") {
+    val rows = relational.TimeSeries.twapUserValue(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L,
+        r.getLong(2), math.round(r.getDouble(3) * 100)))
+      .groupBy(_._1)
+    for ((u, es) <- evs if es.map(_._2).distinct.length > 1) {
+      val o = es.sortBy(e => (e._2, e._3))
+      val wsum = o.zip(o.drop(1))
+        .map { case (a, b) => BigInt(a._4) * BigInt(b._2 - a._2) }.sum
+      val span = o.last._2 - o.head._2
+      val want = (BigDecimal(wsum) / BigDecimal(span)).toDouble / 100.0
+      val (n, twap) = rows(u)
+      assert(n == es.length)
+      assert(math.abs(twap - want) < 1e-6, s"user $u: $twap vs $want")
+      val vs = o.map(_._4 / 100.0)
+      assert(twap >= vs.min - 1e-9 && twap <= vs.max + 1e-9)
+    }
+    // constant value stream -> twap exactly the constant
+    val tmp = java.nio.file.Files.createTempDirectory("grafttwap")
+    val ts0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    (0 until 10).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(ts0.plusMinutes(i * i)), 1L, "click",
+      42.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val c = relational.TimeSeries.twapUserValue(spark, tmp.toString)
+      .collect()(0)
+    assert(c.getDouble(2) == 42.5)
+  }
+
+  test("conversion_delay_quantiles == naive sorted order statistics") {
+    val r = relational.TimeSeries.conversionDelayQuantiles(spark, sf)
+      .collect()(0)
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).getTime * 1000L,
+        x.getLong(2), x.getString(3)))
+      .groupBy(_._1)
+    val delays = evs.values.toSeq.flatMap { es =>
+      val o = es.sortBy(e => (e._2, e._3))
+      var lastClick = Option.empty[Long]
+      o.flatMap { e =>
+        if (e._4 == "click") { lastClick = Some(e._2); None }
+        else if (e._4 == "purchase") lastClick.map(c => (e._2 - c) / 1000000L)
+        else None
+      }
+    }.sorted
+    assert(r.getAs[Long]("n") == delays.length)
+    assert(r.getAs[Long]("p50_s") == delays((delays.length - 1) / 2))
+    assert(r.getAs[Long]("p90_s") == delays((delays.length - 1) * 9 / 10))
+    assert(r.getAs[Long]("p99_s") == delays((delays.length - 1) * 99 / 100))
+    assert(r.getAs[Long]("p50_s") <= r.getAs[Long]("p90_s"))
+    assert(r.getAs[Long]("p90_s") <= r.getAs[Long]("p99_s"))
+    val mean = delays.map(BigInt(_)).sum.toDouble / delays.length
+    assert(math.abs(r.getAs[Double]("mean_s") - mean) < 1e-4)
+  }
+
   test("EWMA with one event equals that event's value") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
       .toDF("user_id", "ts", "value")

@@ -52,6 +52,11 @@ class PlanBudgetSpec extends SparkSpec {
     // daily agg (data-scale) + the 1-row array fold + horizon explode;
     // post-scan payloads are calendar-bounded
     "ts_holt_forecast" -> 3,
+    // user-keyed lead window + per-user aggregate (shared exchange)
+    "twap_user_value" -> 3,
+    // user-keyed as-of window + delay-grid agg + the bounded
+    // single-partition order-statistic window + final fold
+    "conversion_delay_quantiles" -> 4,
     // sequentially-chained fixed peel: 3 k-levels x 4 rounds of
     // (degree agg + two semi-joins) on the SHRINKING checkpointed
     // adjacency + the final coreness joins — structural, not
