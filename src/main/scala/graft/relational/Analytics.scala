@@ -704,7 +704,66 @@ object Analytics {
       |    ELSE 0.0 END AS z
       |FROM g""".stripMargin
 
+  /** Cohort lifetime-value curve — the revenue companion of
+    * [[cohortRetention]] (retention counts heads; LTV counts money,
+    * and the CUMULATIVE per-age curve is what a payback model reads):
+    * per signup cohort (month of first order) and month age ≤ 12, the
+    * order count, period revenue, and running cumulative revenue.
+    *
+    * Same two-aggregate shape as retention (first-order month via one
+    * customer-keyed aggregate joined back, then the bounded
+    * (cohort × age) grid, ≤ ~months² cells at ANY corpus size); the
+    * cumulative is a window over the bounded grid. Revenue rides the
+    * exact cent grid; /100 at emission.
+    */
+  def cohortLtv(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val om = Tables.orders(spark, d)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long")
+          .as("m"),
+        round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+    val first = om.groupBy($"o_custkey").agg(min($"m").as("m0"))
+    val grid = om.join(first, "o_custkey")
+      .filter($"m" - $"m0" <= 12)
+      .groupBy($"m0", ($"m" - $"m0").as("months_since"))
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("rev_cents"))
+    val w = Window.partitionBy($"m0").orderBy($"months_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_cents", sum($"rev_cents").over(w))
+      .select(
+        make_date(floor(($"m0" - 1) / 12).cast("int"),
+          (($"m0" - 1) % 12 + 1).cast("int"), lit(1)).as("cohort_month"),
+        $"months_since", $"n_orders",
+        ($"rev_cents".cast("double") / 100).as("revenue"),
+        ($"cum_cents".cast("double") / 100).as("cum_revenue"))
+  }
+
+  private def ltvOracle: String =
+    """WITH om AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY o_custkey),
+      |grid AS (
+      |  SELECT m0, m - m0 AS months_since,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(cents) AS BIGINT) AS rev_cents
+      |  FROM om JOIN f USING (o_custkey)
+      |  WHERE m - m0 <= 12 GROUP BY 1, 2)
+      |SELECT make_date(CAST((m0 - 1) // 12 AS INT),
+      |                 CAST((m0 - 1) % 12 + 1 AS INT), 1) AS cohort_month,
+      |  months_since, n_orders,
+      |  CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+      |  CAST(sum(rev_cents) OVER (PARTITION BY m0 ORDER BY months_since
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+      |    AS cum_revenue
+      |FROM grid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_ltv" -> (cohortLtv _),
     "ab_conversion_ztest" -> (abConversionZtest _),
     "funnel_stages" -> (funnelStages _),
     "cohort_retention" -> (cohortRetention _),
@@ -727,6 +786,7 @@ object Analytics {
     "event_seq_topk" -> (eventSeqTopk _))
 
   val oracles: Map[String, String] = Map(
+    "cohort_ltv" -> ltvOracle,
     "ab_conversion_ztest" -> abOracle,
     "stratified_topn" ->
       s"""SELECT source, doc_id, rk FROM (

@@ -1278,7 +1278,97 @@ object Similarity {
     selected
   }
 
+  /** Embedding-distribution drift between the two vec_id-parity halves
+    * of the corpus — the cheap first-line monitor for "did the encoder
+    * or the data change": cosine between the two mean vectors and the
+    * L2 distance between them. A healthy re-shard of one distribution
+    * sits at cosine ≈ 1; an encoder swap or upstream content shift
+    * moves it. For a ZERO-CENTERED corpus the mean vector is near the
+    * origin and its cosine is legitimately noisy (the fixture measures
+    * ≈ −0.07 between its own halves) — the L2 distance is the
+    * operative statistic there; the cosine earns its keep on
+    * mean-shifted encoders.
+    *
+    * Exactness WITHOUT any cross-row FP sum: per-dim values go to the
+    * e6 integer grid, per-(half, dim) sums are exact BIGINTs (the
+    * k-means fixed-point discipline), and both statistics fold from
+    * the three exact 64-term DECIMAL(38,0) aggregates dot = Σ sa·sb,
+    * naa = Σ sa², nbb = Σ sb² — the counts cancel in the cosine
+    * (cos(ma, mb) = dot/√(naa·nbb)) and enter the L2 only via the
+    * identity ‖ma−mb‖² = naa/na² + nbb/nb² − 2·dot/(na·nb), so FP
+    * appears only in the final closed forms with fixed op order.
+    * naa ≤ dims·(n·10⁶)² stays inside DECIMAL(38,0)/HUGEINT up to
+    * ~10¹² vectors; the cosine denominator √(naa·nbb) is computed in
+    * doubles, where 10⁶⁷ is no hazard.
+    */
+  def centroidDrift(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cells = Tables.embeddings(spark, d)
+      .select(pmod($"vec_id", lit(2L)).as("half"),
+        posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy($"half", $"dim")
+      .agg(sum(round($"v" * 1000000, 0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // 2 x dims cells
+    val a = cells.filter($"half" === 0L)
+      .select($"dim", $"s".as("sa"), $"n".as("na"))
+    val b = cells.filter($"half" === 1L)
+      .select($"dim", $"s".as("sb"), $"n".as("nb"))
+    val g = a.join(b, "dim")
+      .agg(
+        first($"na").as("n_a"), first($"nb").as("n_b"),
+        sum(dec($"sa") * dec($"sb")).as("dot"),
+        sum(dec($"sa") * dec($"sa")).as("naa"),
+        sum(dec($"sb") * dec($"sb")).as("nbb"))
+    val naD = $"n_a".cast("double")
+    val nbD = $"n_b".cast("double")
+    val l2sq = $"naa".cast("double") / (naD * naD) +
+      $"nbb".cast("double") / (nbD * nbD) -
+      lit(2.0) * $"dot".cast("double") / (naD * nbD)
+    g.select(
+      $"n_a", $"n_b",
+      (round($"dot".cast("double") /
+        sqrt($"naa".cast("double") * $"nbb".cast("double")), 6) + lit(0.0))
+        .as("centroid_cosine"),
+      // tiny negative from cancellation guards the sqrt
+      (round(sqrt(greatest(l2sq, lit(0.0))) / lit(1000000.0), 6) + lit(0.0))
+        .as("centroid_l2"))
+  }
+
+  private def centroidDriftOracle: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT vec_id % 2 AS half, dim,
+      |    CAST(sum(CAST(round(CAST(u AS DOUBLE) * 1000000, 0) AS BIGINT))
+      |      AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT vec_id, r.range AS dim,
+      |          embedding[r.range + 1] AS u
+      |        FROM embeddings, range(64) r) x
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT first(a.n) AS n_a, first(b.n) AS n_b,
+      |    sum(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS dot,
+      |    sum(CAST(a.s AS HUGEINT) * CAST(a.s AS HUGEINT)) AS naa,
+      |    sum(CAST(b.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS nbb
+      |  FROM (SELECT * FROM cells WHERE half = 0) a
+      |  JOIN (SELECT * FROM cells WHERE half = 1) b USING (dim))
+      |SELECT n_a, n_b,
+      |  round(CAST(dot AS DOUBLE) /
+      |        sqrt(CAST(naa AS DOUBLE) * CAST(nbb AS DOUBLE)), 6) + 0.0
+      |    AS centroid_cosine,
+      |  round(sqrt(greatest(
+      |          CAST(naa AS DOUBLE) /
+      |            (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)) +
+      |          CAST(nbb AS DOUBLE) /
+      |            (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)) -
+      |          2.0 * CAST(dot AS DOUBLE) /
+      |            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 0.0))
+      |        / 1000000.0, 6) + 0.0 AS centroid_l2
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_centroid_drift" -> (centroidDrift _),
     "embed_mmr" -> (mmrDiversified _),
     "embed_knn" -> (knnExact _),
     "embed_norms" -> (embedNorms _),
@@ -1772,6 +1862,7 @@ object Similarity {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "embed_centroid_drift" -> centroidDriftOracle,
     "embed_mmr" -> mmrOracle,
     "embed_triplets" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -358,6 +358,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
   }
 
+  test("cohort_ltv: cumulative monotone, ties to naive recount, age-0 identity") {
+    val rows = relational.Analytics.cohortLtv(spark, sf).collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1._1)
+    for ((_, rs) <- byCohort) {
+      val o = rs.sortBy(_._1._2)
+      // cumulative = running sum of period revenue, monotone
+      var run = 0.0
+      for (((_, _), (_, rev, cum)) <- o) {
+        run += rev
+        assert(math.abs(cum - run) < 1e-6)
+      }
+      // age 0 must exist (the cohort's defining first-order month)
+      assert(o.head._1._2 == 0L)
+      assert(o.head._2._2 == o.head._2._3)
+    }
+    // naive recount of one cell
+    val om = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderdate".cast("date"), $"o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getDate(1).toLocalDate.getYear * 12 + r.getDate(1).toLocalDate
+          .getMonthValue,
+        math.round(r.getDouble(2) * 100)))
+    val first = om.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+    val cell = om.filter(o => o._2 == first(o._1))
+      .groupBy(o => first(o._1))
+    for ((m0, xs) <- cell.take(3)) {
+      val ym = java.time.LocalDate.of((m0 - 1) / 12, (m0 - 1) % 12 + 1, 1)
+      val got = rows.toMap.apply((ym.toString, 0L))
+      assert(got._1 == xs.length)
+      assert(math.abs(got._2 - xs.map(_._3).sum / 100.0) < 1e-6)
+    }
+  }
+
   test("ab_conversion_ztest == naive per-user recount; planted split maxes |z|") {
     val r = relational.Analytics.abConversionZtest(spark, sf).collect()(0)
     val users = Tables.events(spark, sf)

@@ -137,6 +137,12 @@ class PlanBudgetSpec extends SparkSpec {
     "text_keywords_rake" -> 5,
     // custkey grid -> (cohort, month) grid -> distinct actives
     "cohort_retention" -> 3,
+    // custkey first-month agg + join-back + (cohort, age) grid agg +
+    // the bounded cumulative window (retention shape + revenue)
+    "cohort_ltv" -> 4,
+    // one (half, dim) grid agg off the scan + the bounded dim join
+    // fold on the checkpointed 2 x 64-cell frame
+    "embed_centroid_drift" -> 4,
     // counter-cell agg + the embedded heavy-hitter recount (distinct,
     // exact-count aggs); every exchange payload is bounded (<= 8192
     // cells / candidate-set rows), corpus-size-independent

@@ -653,4 +653,49 @@ class SimilaritySpec extends SparkSpec {
     // exact rerank recovers the order — the same bar as embed_knn_rerank
     assert(recall >= 0.9, s"pq composite recall@${Similarity.K} = $recall")
   }
+
+  test("centroid drift == naive grid recount; duplicated corpus drifts zero") {
+    val r = Similarity.centroidDrift(spark, sf).collect()(0)
+    val vs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1).toArray))
+    def gridSum(half: Long): Array[Long] = {
+      val sel = vs.filter(_._1 % 2 == half).map(_._2)
+      (0 until 64).map(d => sel.map(v =>
+        BigDecimal(v(d) * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum).toArray
+    }
+    val sa = gridSum(0); val sb = gridSum(1)
+    val na = vs.count(_._1 % 2 == 0).toDouble
+    val nb = vs.length - na
+    val dot = sa.zip(sb).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    val naa = sa.map(x => BigInt(x) * BigInt(x)).sum
+    val nbb = sb.map(x => BigInt(x) * BigInt(x)).sum
+    val cos = dot.toDouble / math.sqrt(naa.toDouble * nbb.toDouble)
+    assert(r.getAs[Long]("n_a") == na.toLong && r.getAs[Long]("n_b") == nb.toLong)
+    assert(math.abs(r.getAs[Double]("centroid_cosine") - cos) < 1e-5)
+    // the fixture's corpus is ~zero-centered, so the mean-vector cosine
+    // is legitimately noisy — only bounds are contractual; the L2 is
+    // the operative drift statistic there (and it is small)
+    assert(r.getAs[Double]("centroid_cosine").abs <= 1.0)
+    assert(r.getAs[Double]("centroid_l2") < 0.1,
+      s"same-distribution halves drifted: ${r.getAs[Double]("centroid_l2")}")
+    val l2 = math.sqrt(math.max(
+      naa.toDouble / (na * na) + nbb.toDouble / (nb * nb) -
+        2.0 * dot.toDouble / (na * nb), 0.0)) / 1000000.0
+    assert(math.abs(r.getAs[Double]("centroid_l2") - l2) < 1e-5)
+
+    // planted: each vector duplicated at even/odd ids -> halves
+    // identical, cosine exactly 1, l2 exactly 0
+    val tmp = java.nio.file.Files.createTempDirectory("graftdrift")
+    import spark.implicits._
+    (0 until 50).flatMap { i =>
+      val v = (0 until 64).map(d => ((i * 64 + d) % 97) / 97.0f)
+      Seq((i * 2L, v, 0), (i * 2L + 1, v, 0))
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val p = Similarity.centroidDrift(spark, tmp.toString).collect()(0)
+    assert(p.getAs[Double]("centroid_cosine") == 1.0)
+    assert(p.getAs[Double]("centroid_l2") == 0.0)
+  }
 }
