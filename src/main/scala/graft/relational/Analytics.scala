@@ -762,7 +762,71 @@ object Analytics {
       |    AS cum_revenue
       |FROM grid""".stripMargin
 
+  /** Poisson-bootstrap 95% CI for the A/B conversion-rate uplift — the
+    * interval [[abConversionZtest]]'s asymptotic z cannot honestly
+    * provide on small or skewed arms: per resample b, every user-day
+    * unit gets the deterministic Poisson(1) multiplier of
+    * md5(user ':' day ':' b) ([[StatModels.bootstrapCi]]'s
+    * no-shuffle-resampling discipline — all 64 replicates fold in ONE
+    * narrow pass with map-side combine onto 2·B group rows), and
+    * uplift_b = p̂_A(b) − p̂_B(b); the CI bounds are order statistics
+    * of the B-row bounded table. Per-resample sums are BIGINT-exact;
+    * FP enters at the two divisions per resample and the final
+    * 6dp-rounded, −0.0-normalized signed outputs.
+    */
+  def abUpliftBootstrap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val B = StatModels.BootB
+    val units = Tables.events(spark, d)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(
+        max(when($"event_type" === "click", 1L).otherwise(0L)).as("clk"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+      .filter($"clk" === 1L)
+      .select($"user_id", $"day", ($"user_id" % 2).as("arm"), $"conv")
+    val point = units.groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("x"))
+      .agg(
+        sum(when($"arm" === 0L, $"n").otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0L, $"x").otherwise(0L)).as("x_a"),
+        sum(when($"arm" === 1L, $"n").otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1L, $"x").otherwise(0L)).as("x_b"))
+    val draws = units
+      .select($"user_id", $"day", $"arm", $"conv",
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u",
+        expr("conv(substring(md5(concat(cast(user_id AS string), ':', " +
+          "cast(day AS string), ':', cast(b AS string))), 1, 15), 16, 10)")
+          .cast("double") / lit(1152921504606846976e0))
+      .withColumn("m", StatModels.poissonMultiplier($"u"))
+    val ups = draws.groupBy($"b")
+      .agg(
+        sum(when($"arm" === 0L, $"m" * $"conv").otherwise(0L)).as("xa"),
+        sum(when($"arm" === 0L, $"m").otherwise(0L)).as("na"),
+        sum(when($"arm" === 1L, $"m" * $"conv").otherwise(0L)).as("xb"),
+        sum(when($"arm" === 1L, $"m").otherwise(0L)).as("nb"))
+      .select($"b",
+        ($"xa".cast("double") / $"na".cast("double") -
+          $"xb".cast("double") / $"nb".cast("double")).as("uplift_b"))
+    val rnW = Window.orderBy($"uplift_b", $"b")
+    val loRank = (B - 1) * 25 / 1000 + 1
+    val hiRank = (B - 1) * 975 / 1000 + 1
+    val ci = ups.withColumn("rn", row_number().over(rnW))
+      .agg(
+        count(lit(1)).as("n_resamples"),
+        max(when($"rn" === loRank, $"uplift_b")).as("lo"),
+        max(when($"rn" === hiRank, $"uplift_b")).as("hi"))
+    point.crossJoin(broadcast(ci)).select(
+      $"n_a", $"n_b", $"n_resamples",
+      (round($"x_a".cast("double") / $"n_a".cast("double") -
+        $"x_b".cast("double") / $"n_b".cast("double"), 6) + lit(0.0))
+        .as("uplift"),
+      (round($"lo", 6) + lit(0.0)).as("ci_lo"),
+      (round($"hi", 6) + lit(0.0)).as("ci_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_uplift_bootstrap" -> (abUpliftBootstrap _),
     "cohort_ltv" -> (cohortLtv _),
     "ab_conversion_ztest" -> (abConversionZtest _),
     "funnel_stages" -> (funnelStages _),
@@ -785,7 +849,61 @@ object Analytics {
     "basket_pairs" -> (basketPairs _),
     "event_seq_topk" -> (eventSeqTopk _))
 
+  private def upliftOracle: String = {
+    val b = StatModels.BootB
+    val loRank = (b - 1) * 25 / 1000 + 1
+    val hiRank = (b - 1) * 975 / 1000 + 1
+    s"""WITH units AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       |    user_id % 2 AS arm,
+       |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv
+       |  FROM events
+       |  GROUP BY 1, 2, 3
+       |  HAVING max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1),
+       |point AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+       |  FROM units),
+       |draws AS (
+       |  SELECT arm, conv, bs.b AS b,
+       |    CASE ${StatModels.poissonMultiplierSqlCases} ELSE 6 END AS m
+       |  FROM (
+       |    SELECT arm, conv, b,
+       |      CAST(CAST('0x' || substring(md5(
+       |        CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)
+       |        || ':' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+       |        / 1152921504606846976e0 AS u
+       |    FROM units, (SELECT unnest(range($b)) AS b) bb) bs),
+       |ups AS (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN m * conv ELSE 0 END) AS DOUBLE) /
+       |    CAST(sum(CASE WHEN arm = 0 THEN m ELSE 0 END) AS DOUBLE) -
+       |    CAST(sum(CASE WHEN arm = 1 THEN m * conv ELSE 0 END) AS DOUBLE) /
+       |    CAST(sum(CASE WHEN arm = 1 THEN m ELSE 0 END) AS DOUBLE)
+       |      AS uplift_b
+       |  FROM draws GROUP BY b),
+       |ci AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+       |    max(CASE WHEN rn = $loRank THEN uplift_b END) AS lo,
+       |    max(CASE WHEN rn = $hiRank THEN uplift_b END) AS hi
+       |  FROM (SELECT uplift_b,
+       |          row_number() OVER (ORDER BY uplift_b, b) AS rn
+       |        FROM ups) r)
+       |SELECT n_a, n_b, n_resamples,
+       |  round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+       |        CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) + 0.0 AS uplift,
+       |  round(lo, 6) + 0.0 AS ci_lo,
+       |  round(hi, 6) + 0.0 AS ci_hi
+       |FROM point, ci""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ab_uplift_bootstrap" -> upliftOracle,
     "cohort_ltv" -> ltvOracle,
     "ab_conversion_ztest" -> abOracle,
     "stratified_topn" ->

@@ -605,6 +605,24 @@ object StatModels {
     }
   }
 
+  /** Poisson(1) inverse-CDF multiplier of a uniform [0,1) draw —
+    * the shared resampling kernel ([[bootstrapCi]],
+    * [[Analytics.abUpliftBootstrap]]).
+    */
+  def poissonMultiplier(u: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+    bootThresholds.zipWithIndex.foldRight(lit(6L)) {
+      case ((c, k), rest) => when(u < lit(c), k.toLong).otherwise(rest)
+    }
+
+  /** The same thresholds as SQL CASE arms (shortest-round-trip `e0`
+    * literals — see [[bootThresholds]]).
+    */
+  def poissonMultiplierSqlCases: String =
+    bootThresholds.zipWithIndex
+      .map { case (c, k) => s"WHEN u < ${c}e0 THEN $k" }
+      .mkString(" ")
+
   /** Poisson bootstrap of the mean order value (cents): the
     * uncertainty quantification every corpus-level point estimate
     * should ship with, in the only bootstrap shape that works at

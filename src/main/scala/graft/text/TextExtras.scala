@@ -284,7 +284,64 @@ object TextExtras {
        |ORDER BY tf DESC, tok ASC
        |LIMIT $BurstTop""".stripMargin
 
+  /** Code/markup symbol classes and the per-mille decision threshold. */
+  val CodeSymbolRe = "[{}();=<>\\[\\]#/\\\\]"
+  val CodePermilleThreshold = 15L
+
+  /** Code/markup detection by symbol density — the cheap structural
+    * filter a prose-training corpus runs to route code-like documents
+    * to their own pipeline (the fastText-free tier of the CodeParrot/
+    * StarCoder heuristics): per document the counts of code symbols
+    * ({}();=<>[]#/\\) and digits, their per-mille rates, and the
+    * verdict flag.
+    *
+    * ENTIRELY integer arithmetic — counts via length-difference after
+    * class deletion (two codegen'd regexp_replace, no explode, no
+    * UDF), rates by integer div, so both engines agree bit for bit
+    * with no rounding convention at all. One narrow scan; at 100 TB
+    * this is a mapper that fuses into whatever scan precedes it.
+    * The synthetic corpus is prose (rates ~0) — the planted spec
+    * carries the discrimination proof.
+    */
+  def codeDetect(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars_raw"),
+        (length($"text") -
+          length(regexp_replace($"text", CodeSymbolRe, "")))
+          .cast("long").as("n_symbol"),
+        (length($"text") - length(regexp_replace($"text", "[0-9]", "")))
+          .cast("long").as("n_digit"))
+      .select(
+        $"doc_id", $"n_chars_raw", $"n_symbol", $"n_digit",
+        expr("(n_symbol * 1000) div greatest(n_chars_raw, 1L)")
+          .as("symbol_permille"),
+        expr("(n_digit * 1000) div greatest(n_chars_raw, 1L)")
+          .as("digit_permille"))
+      .withColumn("is_code",
+        ($"symbol_permille" > CodePermilleThreshold).cast("boolean"))
+  }
+
+  private def codeDetectOracle: String =
+    s"""SELECT doc_id, n_chars_raw, n_symbol, n_digit,
+       |  (n_symbol * 1000) // greatest(n_chars_raw, 1) AS symbol_permille,
+       |  (n_digit * 1000) // greatest(n_chars_raw, 1) AS digit_permille,
+       |  (n_symbol * 1000) // greatest(n_chars_raw, 1)
+       |    > $CodePermilleThreshold AS is_code
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_raw,
+       |    CAST(length(text) -
+       |         length(regexp_replace(text, '[{}();=<>\\[\\]#/\\\\]', '', 'g'))
+       |      AS BIGINT) AS n_symbol,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |      AS BIGINT) AS n_digit
+       |  FROM documents) x""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> (codeDetect _),
     "token_burstiness" -> (tokenBurstiness _),
     "text_ngram_topk" -> (ngramTopk _),
     "text_repetition" -> (repetition _),
@@ -294,6 +351,7 @@ object TextExtras {
     "text_pii_redact" -> (piiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "text_code_detect" -> codeDetectOracle,
     "token_burstiness" -> burstOracle,
     "source_vocab_overlap" ->
       """WITH st AS (

@@ -395,6 +395,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ab_uplift_bootstrap: units tie to ztest, CI ordered and brackets the point") {
+    val r = relational.Analytics.abUpliftBootstrap(spark, sf).collect()(0)
+    val z = relational.Analytics.abConversionZtest(spark, sf).collect()(0)
+    // identical unit construction on both operators
+    assert(r.getAs[Long]("n_a") == z.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("n_b") == z.getAs[Long]("n_b"))
+    val up = r.getAs[Double]("uplift")
+    val want = BigDecimal(
+      z.getAs[Long]("x_a").toDouble / z.getAs[Long]("n_a") -
+        z.getAs[Long]("x_b").toDouble / z.getAs[Long]("n_b"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(up == want)
+    assert(r.getAs[Long]("n_resamples") == relational.StatModels.BootB)
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo <= hi)
+    // on the fixture the resample spread brackets the point estimate
+    assert(lo <= up && up <= hi, s"CI [$lo, $hi] vs point $up")
+    // resamples are deterministic: a rerun is bit-identical
+    val r2 = relational.Analytics.abUpliftBootstrap(spark, sf).collect()(0)
+    assert(r2.getAs[Double]("ci_lo") == lo && r2.getAs[Double]("ci_hi") == hi)
+  }
+
   test("ab_conversion_ztest == naive per-user recount; planted split maxes |z|") {
     val r = relational.Analytics.abConversionZtest(spark, sf).collect()(0)
     val users = Tables.events(spark, sf)

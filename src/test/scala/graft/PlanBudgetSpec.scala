@@ -72,6 +72,10 @@ class PlanBudgetSpec extends SparkSpec {
     // per-user conversion-flag agg (map-side combined) + 2-row arm agg
     // + final 1-row fold
     "ab_conversion_ztest" -> 3,
+    // unit agg + point fold + the B-row resample agg + the bounded
+    // 64-row rank window + final cross of 1-row frames (the
+    // bootstrap_ci shape over two arms)
+    "ab_uplift_bootstrap" -> 6,
     // orders agg + 64-row resample agg + the rank window's single
     // partition (64 rows) + final fold
     "bootstrap_ci" -> 4,
@@ -263,6 +267,7 @@ class PlanBudgetSpec extends SparkSpec {
     "ts_wavelet_spectrum", // 1-row min-day + 8-row level-table broadcasts
     "theilsen_trend", // calendar-bounded pair join + 1-row slope/intercept
     "bootstrap_ci", // one-row point-estimate x one-row CI broadcast
+    "ab_uplift_bootstrap", // the same 1-row point x 1-row CI cross
     "graph_markov_stationary", // k-row vector x one-row total broadcast
     "markov_entropy_rate", // the same k-row x one-row total broadcast
     "tfidf_topk", // one-row corpus doc count

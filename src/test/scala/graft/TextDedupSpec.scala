@@ -617,6 +617,31 @@ class TextDedupSpec extends SparkSpec {
     joined.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
 
+  test("text_code_detect: counts == naive char scan; planted code vs prose discriminates") {
+    val rows = TextExtras.codeDetect(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    val symbols = "{}();=<>[]#/\\".toSet
+    for (r <- rows.take(50)) {
+      val t = docs(r.getLong(0))
+      assert(r.getAs[Long]("n_symbol") == t.count(symbols))
+      assert(r.getAs[Long]("n_digit") == t.count(_.isDigit))
+      assert(r.getAs[Long]("symbol_permille") ==
+        t.count(symbols).toLong * 1000 / math.max(t.length, 1))
+    }
+    // planted: a code-like doc trips the flag, prose does not
+    val tmp = java.nio.file.Files.createTempDirectory("graftcode")
+    Seq(
+      (1L, "def f(x) { return (x == 1) ? g[0] : h(x); } // comment", "en", "s", 1L),
+      (2L, "the quiet river wandered through the old valley at dawn", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = TextExtras.codeDetect(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_code")).toMap
+    assert(p(1L) && !p(2L), s"discrimination failed: $p")
+  }
+
   test("dedup_blocking_eval == recount of the two pipelines; exact dupes give PC=1") {
     val r = Dedup.blockingEval(spark, sf).collect()(0)
     val truth = Dedup.jaccardPairs(spark, sf).filter($"jacc" >= 0.5)
