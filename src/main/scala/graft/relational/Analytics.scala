@@ -825,7 +825,92 @@ object Analytics {
       (round($"hi", 6) + lit(0.0)).as("ci_hi"))
   }
 
+  /** Quantile (rank) transform of event values — the feature-
+    * engineering normalizer that maps every value to its empirical
+    * CDF position in per-mille (robust to any monotone distortion of
+    * the raw scale; what "quantile normalization" means in sklearn
+    * terms, exact instead of subsampled): cdf_permille(v) =
+    * 1000·|{x ≤ v}| / n.
+    *
+    * The CDF is exact integer counts over the value-bounded cent grid
+    * (single-partition cumulative window on the bounded frequency
+    * table), broadcast back onto one event scan — same two-exchange
+    * shape as [[graft.relational.StatModels.spearmanDocSignals]]'
+    * rank tables; all integer arithmetic (integer div).
+    */
+  def quantileTransformValues(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .select($"event_id", round($"value" * 100, 0).cast("long").as("c"))
+    val w = Window.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cdf = ev.groupBy($"c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .select($"c", expr("(cum * 1000) div n").as("cdf_permille"))
+    ev.join(broadcast(cdf), "c")
+      .select($"event_id", ($"c".cast("double") / 100).as("value"),
+        $"cdf_permille")
+  }
+
+  private def qtOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+      |  FROM events),
+      |cdf AS (
+      |  SELECT c, (cum * 1000) // n AS cdf_permille FROM (
+      |    SELECT c,
+      |      CAST(sum(cnt) OVER (ORDER BY c
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS cum,
+      |      CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |    FROM (SELECT c, CAST(count(*) AS BIGINT) AS cnt
+      |          FROM ev GROUP BY c) f) g)
+      |SELECT event_id, CAST(c AS DOUBLE) / 100 AS value, cdf_permille
+      |FROM ev JOIN cdf USING (c)""".stripMargin
+
+  /** Leave-one-out target encoding of `source` against document
+    * length — the standard high-cardinality-categorical feature
+    * (Micci-Barreca 2001) in its leakage-free form: each document's
+    * encoding is the mean target of the OTHER documents of its
+    * source, enc = (Σ_src − xᵢ)/(n_src − 1). The sums are exact
+    * BIGINTs from ONE source-keyed aggregate broadcast back onto the
+    * scan; the encoding is a single division of exact integers,
+    * 6dp-rounded; singleton sources emit NULL (no peers to encode
+    * from — the honest answer, not the global mean smoothing a
+    * production system would layer on).
+    */
+  def targetEncodeLoo(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .select($"doc_id", $"source", $"n_chars")
+    val agg = docs.groupBy($"source")
+      .agg(sum($"n_chars").as("s"), count(lit(1)).as("n"))
+    docs.join(broadcast(agg), "source")
+      .select(
+        $"doc_id", $"source", $"n_chars",
+        when($"n" > 1L,
+          round(($"s" - $"n_chars").cast("double") /
+            ($"n" - 1L).cast("double"), 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("loo_mean_chars"))
+  }
+
+  private def looOracle: String =
+    """WITH agg AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source)
+      |SELECT doc_id, source, n_chars,
+      |  CASE WHEN n > 1
+      |       THEN round(CAST(s - n_chars AS DOUBLE) / CAST(n - 1 AS DOUBLE),
+      |                  6) + 0.0
+      |       ELSE NULL END AS loo_mean_chars
+      |FROM documents JOIN agg USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_transform_values" -> (quantileTransformValues _),
+    "target_encode_loo" -> (targetEncodeLoo _),
     "ab_uplift_bootstrap" -> (abUpliftBootstrap _),
     "cohort_ltv" -> (cohortLtv _),
     "ab_conversion_ztest" -> (abConversionZtest _),
@@ -903,6 +988,8 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "quantile_transform_values" -> qtOracle,
+    "target_encode_loo" -> looOracle,
     "ab_uplift_bootstrap" -> upliftOracle,
     "cohort_ltv" -> ltvOracle,
     "ab_conversion_ztest" -> abOracle,

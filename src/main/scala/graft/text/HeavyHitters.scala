@@ -230,7 +230,95 @@ object HeavyHitters {
     "cms_dataflow_estimates" -> (cmsDataflowEstimates _),
     "hll_dataflow_distinct" -> (hllDataflowDistinct _),
     "hll_intersection" -> (hllIntersection _),
-    "cms_join_size" -> (cmsJoinSize _))
+    "cms_join_size" -> (cmsJoinSize _),
+    "hll_rollup_merge" -> (hllRollupMerge _))
+
+  /** Sketch-rollup economics made checkable: per month, the distinct
+    * active users estimated two ways — DIRECTLY from the month's raw
+    * keys, and by MERGING the month's per-day register tables
+    * (cell-wise max). Because register max is ASSOCIATIVE, the two
+    * sketches are IDENTICAL by construction — `est_merged ==
+    * est_direct` exactly, which is the entire reason a 100 TB
+    * deployment computes sketches once per day-partition and folds
+    * them forever after instead of rescanning history (the
+    * mergeable-summary contract, here an assertable equality rather
+    * than a slide-ware claim). Exact per-month distinct rides along.
+    *
+    * Shape: ONE (month, day, bucket) register aggregate off the scan
+    * (bounded ≤ days × 64 cells); the day→month merge and the direct
+    * month table are both re-aggregates of that bounded frame; the
+    * exact companion is the one additional distinct pass.
+    */
+  def hllRollupMerge(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, d)
+      .select(
+        (year($"ts") * 12 + month($"ts")).cast("long").as("mon"),
+        to_date($"ts").as("day"),
+        $"user_id".cast("string").as("k"))
+      .distinct()
+      .withColumn("h", Dedup.md5Prefix32($"k", 1))
+      .withColumn("bucket", expr("h div 67108864"))
+      .withColumn("w", $"h" % 67108864)
+      .withColumn("rho",
+        when($"w" === 0, lit(27)).otherwise(lit(27) - length(bin($"w"))))
+      .groupBy($"mon", $"day", $"bucket")
+      .agg(max($"rho").as("maxrho"))
+      .localCheckpoint() // <= days x 64 cells; three consumers
+    // unlike the raw-regime [[hllDataflowDistinct]], the rollup carries
+    // Flajolet §4's small-range LINEAR COUNTING branch (est ≤ 2.5m and
+    // empty buckets exist ⇒ m·ln(m/V)) — a month can be tiny, and the
+    // raw estimator is badly biased at n ≪ m; the merge identity is
+    // unaffected (identical registers ⇒ identical V ⇒ identical branch)
+    def estOf(grouped: DataFrame): DataFrame = grouped
+      .groupBy($"mon")
+      .agg(
+        (sum(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(27 - maxrho AS INT))")) +
+          (lit(HllBuckets) - count(lit(1))) * lit(134217728L)).as("s"),
+        (lit(HllBuckets) - count(lit(1))).as("vz"))
+      .select($"mon",
+        when(
+          round(lit(0.709) * lit(4096.0) * lit(134217728.0) / $"s") <=
+            lit(2.5 * HllBuckets) && $"vz" > 0L,
+          round(lit(HllBuckets.toDouble) *
+            log(lit(HllBuckets.toDouble) / $"vz".cast("double"))))
+          .otherwise(
+            round(lit(0.709) * lit(4096.0) * lit(134217728.0) / $"s"))
+          .cast("long").as("est"))
+    // merged: fold the per-day registers to month registers
+    val merged = estOf(cells.groupBy($"mon", $"bucket")
+      .agg(max($"maxrho").as("maxrho")))
+      .withColumnRenamed("est", "est_merged")
+    // direct: an INDEPENDENT from-scratch month sketch over the
+    // month-distinct key set (a different distinct base — a user
+    // active on several days feeds the day sketch several times, the
+    // direct sketch once; max makes the registers identical anyway)
+    val direct = estOf(Tables.events(spark, d)
+      .select((year($"ts") * 12 + month($"ts")).cast("long").as("mon"),
+        $"user_id".cast("string").as("k"))
+      .distinct()
+      .withColumn("h", Dedup.md5Prefix32($"k", 1))
+      .withColumn("bucket", expr("h div 67108864"))
+      .withColumn("w", $"h" % 67108864)
+      .withColumn("rho",
+        when($"w" === 0, lit(27)).otherwise(lit(27) - length(bin($"w"))))
+      .groupBy($"mon", $"bucket")
+      .agg(max($"rho").as("maxrho")))
+      .withColumnRenamed("est", "est_direct")
+    val days = cells.select($"mon", $"day").distinct()
+      .groupBy($"mon").agg(count(lit(1)).as("n_days"))
+    val exact = Tables.events(spark, d)
+      .select((year($"ts") * 12 + month($"ts")).cast("long").as("mon"),
+        $"user_id")
+      .distinct()
+      .groupBy($"mon").agg(count(lit(1)).as("n_exact_users"))
+    days.join(exact, "mon").join(merged, "mon").join(direct, "mon")
+      .select($"mon", $"n_days", $"n_exact_users",
+        $"est_direct", $"est_merged",
+        ($"est_merged" === $"est_direct").cast("boolean")
+          .as("merge_lossless"))
+  }
 
   /** Sketch-based equi-join size estimation (the AGMS/CMS inner-product
     * estimator, Alon–Gibbons–Matias–Szegedy '99 / Cormode &
@@ -382,6 +470,67 @@ object HeavyHitters {
          |SELECT p.tok, p.cnt, min(c.c) AS est
          |FROM probes p JOIN counters c USING (ri, bucket)
          |GROUP BY p.tok, p.cnt""".stripMargin,
+    "hll_rollup_merge" ->
+      """WITH dk AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CAST(year(CAST(ts AS TIMESTAMP)) * 12
+        |         + month(CAST(ts AS TIMESTAMP)) AS BIGINT) AS mon,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    CAST(user_id AS VARCHAR) AS k
+        |  FROM events),
+        |cells AS MATERIALIZED (
+        |  SELECT mon, day, h // 67108864 AS bucket,
+        |    max(CASE WHEN h % 67108864 = 0 THEN 27
+        |             ELSE 27 - length(bin(h % 67108864)) END) AS maxrho
+        |  FROM (SELECT mon, day,
+        |          CAST('0x' || substring(md5(k), 1, 8) AS BIGINT) AS h
+        |        FROM dk) x
+        |  GROUP BY 1, 2, 3),
+        |merged AS (
+        |  SELECT mon,
+        |    CAST(CASE WHEN round(0.709 * 4096.0 * 134217728.0 /
+        |           (CAST(sum(CAST(1 AS BIGINT) << (27 - maxrho)) AS BIGINT)
+        |            + (64 - count(*)) * 134217728)) <= 160.0
+        |          AND (64 - count(*)) > 0
+        |      THEN round(64.0 * ln(64.0 / CAST(64 - count(*) AS DOUBLE)))
+        |      ELSE round(0.709 * 4096.0 * 134217728.0 /
+        |           (CAST(sum(CAST(1 AS BIGINT) << (27 - maxrho)) AS BIGINT)
+        |            + (64 - count(*)) * 134217728))
+        |      END AS BIGINT) AS est_merged
+        |  FROM (SELECT mon, bucket, max(maxrho) AS maxrho
+        |        FROM cells GROUP BY 1, 2) m
+        |  GROUP BY mon),
+        |direct AS (
+        |  SELECT mon,
+        |    CAST(CASE WHEN round(0.709 * 4096.0 * 134217728.0 /
+        |           (CAST(sum(CAST(1 AS BIGINT) << (27 - maxrho)) AS BIGINT)
+        |            + (64 - count(*)) * 134217728)) <= 160.0
+        |          AND (64 - count(*)) > 0
+        |      THEN round(64.0 * ln(64.0 / CAST(64 - count(*) AS DOUBLE)))
+        |      ELSE round(0.709 * 4096.0 * 134217728.0 /
+        |           (CAST(sum(CAST(1 AS BIGINT) << (27 - maxrho)) AS BIGINT)
+        |            + (64 - count(*)) * 134217728))
+        |      END AS BIGINT) AS est_direct
+        |  FROM (
+        |    SELECT mon, h // 67108864 AS bucket,
+        |      max(CASE WHEN h % 67108864 = 0 THEN 27
+        |               ELSE 27 - length(bin(h % 67108864)) END) AS maxrho
+        |    FROM (SELECT DISTINCT mon, k,
+        |            CAST('0x' || substring(md5(k), 1, 8) AS BIGINT) AS h
+        |          FROM dk) y
+        |    GROUP BY 1, 2) z
+        |  GROUP BY mon),
+        |days AS (
+        |  SELECT mon, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        |  FROM dk GROUP BY mon),
+        |ex AS (
+        |  SELECT mon, CAST(count(DISTINCT k) AS BIGINT) AS n_exact_users
+        |  FROM dk GROUP BY mon)
+        |SELECT mon, n_days, n_exact_users, est_direct, est_merged,
+        |  est_merged = est_direct AS merge_lossless
+        |FROM days
+        |JOIN ex USING (mon) JOIN merged USING (mon) JOIN direct USING (mon)"""
+        .stripMargin,
     "cms_join_size" ->
       s"""WITH a AS MATERIALIZED (
          |  SELECT CAST(user_id AS VARCHAR) AS k FROM events),

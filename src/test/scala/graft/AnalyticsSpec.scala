@@ -395,6 +395,55 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("quantile_transform: monotone, max 1000, naive recount on a sample") {
+    val rows = relational.Analytics.quantileTransformValues(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val vals = Tables.events(spark, sf).select($"value").collect()
+      .map(x => math.round(x.getDouble(0) * 100))
+    assert(rows.length == vals.length)
+    assert(rows.map(_._3).max == 1000L)
+    // monotone: sort by value, cdf never decreases
+    val byV = rows.sortBy(_._2)
+    byV.zip(byV.drop(1)).foreach { case (a, b) => assert(a._3 <= b._3) }
+    // naive recount on 20 rows
+    val sorted = vals.sorted
+    for (r <- rows.take(20)) {
+      val c = math.round(r._2 * 100)
+      val want = sorted.count(_ <= c).toLong * 1000 / vals.length
+      assert(r._3 == want, s"event ${r._1}: ${r._3} vs $want")
+    }
+  }
+
+  test("target_encode_loo == naive; pair sources encode each other's value") {
+    val rows = relational.Analytics.targetEncodeLoo(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2)
+    assert(rows.length == docs.length)
+    for (r <- rows.take(50)) {
+      val (s, x) = (r.getString(1), r.getLong(2))
+      val peers = bySrc(s)
+      if (peers.length > 1) {
+        val want = BigDecimal(
+          (peers.map(_._3).sum - x).toDouble / (peers.length - 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("loo_mean_chars") == want)
+      } else assert(r.isNullAt(3))
+    }
+    // planted: exactly two docs per source -> each encodes the other
+    val tmp = java.nio.file.Files.createTempDirectory("graftloo")
+    Seq((1L, "x", "en", "s1", 100L), (2L, "y", "en", "s1", 300L),
+      (3L, "z", "en", "solo", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = relational.Analytics.targetEncodeLoo(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(p(1L).contains(300.0) && p(2L).contains(100.0))
+    assert(p(3L).isEmpty)
+  }
+
   test("ab_uplift_bootstrap: units tie to ztest, CI ordered and brackets the point") {
     val r = relational.Analytics.abUpliftBootstrap(spark, sf).collect()(0)
     val z = relational.Analytics.abConversionZtest(spark, sf).collect()(0)

@@ -124,6 +124,24 @@ class HeavyHittersSpec extends SparkSpec {
       s"est_both ${r.getAs[Long]("est_both")} vs exact $exact")
   }
 
+  test("hll_rollup_merge: day->month register merge is lossless, estimate sane") {
+    val rows = HeavyHitters.hllRollupMerge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      // THE invariant: register max is associative, so folding per-day
+      // sketches equals the from-scratch month sketch exactly
+      assert(r.getAs[Boolean]("merge_lossless"),
+        s"month ${r.getLong(0)}: merged ${r.getAs[Long]("est_merged")} != " +
+          s"direct ${r.getAs[Long]("est_direct")}")
+      val exact = r.getAs[Long]("n_exact_users")
+      val est = r.getAs[Long]("est_merged")
+      assert(est > 0)
+      assert(math.abs(est - exact).toDouble / math.max(exact, 1) <= 0.6,
+        s"est $est too far from exact $exact")
+      assert(r.getAs[Long]("n_days") >= 1)
+    }
+  }
+
   test("cms_join_size: exact == naive inner product; estimate never undercounts") {
     val r = HeavyHitters.cmsJoinSize(spark, sf).collect()(0)
     val fa = Tables.events(spark, sf).select(col("user_id")).collect()

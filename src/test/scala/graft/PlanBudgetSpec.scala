@@ -76,6 +76,16 @@ class PlanBudgetSpec extends SparkSpec {
     // 64-row rank window + final cross of 1-row frames (the
     // bootstrap_ci shape over two arms)
     "ab_uplift_bootstrap" -> 6,
+    // (mon, day, bucket) register agg + its two bounded re-aggregates
+    // + the independent direct-sketch distinct/agg + day-count and
+    // exact-distinct companions + month joins — register payloads
+    // bounded, distincts key-domain-bounded
+    "hll_rollup_merge" -> 12,
+    // cent-grid frequency agg + the bounded CDF window + the
+    // broadcast join-back onto one scan
+    "quantile_transform_values" -> 3,
+    // one source-keyed aggregate broadcast back onto the scan
+    "target_encode_loo" -> 2,
     // orders agg + 64-row resample agg + the rank window's single
     // partition (64 rows) + final fold
     "bootstrap_ci" -> 4,
