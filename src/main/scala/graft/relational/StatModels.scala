@@ -1315,7 +1315,151 @@ object StatModels {
       |  ELSE 0.0 END AS z
       |FROM g""".stripMargin
 
+  /** Chao1 vocabulary-richness estimate + Good–Turing unseen mass —
+    * the "how much vocabulary haven't we seen yet" question a corpus
+    * curator asks before buying more data (Chao 1984; Good 1953):
+    * from the frequency-of-frequencies table, V̂ = V + F₁(F₁−1)/
+    * (2(F₂+1)) (bias-corrected Chao1) and P₀ = F₁/N (the probability
+    * mass of unseen types). Two bounded aggregates above the
+    * vocabulary-sized token-frequency table; every count exact, FP in
+    * the two closed forms only.
+    */
+  def vocabChao1(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ff = Tables.documents(spark, d)
+      .select(explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"c").agg(count(lit(1)).as("f"))
+    ff.agg(
+      sum($"f").as("v_seen"),
+      sum($"c" * $"f").as("n_tokens"),
+      sum(when($"c" === 1L, $"f").otherwise(0L)).as("f1"),
+      sum(when($"c" === 2L, $"f").otherwise(0L)).as("f2"))
+      .select(
+        $"v_seen", $"n_tokens", $"f1", $"f2",
+        (round($"v_seen".cast("double") +
+          ($"f1" * ($"f1" - 1L)).cast("double") /
+            (lit(2L) * ($"f2" + 1L)).cast("double"), 6) + lit(0.0))
+          .as("chao1"),
+        (round($"f1".cast("double") / $"n_tokens".cast("double"), 6)
+          + lit(0.0)).as("p_unseen"))
+  }
+
+  private def chao1Oracle: String =
+    """WITH tf AS (
+      |  SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      |                                  x -> x <> '')) AS t
+      |        FROM documents) x
+      |  GROUP BY t),
+      |ff AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM tf GROUP BY c)
+      |SELECT CAST(sum(f) AS BIGINT) AS v_seen,
+      |  CAST(sum(c * f) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN c = 1 THEN f ELSE 0 END) AS BIGINT) AS f1,
+      |  CAST(sum(CASE WHEN c = 2 THEN f ELSE 0 END) AS BIGINT) AS f2,
+      |  round(CAST(sum(f) AS DOUBLE) +
+      |        CAST(sum(CASE WHEN c = 1 THEN f ELSE 0 END) *
+      |             (sum(CASE WHEN c = 1 THEN f ELSE 0 END) - 1) AS DOUBLE) /
+      |        CAST(2 * (sum(CASE WHEN c = 2 THEN f ELSE 0 END) + 1)
+      |             AS DOUBLE), 6) + 0.0 AS chao1,
+      |  round(CAST(sum(CASE WHEN c = 1 THEN f ELSE 0 END) AS DOUBLE) /
+      |        CAST(sum(c * f) AS DOUBLE), 6) + 0.0 AS p_unseen
+      |FROM ff""".stripMargin
+
+  /** Heaps'-law coefficient per source: V = N^C ⇒ C = ln V / ln N —
+    * the vocabulary-growth exponent (natural text ≈ 0.4–0.6; template
+    * spam collapses it, id-like noise inflates it toward 1). One
+    * (source, token) distinct-count pair per source off the
+    * vocabulary-sized frequency table.
+    */
+  def sourceHeapsLaw(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"source", explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("v"), sum($"c").as("n"))
+      .select($"source", $"v", $"n",
+        when($"n" > 1L,
+          round(log($"v".cast("double")) / log($"n".cast("double")), 6)
+            + lit(0.0))
+          .otherwise(lit(0.0)).as("heaps_c"))
+  }
+
+  private def heapsOracle: String =
+    """WITH st AS (
+      |  SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source,
+      |          unnest(list_filter(string_split_regex(text, '\s+'),
+      |                             x -> x <> '')) AS t
+      |        FROM documents) x
+      |  GROUP BY source, t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS v,
+      |  CAST(sum(c) AS BIGINT) AS n,
+      |  CASE WHEN sum(c) > 1
+      |       THEN round(ln(CAST(count(*) AS DOUBLE)) /
+      |                  ln(CAST(sum(c) AS DOUBLE)), 6) + 0.0
+      |       ELSE 0.0 END AS heaps_c
+      |FROM st GROUP BY source""".stripMargin
+
+  /** Top-k order statistics for the Hill estimator. */
+  val HillK = 100
+
+  /** Hill tail-index estimator of the order-value distribution over
+    * the top [[HillK]]+1 order statistics: α̂⁻¹ = (1/k)Σ ln(x_i /
+    * x_{k+1}) (Hill 1975) — the heavy-tail diagnostic that decides
+    * whether mean-based revenue projections are even meaningful
+    * (α ≤ 2 ⇒ infinite variance). The k+1 head is a TakeOrdered cut
+    * (deterministic (cents desc, key asc) order, never a global
+    * sort); the ≤ k-term log sum follows the 6dp association-order
+    * precedent.
+    */
+  def hillTailIndex(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val top = Tables.orders(spark, d)
+      .select(round($"o_totalprice" * 100, 0).cast("long").as("cents"),
+        $"o_orderkey")
+      .orderBy($"cents".desc, $"o_orderkey".asc)
+      .limit(HillK + 1)
+      .localCheckpoint() // k+1 rows; threshold + sum consumers
+    val xk = top.agg(min($"cents").as("xk"))
+    // rows at the threshold contribute ln(1) = 0, so summing over all
+    // k+1 rows and dividing by k IS the Hill sum — no tie-exclusion
+    // dance needed
+    top.crossJoin(broadcast(xk))
+      .agg((count(lit(1)) - 1L).as("k"),
+        sum(log($"cents".cast("double") / $"xk".cast("double"))).as("ls"),
+        first($"xk").as("x_kplus1_cents"))
+      .select($"k", $"x_kplus1_cents",
+        (round($"ls" / $"k".cast("double"), 6) + lit(0.0))
+          .as("inv_alpha"),
+        when($"ls" > 0.0,
+          round($"k".cast("double") / $"ls", 6) + lit(0.0))
+          .otherwise(lit(0.0)).as("alpha"))
+  }
+
+  private def hillOracle: String =
+    s"""WITH top AS MATERIALIZED (
+       |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders
+       |  ORDER BY cents DESC, o_orderkey ASC
+       |  LIMIT ${HillK + 1}),
+       |xk AS (SELECT CAST(min(cents) AS BIGINT) AS xk FROM top)
+       |SELECT CAST(count(*) - 1 AS BIGINT) AS k,
+       |  CAST(first(xk) AS BIGINT) AS x_kplus1_cents,
+       |  round(sum(ln(CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE)))
+       |        / CAST(count(*) - 1 AS DOUBLE), 6) + 0.0 AS inv_alpha,
+       |  CASE WHEN sum(ln(CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE))) > 0.0
+       |       THEN round(CAST(count(*) - 1 AS DOUBLE) /
+       |                  sum(ln(CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE))),
+       |                  6) + 0.0
+       |       ELSE 0.0 END AS alpha
+       |FROM top, xk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_chao1" -> (vocabChao1 _),
+    "source_heaps_law" -> (sourceHeapsLaw _),
+    "hill_tail_index" -> (hillTailIndex _),
     "spearman_doc_signals" -> (spearmanDocSignals _),
     "robust_trimmed_mean" -> (robustTrimmedMean _),
     "mannwhitney_value_drift" -> (mannWhitney _),
@@ -1332,6 +1476,9 @@ object StatModels {
     "anomaly_mad" -> (anomalyMad _))
 
   val oracles: Map[String, String] = Map(
+    "vocab_chao1" -> chao1Oracle,
+    "source_heaps_law" -> heapsOracle,
+    "hill_tail_index" -> hillOracle,
     "spearman_doc_signals" -> spearmanOracle,
     "robust_trimmed_mean" -> trimOracle,
     "mannwhitney_value_drift" -> mwOracle,

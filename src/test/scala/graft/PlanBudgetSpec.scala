@@ -137,6 +137,12 @@ class PlanBudgetSpec extends SparkSpec {
     // (type, cent) grid agg + the type-partitioned cumulative windows
     // + final per-type fold — all post-scan payloads grid-bounded
     "robust_trimmed_mean" -> 3,
+    // token-frequency agg + the bounded freq-of-freq agg + 1-row fold
+    "vocab_chao1" -> 3,
+    // (source, token) agg + per-source fold (vocab-bounded payloads)
+    "source_heaps_law" -> 2,
+    // TakeOrdered k+1 head + the 1-row threshold fold + final fold
+    "hill_tail_index" -> 4,
     // joint (x, y) grid agg off one corpus scan + two marginal
     // aggs with their bounded single-partition midrank windows +
     // the count-weighted final fold on the checkpointed grid
@@ -278,6 +284,7 @@ class PlanBudgetSpec extends SparkSpec {
     "theilsen_trend", // calendar-bounded pair join + 1-row slope/intercept
     "bootstrap_ci", // one-row point-estimate x one-row CI broadcast
     "ab_uplift_bootstrap", // the same 1-row point x 1-row CI cross
+    "hill_tail_index", // k+1-row head x 1-row threshold broadcast
     "graph_markov_stationary", // k-row vector x one-row total broadcast
     "markov_entropy_rate", // the same k-row x one-row total broadcast
     "tfidf_topk", // one-row corpus doc count

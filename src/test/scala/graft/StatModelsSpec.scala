@@ -447,6 +447,60 @@ class StatModelsSpec extends SparkSpec {
     assert(sh.getAs[Double]("z") < -8.0, s"z ${sh.getAs[Double]("z")}")
   }
 
+  test("vocab_chao1 == naive freq-of-freq; planted singleton/double extremes") {
+    val r = relational.StatModels.vocabChao1(spark, sf).collect()(0)
+    val toks = Tables.documents(spark, sf).select($"text").collect()
+      .flatMap(_.getString(0).split("\\s+").filter(_.nonEmpty))
+    val freq = toks.groupBy(identity).map(_._2.length)
+    val v = freq.size; val f1 = freq.count(_ == 1); val f2 = freq.count(_ == 2)
+    assert(r.getAs[Long]("v_seen") == v)
+    assert(r.getAs[Long]("n_tokens") == toks.length)
+    assert(r.getAs[Long]("f1") == f1 && r.getAs[Long]("f2") == f2)
+    val chao = v + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1))
+    assert(math.abs(r.getAs[Double]("chao1") - chao) < 1e-5)
+    assert(r.getAs[Double]("chao1") >= v) // estimate never below observed
+    // planted: every token seen exactly twice -> F1 = 0 -> chao1 = V
+    val tmp = java.nio.file.Files.createTempDirectory("graftchao")
+    (1 to 10).map(i => (i.toLong, s"tok$i tok$i", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = relational.StatModels.vocabChao1(spark, tmp.toString).collect()(0)
+    assert(p.getAs[Double]("chao1") == 10.0)
+    assert(p.getAs[Double]("p_unseen") == 0.0)
+  }
+
+  test("source_heaps_law == naive recount; exponent in (0, 1] on natural text") {
+    val rows = relational.StatModels.sourceHeapsLaw(spark, sf).collect()
+    val st = Tables.documents(spark, sf).select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+      .groupBy(_._1)
+    assert(rows.length == st.size)
+    for (r <- rows) {
+      val ts = st(r.getString(0))
+      assert(r.getAs[Long]("v") == ts.map(_._2).distinct.length)
+      assert(r.getAs[Long]("n") == ts.length)
+      val c = r.getAs[Double]("heaps_c")
+      assert(math.abs(c - math.log(r.getAs[Long]("v").toDouble) /
+        math.log(r.getAs[Long]("n").toDouble)) < 1e-5)
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
+  test("hill_tail_index == naive top-k replay; alpha positive") {
+    val r = relational.StatModels.hillTailIndex(spark, sf).collect()(0)
+    val cents = Tables.orders(spark, sf).select($"o_totalprice").collect()
+      .map(x => math.round(x.getDouble(0) * 100)).sorted(Ordering[Long].reverse)
+    val k = relational.StatModels.HillK
+    val top = cents.take(k + 1)
+    val xk = top.last
+    assert(r.getAs[Long]("k") == k)
+    assert(r.getAs[Long]("x_kplus1_cents") == xk)
+    val ls = top.map(c => math.log(c.toDouble / xk)).sum
+    assert(math.abs(r.getAs[Double]("inv_alpha") - ls / k) < 1e-5)
+    assert(r.getAs[Double]("alpha") > 0.0)
+  }
+
   test("source_kl_divergence: KL >= 0 per source, all sources present") {
     val rows = relational.StatModels.sourceKl(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)
