@@ -908,7 +908,62 @@ object Analytics {
       |       ELSE NULL END AS loo_mean_chars
       |FROM documents JOIN agg USING (source)""".stripMargin
 
+  /** ABC / Pareto classification of customers by revenue: class A
+    * carries the first 80% of cumulative revenue (descending), B the
+    * next 15%, C the tail — the inventory-management classic (and the
+    * data-layout heuristic for hot/warm/cold tiering). Classification
+    * is at the VALUE level: the per-customer cent totals collapse onto
+    * the value-frequency grid, the descending cumulative mass is exact
+    * DECIMAL, and the two thresholds compare as integer
+    * cross-multiplications (5·cum ≤ 4·T, 20·cum ≤ 19·T) — no division
+    * anywhere, ties (equal revenue) land in the same class by
+    * construction. The bounded class table broadcasts back onto the
+    * customer totals; no global sort.
+    */
+  def abcClassification(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cust = Tables.orders(spark, d)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+    val w = Window.orderBy($"cents".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val classes = cust.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(dec($"cents") * dec($"cnt")).over(w))
+      .withColumn("tot", sum(dec($"cents") * dec($"cnt")).over(wAll))
+      .select($"cents",
+        when(dec(lit(5L)) * $"cum" <= dec(lit(4L)) * $"tot", "A")
+          .when(dec(lit(20L)) * $"cum" <= dec(lit(19L)) * $"tot", "B")
+          .otherwise(lit("C")).as("abc_class"))
+    cust.join(broadcast(classes), "cents")
+      .select($"o_custkey", ($"cents".cast("double") / 100).as("revenue"),
+        $"abc_class")
+  }
+
+  private def abcOracle: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |cls AS (
+      |  SELECT cents,
+      |    CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+      |         WHEN 20 * cum <= 19 * tot THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM (
+      |    SELECT cents,
+      |      sum(CAST(cents AS HUGEINT) * cnt) OVER (ORDER BY cents DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(CAST(cents AS HUGEINT) * cnt) OVER () AS tot
+      |    FROM (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+      |          FROM cust GROUP BY cents) f) g)
+      |SELECT o_custkey, CAST(cents AS DOUBLE) / 100 AS revenue, abc_class
+      |FROM cust JOIN cls USING (cents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "abc_classification" -> (abcClassification _),
     "quantile_transform_values" -> (quantileTransformValues _),
     "target_encode_loo" -> (targetEncodeLoo _),
     "ab_uplift_bootstrap" -> (abUpliftBootstrap _),
@@ -988,6 +1043,7 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "abc_classification" -> abcOracle,
     "quantile_transform_values" -> qtOracle,
     "target_encode_loo" -> looOracle,
     "ab_uplift_bootstrap" -> upliftOracle,

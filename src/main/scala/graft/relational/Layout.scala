@@ -127,7 +127,114 @@ object Layout {
       .selectExpr("o_orderkey", "d AS hval")
   }
 
+  /** First-fit-decreasing compaction planner over the monthly order
+    * partitions — the small-file / partition-compaction decision a
+    * table-maintenance job makes (Iceberg/Delta `rewriteDataFiles`
+    * planning), expressed as a DETERMINISTIC in-engine fold instead of
+    * driver code: partition sizes (row counts as the size proxy) sort
+    * descending and first-fit into bins of capacity
+    * max(largest partition, ⌈total/6⌉); output is every partition's
+    * bin assignment plus the bin load. FFD is the classic 11/9·OPT+1
+    * bin-packing approximation (Johnson 1973).
+    *
+    * The fold is inherently sequential, so it runs INSIDE one row over
+    * the calendar-bounded sorted array (the
+    * [[graft.relational.TimeSeries.tsHoltForecast]] shape) with state
+    * (bins, assignments) — `array_position(transform(bins, …), true)`
+    * IS first-fit; the DuckDB twin replays the identical recursion as
+    * a recursive CTE with list slicing. All integers; the fold order
+    * (size desc, month asc) is a total order, so both engines build
+    * byte-identical plans.
+    */
+  def compactionPlan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sizes = Tables.orders(spark, d)
+      .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate"))
+        .cast("long").as("m"))
+      .agg(count(lit(1)).as("s"))
+      .localCheckpoint() // calendar-bounded; fold + join-back consumers
+    val cap = sizes.agg(
+      greatest(max($"s"), expr("(sum(s) + 5) div 6")).as("cap"))
+    val asg = sizes
+      .agg(sort_array(collect_list(struct((-$"s").as("ns"), $"m", $"s")))
+        .as("items"))
+      .crossJoin(broadcast(cap))
+      .select($"cap", expr(
+        """aggregate(
+          |  items,
+          |  named_struct(
+          |    'bins', CAST(array() AS array<bigint>),
+          |    'asg', CAST(array() AS array<struct<m: bigint, b: bigint>>)),
+          |  (acc, x) -> IF(
+          |    array_position(transform(acc.bins, bb -> bb + x.s <= cap),
+          |                   true) > 0,
+          |    named_struct(
+          |      'bins', transform(acc.bins, (bb, i) ->
+          |        IF(CAST(i AS BIGINT) + 1L =
+          |             array_position(transform(acc.bins,
+          |               b2 -> b2 + x.s <= cap), true),
+          |           bb + x.s, bb)),
+          |      'asg', array_append(acc.asg, named_struct('m', x.m,
+          |        'b', array_position(transform(acc.bins,
+          |               b2 -> b2 + x.s <= cap), true) - 1L))),
+          |    named_struct(
+          |      'bins', array_append(acc.bins, x.s),
+          |      'asg', array_append(acc.asg, named_struct('m', x.m,
+          |        'b', CAST(size(acc.bins) AS BIGINT))))))""".stripMargin)
+        .as("st"))
+      .select($"cap", explode($"st.asg").as("a"))
+      .select($"a.m".as("m"), $"a.b".as("bin"), $"cap")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bin")
+    asg.join(sizes, "m")
+      .withColumn("bin_load", sum($"s").over(w))
+      .select($"m", $"s", $"bin", $"bin_load", $"cap")
+  }
+
+  private def compactionOracle: String = {
+    // DuckDB cannot reference the recursive table inside a subquery
+    // (the pagerank-oracle limitation), so the first-fit position is
+    // INLINED at every use site instead of named once
+    val pos =
+      "list_position(list_transform(r.bins, bb -> bb + it.s <= c.cap), true)"
+    s"""WITH RECURSIVE sizes AS MATERIALIZED (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |           AS m,
+      |    CAST(count(*) AS BIGINT) AS s
+      |  FROM orders GROUP BY 1),
+      |cap AS (SELECT CAST(greatest(max(s), (sum(s) + 5) // 6) AS BIGINT)
+      |          AS cap FROM sizes),
+      |items AS MATERIALIZED (
+      |  SELECT m, s, row_number() OVER (ORDER BY s DESC, m ASC) AS rn
+      |  FROM sizes),
+      |rec AS (
+      |  SELECT 0 AS i, CAST([] AS BIGINT[]) AS bins,
+      |    CAST([] AS STRUCT(m BIGINT, b BIGINT)[]) AS asg
+      |  UNION ALL
+      |  SELECT r.i + 1,
+      |    CASE WHEN coalesce($pos, 0) > 0
+      |      THEN r.bins[1:CAST($pos AS INT) - 1]
+      |           || [r.bins[CAST($pos AS INT)] + it.s]
+      |           || r.bins[CAST($pos AS INT) + 1:]
+      |      ELSE list_append(r.bins, it.s) END,
+      |    CASE WHEN coalesce($pos, 0) > 0
+      |      THEN list_append(r.asg,
+      |        struct_pack(m := it.m, b := CAST($pos - 1 AS BIGINT)))
+      |      ELSE list_append(r.asg,
+      |        struct_pack(m := it.m, b := CAST(len(r.bins) AS BIGINT))) END
+      |  FROM rec r JOIN items it ON it.rn = r.i + 1 CROSS JOIN cap c),
+      |fin AS (
+      |  SELECT asg FROM rec WHERE i = (SELECT max(rn) FROM items)),
+      |flat AS (SELECT unnest(asg) AS a FROM fin),
+      |plan AS (
+      |  SELECT (a).m AS m, (a).b AS bin FROM flat)
+      |SELECT p.m AS m, sz.s AS s, p.bin AS bin,
+      |  CAST(sum(sz.s) OVER (PARTITION BY p.bin) AS BIGINT) AS bin_load,
+      |  (SELECT cap FROM cap) AS cap
+      |FROM plan p JOIN sizes sz ON sz.m = p.m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compaction_plan" -> (compactionPlan _),
     "zorder_orders" -> (zorderOrders _),
     "hilbert_orders" -> (hilbertOrders _))
 
@@ -157,6 +264,7 @@ object Layout {
   }
 
   val oracles: Map[String, String] = Map(
+    "compaction_plan" -> compactionOracle,
     "zorder_orders" ->
       s"""SELECT o_orderkey, $zTermsSql AS zval
          |FROM (

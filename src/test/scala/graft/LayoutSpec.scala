@@ -129,4 +129,66 @@ class LayoutSpec extends SparkSpec {
     assert(walked.agg(min($"d"), max($"d")).head() ===
       org.apache.spark.sql.Row(0L, 65535L))
   }
+
+  test("compaction_plan == driver FFD replay; loads within cap; full cover") {
+    val rows = relational.Layout.compactionPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val sizes = Tables.orders(spark, sf)
+      .groupBy(expr(
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)")
+        .as("m"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == sizes.length)
+    assert(rows.map(_._1).sorted.sameElements(sizes.map(_._1).sorted))
+    val cap = rows.head._5
+    assert(cap == math.max(sizes.map(_._2).max,
+      (sizes.map(_._2).sum + 5) / 6))
+    val byBin = rows.groupBy(_._3)
+    for ((_, rs) <- byBin) {
+      val load = rs.map(_._2).sum
+      assert(load <= cap, s"bin overflow: $load > $cap")
+      rs.foreach(r => assert(r._4 == load))
+    }
+    // driver FFD replay: identical assignment
+    val items = sizes.sortBy(x => (-x._2, x._1))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    for ((m, s) <- items) {
+      val idx = bins.indexWhere(_ + s <= cap)
+      if (idx >= 0) { bins(idx) += s; want(m) = idx.toLong }
+      else { bins += s; want(m) = (bins.length - 1).toLong }
+    }
+    for (r <- rows) assert(r._3 == want(r._1),
+      s"month ${r._1}: bin ${r._3} vs replay ${want(r._1)}")
+  }
+
+  test("abc_classification: partition thresholds honored; planted dominance") {
+    val rows = relational.Analytics.abcClassification(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val total = rows.map(_._2).sum
+    val aRev = rows.filter(_._3 == "A").map(_._2).sum
+    val abRev = rows.filter(r => r._3 == "A" || r._3 == "B").map(_._2).sum
+    // inclusive-block classification: A stops at <= 80%; the next value
+    // block would cross it (same for B at 95)
+    assert(aRev / total <= 0.8 + 1e-9)
+    val bVals = rows.filter(_._3 == "B").map(_._2)
+    if (bVals.nonEmpty) assert((aRev + bVals.max) / total > 0.8 - 1e-9)
+    assert(abRev / total <= 0.95 + 1e-9)
+    // equal revenue -> equal class
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1)
+    }
+    // planted: one whale owns 79% -> it alone is A
+    val tmp = java.nio.file.Files.createTempDirectory("graftabc")
+    ((1 to 21).map(i => (i.toLong, i.toLong,
+      java.sql.Date.valueOf("2024-01-01"), 10.00)) :+
+      ((100L, 100L, java.sql.Date.valueOf("2024-01-01"), 790.00)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val p = relational.Analytics.abcClassification(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(p(100L) == "A")
+    assert(p.count(_._2 == "A") == 1)
+  }
 }

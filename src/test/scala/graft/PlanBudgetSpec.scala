@@ -139,6 +139,12 @@ class PlanBudgetSpec extends SparkSpec {
     "robust_trimmed_mean" -> 3,
     // token-frequency agg + the bounded freq-of-freq agg + 1-row fold
     "vocab_chao1" -> 3,
+    // monthly-size agg + 1-row cap fold + the in-row FFD fold +
+    // explode/join-back + the bounded per-bin load window
+    "compaction_plan" -> 7,
+    // per-customer agg + value-grid agg + the bounded descending-CDF
+    // window + the broadcast class join-back
+    "abc_classification" -> 5,
     // (source, token) agg + per-source fold (vocab-bounded payloads)
     "source_heaps_law" -> 2,
     // TakeOrdered k+1 head + the 1-row threshold fold + final fold
@@ -285,6 +291,7 @@ class PlanBudgetSpec extends SparkSpec {
     "bootstrap_ci", // one-row point-estimate x one-row CI broadcast
     "ab_uplift_bootstrap", // the same 1-row point x 1-row CI cross
     "hill_tail_index", // k+1-row head x 1-row threshold broadcast
+    "compaction_plan", // 1-row cap broadcast into the in-row fold
     "graph_markov_stationary", // k-row vector x one-row total broadcast
     "markov_entropy_rate", // the same k-row x one-row total broadcast
     "tfidf_topk", // one-row corpus doc count
