@@ -329,7 +329,66 @@ object Multimodal {
       .withColumn("is_voiced", $"energy" > $"n_samples" * VadAvgSq)
   }
 
+  /** Keyframe selection by frame-energy change — the shot-boundary
+    * detector of video curation (a real pipeline diffs decoded frame
+    * histograms; the stub diffs the [[audioEnergy]] frame energies over
+    * the same byte-payload stand-in, keeping the dataflow shape real):
+    * per media item, frame deltas Δᵢ = Eᵢ − Eᵢ₋₁ via one lag window,
+    * and a frame is a keyframe iff it opens the item (no predecessor)
+    * or |Δᵢ|·n_Δ > Σ|Δ| — the strictly-above-mean-|Δ| test as an exact
+    * integer cross-multiplication (no division, no FP anywhere).
+    *
+    * One (doc, frame) aggregate off the payload explode + one doc-keyed
+    * window pass (lag and the per-doc Σ/count share the partition) —
+    * frame counts are payload-linear, never quadratic.
+    */
+  def keyframes(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val frames = Tables.documents(spark, d)
+      .select($"doc_id", posexplode(split($"text", "")).as(Seq("pos", "ch")))
+      .filter($"ch" =!= "")
+      .groupBy($"doc_id", expr(s"pos div $FrameLen").as("frame_idx"))
+      .agg(sum(((ascii($"ch") - 96) * (ascii($"ch") - 96)).cast("long"))
+        .as("energy"))
+    val wo = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+    val wd = Window.partitionBy($"doc_id")
+    frames
+      .withColumn("delta", $"energy" - lag($"energy", 1).over(wo))
+      .withColumn("n_d", count($"delta").over(wd))
+      .withColumn("sum_ad", sum(abs($"delta")).over(wd))
+      .select($"doc_id", $"frame_idx", $"energy", $"delta",
+        ($"delta".isNull ||
+          abs($"delta") * $"n_d" > $"sum_ad").as("is_keyframe"))
+  }
+
+  private def keyframesOracle: String =
+    s"""WITH samples AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, length(text) + 1),
+       |                          i -> (i - 1) // $FrameLen)) AS frame_idx,
+       |    unnest(list_transform(range(1, length(text) + 1),
+       |      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)))
+       |      AS s
+       |  FROM documents),
+       |frames AS (
+       |  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |    CAST(sum((s - 96) * (s - 96)) AS BIGINT) AS energy
+       |  FROM samples GROUP BY doc_id, frame_idx),
+       |dd AS (
+       |  SELECT doc_id, frame_idx, energy,
+       |    energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+       |      AS delta
+       |  FROM frames)
+       |SELECT doc_id, frame_idx, energy, delta,
+       |  delta IS NULL OR
+       |  abs(delta) * CAST(count(delta) OVER (PARTITION BY doc_id) AS BIGINT)
+       |    > CAST(sum(abs(delta)) OVER (PARTITION BY doc_id) AS BIGINT)
+       |  AS is_keyframe
+       |FROM dd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_keyframes" -> (keyframes _),
     "multimodal_audio_energy" -> (audioEnergy _),
     "multimodal_meta" -> (metaQuery _),
     "multimodal_frames" -> (framesQuery _),
@@ -342,6 +401,7 @@ object Multimodal {
     s"$phashCtes\nSELECT doc_id, ph_lo, ph_hi FROM ph"
 
   val oracles: Map[String, String] = Map(
+    "multimodal_keyframes" -> keyframesOracle,
     "multimodal_audio_energy" ->
       s"""WITH samples AS (
          |  SELECT doc_id,

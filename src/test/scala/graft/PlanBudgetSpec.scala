@@ -145,6 +145,9 @@ class PlanBudgetSpec extends SparkSpec {
     // per-customer agg + value-grid agg + the bounded descending-CDF
     // window + the broadcast class join-back
     "abc_classification" -> 5,
+    // (doc, frame) energy agg + the doc-keyed window pass (lag and
+    // the per-doc delta stats share the exchange)
+    "multimodal_keyframes" -> 3,
     // (source, token) agg + per-source fold (vocab-bounded payloads)
     "source_heaps_law" -> 2,
     // TakeOrdered k+1 head + the 1-row threshold fold + final fold

@@ -269,6 +269,33 @@ class SimilaritySpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("keyframes: first frame always keyed; above-mean-|delta| rule recounts") {
+    val rows = Multimodal.keyframes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4)))
+    for ((doc, fs) <- rows.groupBy(_._1)) {
+      val o = fs.sortBy(_._2)
+      // opening frame has no predecessor and is a keyframe
+      assert(o.head._4.isEmpty && o.head._5)
+      // deltas chain the energies
+      o.zip(o.drop(1)).foreach { case (a, b) =>
+        assert(b._4.contains(b._3 - a._3))
+      }
+      val ads = o.flatMap(_._4).map(math.abs)
+      if (ads.nonEmpty) {
+        val n = ads.length.toLong
+        val s = ads.sum
+        for (f <- o.drop(1))
+          assert(f._5 == (math.abs(f._4.get) * n > s),
+            s"doc $doc frame ${f._2}")
+        // a doc always keeps at least its opener, never everything
+        // unless all deltas tie at zero spread
+        assert(o.count(_._5) >= 1)
+      }
+    }
+  }
+
   test("audio energy frames tile every payload exactly") {
     val frames = Multimodal.audioEnergy(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
