@@ -412,7 +412,61 @@ object RelExtras {
         concat_ws("|", $"doc_id", $"source", $"lang")))
   }
 
+  /** Skyline (Pareto-front) query over lineitem (minimize unit price,
+    * maximize quantity) — the multi-criteria "best trade-offs"
+    * operator relational engines lack natively (Börzsönyi et al. ICDE
+    * '01): a row is on the skyline iff no other row has price ≤ AND
+    * quantity ≥ with at least one strict.
+    *
+    * The naive formulation is a quadratic self-join; the 2-D skyline
+    * instead collapses onto the price-cent grid: per price the max
+    * quantity, then the EXCLUSIVE running max over strictly-cheaper
+    * prices (bounded single-partition window over the grid), and a
+    * cell survives iff its quantity equals its price's max AND
+    * strictly exceeds every cheaper price's best. Survivor cells
+    * broadcast back onto one scan to emit the skyline rows — all
+    * integer comparisons, exact duplicates all survive (mutual
+    * dominance requires strictness).
+    */
+  def skylineLineitems(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val li = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_suppkey",
+        round($"l_extendedprice" * 100, 0).cast("long").as("pc"),
+        round($"l_quantity" * 100, 0).cast("long").as("qc"))
+    val w = Window.orderBy($"pc").rowsBetween(Window.unboundedPreceding, -1)
+    val sky = li.groupBy($"pc").agg(max($"qc").as("pmax"))
+      .withColumn("cmax", max($"pmax").over(w))
+      .filter($"cmax".isNull || $"pmax" > $"cmax")
+      .select($"pc".as("sky_pc"), $"pmax")
+    li.join(broadcast(sky), $"pc" === $"sky_pc" && $"qc" === $"pmax")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"pc".cast("double") / 100).as("price"),
+        ($"qc".cast("double") / 100).as("quantity"))
+  }
+
+  private def skylineOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+      |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc
+      |  FROM lineitem),
+      |sky AS (
+      |  SELECT pc, pmax FROM (
+      |    SELECT pc, pmax,
+      |      max(pmax) OVER (ORDER BY pc
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmax
+      |    FROM (SELECT pc, CAST(max(qc) AS BIGINT) AS pmax
+      |          FROM li GROUP BY pc) g) h
+      |  WHERE cmax IS NULL OR pmax > cmax)
+      |SELECT l_orderkey, l_suppkey,
+      |  CAST(li.pc AS DOUBLE) / 100 AS price,
+      |  CAST(qc AS DOUBLE) / 100 AS quantity
+      |FROM li JOIN sky ON li.pc = sky.pc AND li.qc = sky.pmax""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skyline_lineitems" -> (skylineLineitems _),
     "table_checksum" -> (tableChecksum _),
     "window_moving_avg" -> (windowMovingAvg _),
     "join_null_safe" -> (joinNullSafe _),
@@ -436,6 +490,7 @@ object RelExtras {
     "array_funcs" -> (arrayFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "skyline_lineitems" -> skylineOracle,
     "table_checksum" -> {
       def leg(name: String, tbl: String, key: String) =
         s"""SELECT '$name' AS tbl, count(*) AS n_rows,

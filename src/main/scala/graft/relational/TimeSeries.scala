@@ -727,7 +727,81 @@ object TimeSeries {
       |    + 0.0 AS mean_s
       |FROM c""".stripMargin
 
+  /** Pairwise Pearson correlation matrix of the per-type daily event
+    * counts — the co-movement panel above [[tsCcf]]'s single lagged
+    * pair (which metric families rise and fall together; an anomaly
+    * that breaks a stable correlation is a system signal even when
+    * both series stay in-range). Zero-filled day spine (a type absent
+    * on a day counts 0 — dropping those days would bias every pair
+    * upward), exact DECIMAL(38,0) sufficient statistics per unordered
+    * type pair over the calendar-bounded grid, closed-form r.
+    */
+  def eventCorrMatrix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, d)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // calendar x type bounded; spine + join uses
+    val daySpine = counts.select($"day").distinct()
+    val types = counts.select($"event_type").distinct()
+    val grid = daySpine.crossJoin(broadcast(types))
+      .join(counts, Seq("day", "event_type"), "left")
+      .select($"day", $"event_type", coalesce($"c", lit(0L)).as("c"))
+    val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val g = grid.as("a")
+      .join(grid.as("b"),
+        $"a.day" === $"b.day" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"a.c")).as("sx"), sum(dec($"b.c")).as("sy"),
+        sum(dec($"a.c") * dec($"b.c")).as("sxy"),
+        sum(dec($"a.c") * dec($"a.c")).as("sxx"),
+        sum(dec($"b.c") * dec($"b.c")).as("syy"))
+    val num = (dec($"n") * $"sxy" - $"sx" * $"sy").cast("double")
+    val denx = (dec($"n") * $"sxx" - $"sx" * $"sx").cast("double")
+    val deny = (dec($"n") * $"syy" - $"sy" * $"sy").cast("double")
+    g.select($"type_a", $"type_b", $"n",
+      when(denx * deny > 0.0,
+        round(num / sqrt(denx * deny), 6) + lit(0.0))
+        .otherwise(lit(0.0)).as("corr"))
+  }
+
+  private def corrMatrixOracle: String =
+    """WITH counts AS MATERIALIZED (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+      |           AS day,
+      |    event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS MATERIALIZED (
+      |  SELECT d.day, t.event_type, coalesce(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT day FROM counts) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+      |  LEFT JOIN counts c
+      |    ON c.day = d.day AND c.event_type = t.event_type),
+      |g AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(a.c AS HUGEINT)) AS sx, sum(CAST(b.c AS HUGEINT)) AS sy,
+      |    sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS sxy,
+      |    sum(CAST(a.c AS HUGEINT) * CAST(a.c AS HUGEINT)) AS sxx,
+      |    sum(CAST(b.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS syy
+      |  FROM grid a JOIN grid b
+      |    ON a.day = b.day AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n,
+      |  CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+      |            CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) > 0.0
+      |       THEN round(
+      |         CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+      |         sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+      |              CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+      |         6) + 0.0
+      |       ELSE 0.0 END AS corr
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_corr_matrix" -> (eventCorrMatrix _),
     "twap_user_value" -> (twapUserValue _),
     "conversion_delay_quantiles" -> (conversionDelayQuantiles _),
     "ts_ccf" -> (tsCcf _),
@@ -740,6 +814,7 @@ object TimeSeries {
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _))
 
   val oracles: Map[String, String] = Map(
+    "event_corr_matrix" -> corrMatrixOracle,
     "twap_user_value" -> twapOracle,
     "conversion_delay_quantiles" -> delayOracle,
     "ts_ccf" -> ccfOracle,

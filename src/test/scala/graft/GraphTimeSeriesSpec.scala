@@ -541,6 +541,35 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean_s") - mean) < 1e-4)
   }
 
+  test("event_corr_matrix == naive zero-filled recount; bounds and pair count") {
+    val rows = relational.TimeSeries.eventCorrMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(to_date($"ts").cast("string"), $"event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val days = evs.map(_._1).distinct.sorted
+    val types = evs.map(_._2).distinct.sorted
+    assert(rows.size == types.length * (types.length - 1) / 2)
+    val cnt = evs.groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+    for (i <- types.indices; j <- (i + 1) until types.length) {
+      val (a, b) = (types(i), types(j))
+      val xs = days.map(d => cnt.getOrElse((d, a), 0.0))
+      val ys = days.map(d => cnt.getOrElse((d, b), 0.0))
+      val n = days.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val want = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val key = if (a < b) (a, b) else (b, a)
+      val (gn, gr) = rows(key)
+      assert(gn == days.length)
+      assert(math.abs(gr - want) < 1e-5, s"$key: $gr vs $want")
+      assert(gr >= -1.0 && gr <= 1.0)
+    }
+  }
+
   test("EWMA with one event equals that event's value") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 42.5))
       .toDF("user_id", "ts", "value")

@@ -148,6 +148,13 @@ class PlanBudgetSpec extends SparkSpec {
     // (doc, frame) energy agg + the doc-keyed window pass (lag and
     // the per-doc delta stats share the exchange)
     "multimodal_keyframes" -> 3,
+    // price-grid agg + the bounded exclusive-cummax window + the
+    // broadcast survivor join-back onto one scan
+    "skyline_lineitems" -> 3,
+    // (day, type) agg + day/type distincts + the zero-filled spine
+    // joins + the bounded pair agg — all post-scan payloads
+    // calendar x type bounded
+    "event_corr_matrix" -> 8,
     // (source, token) agg + per-source fold (vocab-bounded payloads)
     "source_heaps_law" -> 2,
     // TakeOrdered k+1 head + the 1-row threshold fold + final fold
@@ -295,6 +302,7 @@ class PlanBudgetSpec extends SparkSpec {
     "ab_uplift_bootstrap", // the same 1-row point x 1-row CI cross
     "hill_tail_index", // k+1-row head x 1-row threshold broadcast
     "compaction_plan", // 1-row cap broadcast into the in-row fold
+    "event_corr_matrix", // bounded type-list spine cross
     "graph_markov_stationary", // k-row vector x one-row total broadcast
     "markov_entropy_rate", // the same k-row x one-row total broadcast
     "tfidf_topk", // one-row corpus doc count

@@ -181,4 +181,37 @@ class RelationalSpec extends SparkSpec {
       assert(n >= 0, s"$name failed")
     }
   }
+
+  test("skyline: outputs mutually non-dominated and undominated by any input; planted staircase") {
+    import spark.implicits._
+    val out = relational.RelExtras.skylineLineitems(spark, sf).collect()
+      .map(r => (math.round(r.getDouble(2) * 100),
+        math.round(r.getDouble(3) * 100)))
+    assert(out.nonEmpty)
+    val all = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice", $"l_quantity").collect()
+      .map(r => (math.round(r.getDouble(0) * 100),
+        math.round(r.getDouble(1) * 100)))
+    def dominates(p: (Long, Long), q: (Long, Long)): Boolean =
+      p._1 <= q._1 && p._2 >= q._2 && (p._1 < q._1 || p._2 > q._2)
+    // every output point is undominated by the ENTIRE input
+    for (o <- out; a <- all) assert(!dominates(a, o), s"$a dominates $o")
+    // and the skyline is complete: every input point off the skyline
+    // set is dominated by someone (checked via the distinct cells)
+    val skySet = out.toSet
+    for (c <- all.distinct if !skySet(c))
+      assert(all.exists(a => dominates(a, c)), s"$c missing from skyline")
+
+    // planted: staircase all survive, interior point excluded, dup kept
+    val tmp = java.nio.file.Files.createTempDirectory("graftsky")
+    Seq(
+      (1L, 1L, 10.0, 1.00), (2L, 1L, 20.0, 2.00), (3L, 1L, 30.0, 3.00),
+      (4L, 1L, 25.0, 0.50), // dominated by (20.0, 2.00)
+      (5L, 1L, 10.0, 1.00)) // duplicate of the first: both survive
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val p = relational.RelExtras.skylineLineitems(spark, tmp.toString)
+      .collect().map(_.getLong(0)).sorted
+    assert(p.sameElements(Array(1L, 2L, 3L, 5L)), p.mkString(","))
+  }
 }
