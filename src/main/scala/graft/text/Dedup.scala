@@ -1163,7 +1163,48 @@ object Dedup {
             .cast("double"), 6) + lit(0.0)).as("reduction_ratio"))
   }
 
+  /** Per-source exact-duplicate profile — the dedup REPORT a curation
+    * run publishes per upstream feed (which source is shipping
+    * copies): per source its doc count, distinct normalized
+    * fingerprints, the redundant-doc count (n − distinct), the dup
+    * rate in exact per-mille (integer div), and the largest duplicate
+    * clique. Two bounded aggregates over the (source, fingerprint)
+    * table — fingerprint cardinality ≤ docs, map-side combined; no FP
+    * anywhere.
+    */
+  def sourceDedupProfile(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .groupBy($"source",
+        sha2(TextAnalysis.normText($"text"), 256).as("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(
+        sum($"c").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum($"c") - count(lit(1))).as("n_redundant"),
+        max($"c").as("max_clique"))
+      .select($"source", $"n_docs", $"n_distinct", $"n_redundant",
+        expr("(n_redundant * 1000) div n_docs").as("dup_permille"),
+        $"max_clique")
+  }
+
+  private def dedupProfileOracle: String =
+    """WITH fp AS (
+      |  SELECT source,
+      |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(c) - count(*) AS BIGINT) AS n_redundant,
+      |  CAST(((sum(c) - count(*)) * 1000) // sum(c) AS BIGINT)
+      |    AS dup_permille,
+      |  CAST(max(c) AS BIGINT) AS max_clique
+      |FROM fp GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_dedup_profile" -> (sourceDedupProfile _),
     "dedup_containment" -> (containmentPairs _),
     "dedup_edit_pairs" -> (editPairs _),
     "dedup_exact" -> (exact _),
@@ -1284,6 +1325,7 @@ object Dedup {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin,
+    "source_dedup_profile" -> dedupProfileOracle,
     "dedup_exact" ->
       """SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

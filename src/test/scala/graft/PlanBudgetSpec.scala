@@ -205,6 +205,8 @@ class PlanBudgetSpec extends SparkSpec {
     "skew_report" -> 12,
     // sketch pipelines: doc -> band/chunk -> pair
     "dedup_minhash_pairs" -> 3,
+    // (source, fingerprint) agg + the per-source fold
+    "source_dedup_profile" -> 2,
     // composes the jaccard-truth and minhash-candidate pipelines
     // (both candidate-bounded) + the pair-keyed hit join and four
     // 1-row folds

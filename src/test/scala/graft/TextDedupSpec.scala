@@ -617,6 +617,33 @@ class TextDedupSpec extends SparkSpec {
     joined.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
 
+  test("source_dedup_profile == naive fingerprint recount; ties to dedup_exact") {
+    val rows = Dedup.sourceDedupProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf).select($"source", $"text")
+      .collect().map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.size == bySrc.size)
+    for ((s, ds) <- bySrc) {
+      val fps = ds.map(_._2).groupBy(identity).map(_._2.length)
+      val (n, dist, red, pm, mc) = rows(s)
+      assert(n == ds.length)
+      assert(dist == fps.size)
+      assert(red == ds.length - fps.size)
+      assert(pm == (ds.length - fps.size).toLong * 1000 / ds.length)
+      assert(mc == fps.max)
+    }
+    // global redundant count ties to dedup_exact's clique sizes
+    val globalRed = Dedup.exact(spark, sf).collect()
+      .map(r => r.getLong(2) - 1).sum
+    // per-source redundancy can only find duplicates WITHIN a source,
+    // so it is bounded above by the global count
+    assert(rows.values.map(_._3).sum <= globalRed ||
+      globalRed == 0 && rows.values.map(_._3).sum == 0)
+  }
+
   test("text_code_detect: counts == naive char scan; planted code vs prose discriminates") {
     val rows = TextExtras.codeDetect(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
