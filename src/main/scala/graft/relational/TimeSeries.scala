@@ -800,7 +800,86 @@ object TimeSeries {
       |       ELSE 0.0 END AS corr
       |FROM g""".stripMargin
 
+  /** Inter-arrival profile per event type: exact median and p90 of the
+    * per-user gap between consecutive same-type events, in seconds —
+    * the arrival-process characterization capacity planning and
+    * anomaly baselines read (a Poisson stream has exp-distributed
+    * gaps; bursts collapse the median while the p90 holds).
+    *
+    * One (user, type)-keyed lag window produces the gaps; they
+    * collapse onto the calendar-bounded seconds grid per type, and the
+    * order statistics are located by cumulative counts (the
+    * [[conversionDelayQuantiles]] discipline, partitioned per type —
+    * the single-partition variant's bounded-sort caveat does not even
+    * arise). All integers; mean is the one division.
+    */
+  def eventArrivalProfile(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val wu = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"t", $"event_id")
+    val gaps = Tables.events(spark, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"),
+        $"event_id")
+      .withColumn("prev", lag($"t", 1).over(wu))
+      .filter($"prev".isNotNull)
+      .withColumn("us", $"t" - $"prev")
+      .select($"event_type", expr("us div 1000000").as("s"))
+    val freq = gaps.groupBy($"event_type", $"s").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+    def statAt(posNum: Long, posDen: Long) =
+      min(when($"cum" - $"cnt" <= expr(s"((n - 1) * $posNum) div $posDen") &&
+        expr(s"((n - 1) * $posNum) div $posDen") < $"cum", $"s"))
+    freq
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .groupBy($"event_type")
+      .agg(
+        first($"n").as("n_gaps"),
+        statAt(1L, 2L).as("p50_s"),
+        statAt(9L, 10L).as("p90_s"),
+        sum($"s" * $"cnt").as("ssum"))
+      .select($"event_type", $"n_gaps", $"p50_s", $"p90_s",
+        (round($"ssum".cast("double") / $"n_gaps".cast("double"), 6)
+          + lit(0.0)).as("mean_s"))
+  }
+
+  private def arrivalOracle: String =
+    """WITH gaps AS (
+      |  SELECT event_type, (t - prev) // 1000000 AS s
+      |  FROM (
+      |    SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |      lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |        (PARTITION BY user_id, event_type
+      |         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev
+      |    FROM events) x
+      |  WHERE prev IS NOT NULL),
+      |freq AS (
+      |  SELECT event_type, CAST(s AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM gaps GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, s, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM freq)
+      |SELECT event_type, CAST(first(n) AS BIGINT) AS n_gaps,
+      |  CAST(min(CASE WHEN cum - cnt <= ((n - 1) * 1) // 2
+      |                 AND ((n - 1) * 1) // 2 < cum THEN s END) AS BIGINT)
+      |    AS p50_s,
+      |  CAST(min(CASE WHEN cum - cnt <= ((n - 1) * 9) // 10
+      |                 AND ((n - 1) * 9) // 10 < cum THEN s END) AS BIGINT)
+      |    AS p90_s,
+      |  round(CAST(sum(s * cnt) AS DOUBLE) / CAST(first(n) AS DOUBLE), 6)
+      |    + 0.0 AS mean_s
+      |FROM c GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_arrival_profile" -> (eventArrivalProfile _),
     "event_corr_matrix" -> (eventCorrMatrix _),
     "twap_user_value" -> (twapUserValue _),
     "conversion_delay_quantiles" -> (conversionDelayQuantiles _),
@@ -814,6 +893,7 @@ object TimeSeries {
     "ts_seasonal_decompose" -> (tsSeasonalDecompose _))
 
   val oracles: Map[String, String] = Map(
+    "events_arrival_profile" -> arrivalOracle,
     "event_corr_matrix" -> corrMatrixOracle,
     "twap_user_value" -> twapOracle,
     "conversion_delay_quantiles" -> delayOracle,

@@ -259,7 +259,64 @@ object TextAnalysis {
         lit(0.0)).as("fk_grade"))
   }
 
+  /** Per-document 3-gram novelty rate under doc_id (ingestion) order:
+    * the share of a document's distinct 3-grams that it INTRODUCES to
+    * the corpus (its doc_id is the minimum over all docs containing
+    * the gram) — the diminishing-returns curve of data acquisition
+    * (dup-heavy late feeds show ~0 novelty; the metric RETScore-style
+    * acquisition triage reads). Each gram's first-owner is one
+    * vocab-keyed min-aggregate; the join-back is gram-keyed;
+    * novelty_permille is exact integer division.
+    */
+  def noveltyRate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, d)
+      .select($"doc_id", posexplode(toks($"text")).as(Seq("p", "tok")))
+      .withColumn("g2", lead($"tok", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p")))
+      .withColumn("g3", lead($"tok", 2)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p")))
+      .filter($"g3".isNotNull)
+      .select($"doc_id",
+        concat_ws(" ", $"tok", $"g2", $"g3").as("gram"))
+      .distinct()
+      .localCheckpoint() // (doc, gram) distinct; owner agg + join-back
+    val owner = grams.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+    grams.join(owner, "gram")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+          .as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        expr("(n_novel * 1000) div n_grams").as("novelty_permille"))
+  }
+
+  private def noveltyOracle: String =
+    """WITH grams AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS gram
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, '\s+'),
+      |                      x -> x <> '') AS t
+      |        FROM documents) d,
+      |    LATERAL (SELECT unnest(range(len(t) - 2)) AS i) r
+      |  WHERE len(t) >= 3),
+      |owner AS (
+      |  SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc
+      |  FROM grams GROUP BY gram)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000)
+      |       // count(*) AS BIGINT) AS novelty_permille
+      |FROM grams JOIN owner USING (gram)
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty_rate" -> (noveltyRate _),
     "text_readability" -> (readability _),
     "text_entropy" -> (tokenEntropy _),
     "text_unigram_logprob" -> (unigramLogprob _),
@@ -272,6 +329,7 @@ object TextAnalysis {
     "text_corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "text_novelty_rate" -> noveltyOracle,
     "text_readability" ->
       """SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
         |  round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))

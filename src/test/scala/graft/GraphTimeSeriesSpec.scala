@@ -486,7 +486,9 @@ class GraphTimeSeriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val evs = Tables.events(spark, sf)
       .select($"user_id", $"ts", $"event_id", $"value").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L,
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.getEpochSecond * 1000000L +
+          r.getTimestamp(1).toInstant.getNano / 1000L,
         r.getLong(2), math.round(r.getDouble(3) * 100)))
       .groupBy(_._1)
     for ((u, es) <- evs if es.map(_._2).distinct.length > 1) {
@@ -519,7 +521,9 @@ class GraphTimeSeriesSpec extends SparkSpec {
       .collect()(0)
     val evs = Tables.events(spark, sf)
       .select($"user_id", $"ts", $"event_id", $"event_type").collect()
-      .map(x => (x.getLong(0), x.getTimestamp(1).getTime * 1000L,
+      .map(x => (x.getLong(0),
+        x.getTimestamp(1).toInstant.getEpochSecond * 1000000L +
+          x.getTimestamp(1).toInstant.getNano / 1000L,
         x.getLong(2), x.getString(3)))
       .groupBy(_._1)
     val delays = evs.values.toSeq.flatMap { es =>
@@ -567,6 +571,30 @@ class GraphTimeSeriesSpec extends SparkSpec {
       assert(gn == days.length)
       assert(math.abs(gr - want) < 1e-5, s"$key: $gr vs $want")
       assert(gr >= -1.0 && gr <= 1.0)
+    }
+  }
+
+  test("events_arrival_profile == naive per-type gap order statistics") {
+    val rows = relational.TimeSeries.eventArrivalProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toInstant.getEpochSecond * 1000000L +
+          r.getTimestamp(2).toInstant.getNano / 1000L, r.getLong(3)))
+    val gaps = evs.groupBy(e => (e._1, e._2)).values.toSeq.flatMap { es =>
+      val o = es.sortBy(e => (e._3, e._4))
+      o.zip(o.drop(1)).map { case (a, b) => (a._2, (b._3 - a._3) / 1000000L) }
+    }.groupBy(_._1).map { case (t, gs) => t -> gs.map(_._2).sorted }
+    assert(rows.keySet == gaps.keySet)
+    for ((t, gs) <- gaps) {
+      val (n, p50, p90, mean) = rows(t)
+      assert(n == gs.length)
+      assert(p50 == gs((gs.length - 1) / 2), s"$t median")
+      assert(p90 == gs((gs.length - 1) * 9 / 10), s"$t p90")
+      assert(math.abs(mean - gs.map(BigInt(_)).sum.toDouble / gs.length)
+        < 1e-4)
     }
   }
 

@@ -57,6 +57,13 @@ class PlanBudgetSpec extends SparkSpec {
     // user-keyed as-of window + delay-grid agg + the bounded
     // single-partition order-statistic window + final fold
     "conversion_delay_quantiles" -> 4,
+    // (user, type) lag window + per-type seconds-grid agg + the
+    // type-partitioned order-statistic windows + per-type fold
+    "events_arrival_profile" -> 4,
+    // per-doc gram windows (one doc_id exchange) + the (doc, gram)
+    // distinct + gram-keyed owner agg + join-back per-doc fold —
+    // gram payloads are volume-linear, never pairs
+    "text_novelty_rate" -> 5,
     // sequentially-chained fixed peel: 3 k-levels x 4 rounds of
     // (degree agg + two semi-joins) on the SHRINKING checkpointed
     // adjacency + the final coreness joins — structural, not

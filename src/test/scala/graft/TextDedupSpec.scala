@@ -617,6 +617,44 @@ class TextDedupSpec extends SparkSpec {
     joined.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
 
+  test("text_novelty_rate: first doc fully novel; duplicated doc zero; naive recount") {
+    val rows = TextAnalysis.noveltyRate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_._2.length >= 3)
+    val gramsOf = docs.map { case (id, ts) =>
+      id -> ts.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val owner = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, gs) <- gramsOf.toSeq.sortBy(_._1); g <- gs)
+      if (!owner.contains(g) || owner(g) > id) owner(g) = id
+    assert(rows.size == gramsOf.size)
+    for ((id, gs) <- gramsOf) {
+      val novel = gs.count(g => owner(g) == id)
+      val (n, nn, pm) = rows(id)
+      assert(n == gs.size)
+      assert(nn == novel, s"doc $id")
+      assert(pm == novel.toLong * 1000 / gs.size)
+    }
+    // lowest doc_id introduces everything it contains
+    val minId = gramsOf.keys.min
+    assert(rows(minId)._3 == 1000L)
+
+    // planted: doc 2 repeats doc 1 verbatim -> zero novelty
+    val tmp = java.nio.file.Files.createTempDirectory("graftnov")
+    Seq((1L, "alpha beta gamma delta", "en", "s", 1L),
+      (2L, "alpha beta gamma delta", "en", "s", 1L),
+      (3L, "omega psi chi phi", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = TextAnalysis.noveltyRate(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(p(1L) == 1000L && p(2L) == 0L && p(3L) == 1000L)
+  }
+
   test("source_dedup_profile == naive fingerprint recount; ties to dedup_exact") {
     val rows = Dedup.sourceDedupProfile(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
