@@ -1367,7 +1367,63 @@ object Similarity {
       |        / 1000000.0, 6) + 0.0 AS centroid_l2
       |FROM g""".stripMargin
 
+  /** Per-dimension embedding health profile: mean, standard deviation,
+    * and exact min/max per dimension — the encoder-collapse check
+    * (a dimension whose variance goes to zero carries no information;
+    * a runaway max betrays un-normalized inputs). Per-dim sums and
+    * sums of squares ride the e6 integer grid ([[centroidDrift]]'s
+    * discipline — no cross-row FP sum), variance from the exact
+    * DECIMAL(38,0) closed form (n·Σx² − (Σx)²)/n², std as one sqrt;
+    * min/max are exact grid integers emitted back at 1e-6 scale.
+    * Bounded 64-row output at any corpus size.
+    */
+  def dimProfile(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    Tables.embeddings(spark, d)
+      .select(posexplode($"embedding".cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .select($"dim".cast("long").as("dim"),
+        round($"v" * 1000000, 0).cast("long").as("g"))
+      .groupBy($"dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"g").as("s"),
+        sum(dec($"g") * dec($"g")).as("sq"),
+        min($"g").as("mn"), max($"g").as("mx"))
+      .select(
+        $"dim", $"n",
+        (round($"s".cast("double") / $"n".cast("double") / lit(1000000.0), 6)
+          + lit(0.0)).as("mean_v"),
+        (round(sqrt(
+          (dec($"n") * $"sq" - dec($"s") * dec($"s")).cast("double") /
+            ($"n".cast("double") * $"n".cast("double"))) / lit(1000000.0), 6)
+          + lit(0.0)).as("std_v"),
+        ($"mn".cast("double") / 1000000).as("min_v"),
+        ($"mx".cast("double") / 1000000).as("max_v"))
+  }
+
+  private def dimProfileOracle: String =
+    """WITH g AS (
+      |  SELECT r.range AS dim,
+      |    CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000, 0)
+      |         AS BIGINT) AS g
+      |  FROM embeddings, range(64) r)
+      |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0,
+      |        6) + 0.0 AS mean_v,
+      |  round(sqrt(
+      |    CAST(CAST(count(*) AS HUGEINT) * sum(CAST(g AS HUGEINT) *
+      |           CAST(g AS HUGEINT)) -
+      |         CAST(sum(g) AS HUGEINT) * CAST(sum(g) AS HUGEINT) AS DOUBLE) /
+      |    (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))) / 1000000.0,
+      |    6) + 0.0 AS std_v,
+      |  CAST(min(g) AS DOUBLE) / 1000000 AS min_v,
+      |  CAST(max(g) AS DOUBLE) / 1000000 AS max_v
+      |FROM g GROUP BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_dim_profile" -> (dimProfile _),
     "embed_centroid_drift" -> (centroidDrift _),
     "embed_mmr" -> (mmrDiversified _),
     "embed_knn" -> (knnExact _),
@@ -1862,6 +1918,7 @@ object Similarity {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "embed_dim_profile" -> dimProfileOracle,
     "embed_centroid_drift" -> centroidDriftOracle,
     "embed_mmr" -> mmrOracle,
     "embed_triplets" ->

@@ -186,6 +186,8 @@ class PlanBudgetSpec extends SparkSpec {
     // one (half, dim) grid agg off the scan + the bounded dim join
     // fold on the checkpointed 2 x 64-cell frame
     "embed_centroid_drift" -> 4,
+    // one (dim) moment aggregate off the scan; 64-row output
+    "embed_dim_profile" -> 2,
     // counter-cell agg + the embedded heavy-hitter recount (distinct,
     // exact-count aggs); every exchange payload is bounded (<= 8192
     // cells / candidate-set rows), corpus-size-independent

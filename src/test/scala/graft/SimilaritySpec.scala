@@ -681,6 +681,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"pq composite recall@${Similarity.K} = $recall")
   }
 
+  test("dim profile == naive grid moments; constant dim has zero std") {
+    val rows = Similarity.dimProfile(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.size == 64)
+    val vs = Tables.embeddings(spark, sf)
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (d <- Seq(0, 13, 63)) {
+      val gs = vs.map(v => BigDecimal(v(d) * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val n = gs.length.toDouble
+      val mean = gs.sum / n / 1000000.0
+      val varr = (n * gs.map(g => BigInt(g) * BigInt(g)).sum.toDouble -
+        BigInt(gs.sum).pow(2).toDouble) / (n * n)
+      val (gn, gm, gsd, gmn, gmx) = rows(d.toLong)
+      assert(gn == gs.length)
+      assert(math.abs(gm - mean) < 1e-5)
+      assert(math.abs(gsd - math.sqrt(varr) / 1000000.0) < 1e-5)
+      assert(gmn == gs.min / 1000000.0 && gmx == gs.max / 1000000.0)
+      assert(gsd > 0.0) // no collapsed dimension in the fixture
+    }
+    // planted: a constant dimension -> std exactly 0
+    val tmp = java.nio.file.Files.createTempDirectory("graftdim")
+    import spark.implicits._
+    (0 until 20).map { i =>
+      val v = (0 until 64).map(d =>
+        if (d == 5) 0.25f else ((i * 64 + d) % 31) / 31.0f)
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val p = Similarity.dimProfile(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p(5L) == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(p(5L)) == 0L)
+  }
+
   test("centroid drift == naive grid recount; duplicated corpus drifts zero") {
     val r = Similarity.centroidDrift(spark, sf).collect()(0)
     val vs = Tables.embeddings(spark, sf)
