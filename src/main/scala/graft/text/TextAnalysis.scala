@@ -315,7 +315,67 @@ object TextAnalysis {
       |FROM grams JOIN owner USING (gram)
       |GROUP BY doc_id""".stripMargin
 
+  /** Directional source→source 3-gram containment matrix:
+    * C(a→b) = |G_a ∩ G_b| / |G_a| over distinct per-source gram sets —
+    * the ASYMMETRIC copying signal [[graft.text.TextExtras]]'
+    * token-level Jaccard overlap cannot express (a feed that
+    * syndicates another is nearly contained in it while the reverse
+    * containment stays low). Distinct (source, gram) is
+    * vocabulary-bounded; the gram-keyed self-join fans out at most
+    * #sources per gram; totals broadcast back. Exact counts, one
+    * division, 6dp.
+    */
+  def sourceGramContainment(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val sg = Tables.documents(spark, d)
+      .select($"doc_id", $"source", posexplode(toks($"text")).as(Seq("p", "tok")))
+      .withColumn("g2", lead($"tok", 1).over(w2))
+      .withColumn("g3", lead($"tok", 2).over(w2))
+      .filter($"g3".isNotNull)
+      .select($"source", concat_ws(" ", $"tok", $"g2", $"g3").as("gram"))
+      .distinct()
+      .localCheckpoint() // vocab-bounded; totals + pair join consumers
+    val tot = sg.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+    val inter = sg.as("a")
+      .join(sg.as("b"),
+        $"a.gram" === $"b.gram" && $"a.source" =!= $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(tot.select($"source".as("src_a"),
+        $"n_grams".as("na"))), "src_a")
+      .select($"src_a", $"src_b", $"n_shared", $"na".as("n_grams_a"),
+        (round($"n_shared".cast("double") / $"na".cast("double"), 6)
+          + lit(0.0)).as("containment"))
+  }
+
+  private def containmentMatrixOracle: String =
+    """WITH sg AS MATERIALIZED (
+      |  SELECT DISTINCT source,
+      |    t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS gram
+      |  FROM (SELECT source,
+      |          list_filter(string_split_regex(text, '\s+'),
+      |                      x -> x <> '') AS t
+      |        FROM documents) d,
+      |    LATERAL (SELECT unnest(range(len(t) - 2)) AS i) r
+      |  WHERE len(t) >= 3),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+      |        FROM sg GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM sg a JOIN sg b
+      |    ON a.gram = b.gram AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared, t.n_grams AS n_grams_a,
+      |  round(CAST(n_shared AS DOUBLE) / CAST(t.n_grams AS DOUBLE), 6) + 0.0
+      |    AS containment
+      |FROM inter JOIN tot t ON t.source = inter.src_a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_gram_containment" -> (sourceGramContainment _),
     "text_novelty_rate" -> (noveltyRate _),
     "text_readability" -> (readability _),
     "text_entropy" -> (tokenEntropy _),
@@ -329,6 +389,7 @@ object TextAnalysis {
     "text_corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "source_gram_containment" -> containmentMatrixOracle,
     "text_novelty_rate" -> noveltyOracle,
     "text_readability" ->
       """SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,

@@ -64,6 +64,9 @@ class PlanBudgetSpec extends SparkSpec {
     // distinct + gram-keyed owner agg + join-back per-doc fold —
     // gram payloads are volume-linear, never pairs
     "text_novelty_rate" -> 5,
+    // the novelty gram backbone + the gram-keyed source pair join
+    // (fan-out <= #sources per gram) + pair agg + totals broadcast
+    "source_gram_containment" -> 5,
     // sequentially-chained fixed peel: 3 k-levels x 4 rounds of
     // (degree agg + two semi-joins) on the SHRINKING checkpointed
     // adjacency + the final coreness joins — structural, not

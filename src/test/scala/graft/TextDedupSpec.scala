@@ -617,6 +617,38 @@ class TextDedupSpec extends SparkSpec {
     joined.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
 
+  test("source_gram_containment: asymmetric syndication detected; naive recount") {
+    val rows = TextAnalysis.sourceGramContainment(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val sg = Tables.documents(spark, sf).select($"source", $"text").collect()
+      .flatMap { r =>
+        val ts = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        if (ts.length < 3) Seq.empty
+        else ts.sliding(3).map(g => (r.getString(0), g.mkString(" "))).toSeq
+      }.distinct.groupBy(_._1).map { case (s, gs) => s -> gs.map(_._2).toSet }
+    for (((a, b), (shared, na, c)) <- rows.take(30)) {
+      assert(shared == (sg(a) & sg(b)).size)
+      assert(na == sg(a).size)
+      assert(math.abs(c - shared.toDouble / na) < 1e-5)
+    }
+    // planted: source y copies HALF of x's text, plus its own material;
+    // containment(y -> x) >> containment(x -> y)
+    val tmp = java.nio.file.Files.createTempDirectory("graftcont")
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    val xOwn = (1 to 30).map(i => s"xonly$i").mkString(" ")
+    val yOwn = (1 to 3).map(i => s"yonly$i").mkString(" ")
+    Seq((1L, s"$shared $xOwn", "en", "x", 1L),
+      (2L, s"$shared $yOwn", "en", "y", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = TextAnalysis.sourceGramContainment(spark, tmp.toString)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4))
+      .toMap
+    assert(p(("y", "x")) > 2 * p(("x", "y")),
+      s"directionality lost: ${p(("y", "x"))} vs ${p(("x", "y"))}")
+  }
+
   test("text_novelty_rate: first doc fully novel; duplicated doc zero; naive recount") {
     val rows = TextAnalysis.noveltyRate(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
