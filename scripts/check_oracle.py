@@ -72,8 +72,50 @@ def check_one(args):
     if len(got) != len(want):
         return False, [f"FAIL  {name}: rows {len(got)} vs {len(want)}"]
     bad_cols = []
+
+    def kind_tag(s):
+        """Coarse type class as the driver's byte-hash would see it:
+        an int64 63024680400458 and a float64 6.3024680400458e13 render
+        differently even though np.isclose passes. This is how the r8
+        HUGEINT leak (uncast DuckDB sum() -> float64 vs Spark BIGINT)
+        shipped green locally while the driver failed 4 queries."""
+        k = s.dtype.kind
+        if k in "iu":
+            return "int"
+        if k == "f":
+            return "float"
+        if k == "b":
+            return "bool"
+        if k == "O":
+            # object column: HUGEINT/DECIMAL leaks can fetch as Python
+            # int/Decimal objects; classify by the first non-null value
+            for v in s:
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    continue
+                if isinstance(v, bool):
+                    return "bool"
+                if isinstance(v, (int, np.integer)):
+                    return "int"
+                if isinstance(v, float):
+                    return "float"
+                import decimal
+                if isinstance(v, decimal.Decimal):
+                    return "decimal"
+                return "other"
+            return "empty"
+        return "other"
+
     for c in got.columns:
         a, b = got[c], want[c]
+        ta, tb = kind_tag(a), kind_tag(b)
+        # driver-faithful dtype gate (VERDICT r8 item 2): numeric class
+        # mismatch = FAIL even when every value compares equal. The one
+        # benign asymmetry is all-null vs all-null ("empty") columns.
+        numeric = {"int", "float", "bool", "decimal"}
+        if ta != tb and (ta in numeric or tb in numeric) \
+                and "empty" not in (ta, tb):
+            bad_cols.append((c, f"dtype {a.dtype}/{ta} vs {b.dtype}/{tb}"))
+            continue
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             af = a.astype(float).to_numpy()
             bf = b.astype(float).to_numpy()

@@ -343,7 +343,7 @@ object Classifier {
     "quality_classifier" ->
       s"""WITH $fitCtes
          |SELECT doc_id, y,
-         |  $scoreExpr AS score,
+         |  CAST($scoreExpr AS BIGINT) AS score,
          |  CAST(CASE WHEN $scoreExpr > 0
          |            THEN 1 ELSE -1 END AS BIGINT) AS pred
          |FROM f, mu""".stripMargin,
@@ -354,7 +354,7 @@ object Classifier {
          |    CAST(CASE WHEN $scoreExpr > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
          |  FROM f, mu),
          |bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored)
-         |SELECT ((score - mn) * 10) // (mx - mn + 1) AS bin,
+         |SELECT CAST(((score - mn) * 10) // (mx - mn + 1) AS BIGINT) AS bin,
          |  count(*) AS n,
          |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_label_pos,
          |  CAST(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
@@ -366,7 +366,7 @@ object Classifier {
          |  SELECT doc_id, y, $scoreExpr AS score FROM f, mu),
          |bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
          |thr AS (
-         |  SELECT j, mn + (j * (mx - mn + 1)) // ${PrSteps + 1} AS thr
+         |  SELECT j, CAST(mn + (j * (mx - mn + 1)) // ${PrSteps + 1} AS BIGINT) AS thr
          |  FROM bounds,
          |    (SELECT CAST(unnest(generate_series(1, $PrSteps)) AS BIGINT) AS j))
          |SELECT j, thr,
@@ -447,7 +447,7 @@ object Classifier {
          |              AS BIGINT) AS DOUBLE) / 1152921504606846976e0 AS u
          |  FROM documents),
          |accepted AS (
-         |  SELECT doc_id, $scoreExpr AS score
+         |  SELECT doc_id, CAST($scoreExpr AS BIGINT) AS score
          |  FROM f, mu
          |  WHERE $scoreExpr > 0)
          |SELECT d.doc_id, d.source, round(d.u, 6) AS u, a.score

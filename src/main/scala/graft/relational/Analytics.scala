@@ -765,8 +765,8 @@ object Analytics {
   /** Poisson-bootstrap 95% CI for the A/B conversion-rate uplift — the
     * interval [[abConversionZtest]]'s asymptotic z cannot honestly
     * provide on small or skewed arms: per resample b, every user-day
-    * unit gets the deterministic Poisson(1) multiplier of
-    * md5(user ':' day ':' b) ([[StatModels.bootstrapCi]]'s
+    * unit gets the deterministic Poisson(1) multiplier of a 32-bit
+    * lane of md5(user ':' day ':' ⌊b/4⌋) ([[StatModels.bootstrapCi]]'s
     * no-shuffle-resampling discipline — all 64 replicates fold in ONE
     * narrow pass with map-side combine onto 2·B group rows), and
     * uplift_b = p̂_A(b) − p̂_B(b); the CI bounds are order statistics
@@ -791,13 +791,20 @@ object Analytics {
         sum(when($"arm" === 0L, $"x").otherwise(0L)).as("x_a"),
         sum(when($"arm" === 1L, $"n").otherwise(0L)).as("n_b"),
         sum(when($"arm" === 1L, $"x").otherwise(0L)).as("x_b"))
+    // 4 draws per digest ([[StatModels.bootstrapCi]]'s lane scheme):
+    // md5(user ':' day ':' ⌊b/4⌋) split into four 32-bit hex lanes
     val draws = units
       .select($"user_id", $"day", $"arm", $"conv",
-        explode(sequence(lit(0), lit(B - 1))).as("b"))
-      .withColumn("u",
-        expr("conv(substring(md5(concat(cast(user_id AS string), ':', " +
-          "cast(day AS string), ':', cast(b AS string))), 1, 15), 16, 10)")
-          .cast("double") / lit(1152921504606846976e0))
+        explode(sequence(lit(0), lit(B / 4 - 1))).as("g"))
+      .withColumn("h",
+        md5(concat($"user_id".cast("string"), lit(":"),
+          $"day".cast("string"), lit(":"), $"g".cast("string"))))
+      .select($"arm", $"conv", $"g",
+        posexplode(array((0 until 4).map(l =>
+          expr(s"conv(substring(h, ${1 + 8 * l}, 8), 16, 10)")
+            .cast("double") / lit(4294967296e0)): _*))
+          .as(Seq("lane", "u")))
+      .withColumn("b", $"g" * 4 + $"lane")
       .withColumn("m", StatModels.poissonMultiplier($"u"))
     val ups = draws.groupBy($"b")
       .agg(
@@ -1010,15 +1017,16 @@ object Analytics {
        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
        |  FROM units),
        |draws AS (
-       |  SELECT arm, conv, bs.b AS b,
+       |  SELECT arm, conv, g * 4 + lane AS b,
        |    CASE ${StatModels.poissonMultiplierSqlCases} ELSE 6 END AS m
        |  FROM (
-       |    SELECT arm, conv, b,
+       |    SELECT arm, conv, g, lane,
        |      CAST(CAST('0x' || substring(md5(
        |        CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)
-       |        || ':' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
-       |        / 1152921504606846976e0 AS u
-       |    FROM units, (SELECT unnest(range($b)) AS b) bb) bs),
+       |        || ':' || CAST(g AS VARCHAR)), 1 + 8 * lane, 8)
+       |        AS BIGINT) AS DOUBLE) / 4294967296e0 AS u
+       |    FROM units, (SELECT unnest(range(${b / 4})) AS g) gg,
+       |         (SELECT unnest(range(4)) AS lane) ll) bs),
        |ups AS (
        |  SELECT b,
        |    CAST(sum(CASE WHEN arm = 0 THEN m * conv ELSE 0 END) AS DOUBLE) /

@@ -635,8 +635,11 @@ object StatModels {
     * corpus size, the [[graft.pipeline.Curation.stratifiedSample]]
     * derandomization applied to inference.
     *
-    * Determinism: the multiplier is the Poisson(1) inverse CDF of
-    * u = md5(o_orderkey ':' b)/2⁶⁰ — the catalog's hash-uniform draw,
+    * Determinism: the multiplier is the Poisson(1) inverse CDF of a
+    * hash-uniform draw — md5(o_orderkey ':' ⌊b/4⌋) split into four
+    * 8-hex-char lanes, lane b mod 4 over 2³² (one digest feeds 4
+    * resamples; 32-bit resolution is far below the ~1e-3 threshold
+    * granularity and a 32-bit integer / 2³² is exact in double) —
     * rerun-stable on both engines. Per-resample sums Σm·c, Σm are
     * BIGINT-exact; mean_b is one division of identical exact integers;
     * the 95% CI bounds are order statistics of the B=64 resample means
@@ -651,17 +654,24 @@ object StatModels {
         round($"o_totalprice" * 100, 0).cast("long").as("cents"))
     val point = o.agg(
       count(lit(1)).as("n_orders"), sum($"cents").as("tot"))
+    // 4 draws per digest: one md5 per (row, b-group of 4), the 32 hex
+    // chars split into four 8-char (32-bit) lanes — 16 digests instead
+    // of 64 per row cuts the dominant md5 CPU ~4x (the r8 bench-tail
+    // item) while staying bit-identical across both engines (a 32-bit
+    // int / 2^32 is exact in double on each side).
     val draws = o
       .select($"o_orderkey", $"cents",
-        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
-      .withColumn("u",
-        expr("conv(substring(md5(concat(cast(o_orderkey AS string), ':', " +
-          "cast(b AS string))), 1, 15), 16, 10)")
-          .cast("double") / lit(1152921504606846976e0))
-      .withColumn("m",
-        bootThresholds.zipWithIndex.foldRight(lit(6L)) {
-          case ((c, k), rest) => when($"u" < lit(c), k.toLong).otherwise(rest)
-        })
+        explode(sequence(lit(0), lit(BootB / 4 - 1))).as("g"))
+      .withColumn("h",
+        md5(concat($"o_orderkey".cast("string"), lit(":"),
+          $"g".cast("string"))))
+      .select($"cents", $"g",
+        posexplode(array((0 until 4).map(l =>
+          expr(s"conv(substring(h, ${1 + 8 * l}, 8), 16, 10)")
+            .cast("double") / lit(4294967296e0)): _*))
+          .as(Seq("lane", "u")))
+      .withColumn("b", $"g" * 4 + $"lane")
+      .withColumn("m", poissonMultiplier($"u"))
     val means = draws.groupBy($"b")
       .agg(sum($"m" * $"cents").as("wc"), sum($"m").as("wn"))
       .select($"b", ($"wc".cast("double") / $"wn".cast("double")).as("mean_b"))
@@ -695,16 +705,19 @@ object StatModels {
        |         CAST(sum(cents) AS BIGINT) AS tot
        |  FROM o),
        |draws AS (
-       |  SELECT b, cents,
+       |  SELECT g * 4 + lane AS b, cents,
        |    CASE $cases ELSE 6 END AS m
        |  FROM (
-       |    SELECT b.b, o.cents,
+       |    SELECT g.g, lanes.lane, o.cents,
        |      CAST(CAST(CONCAT('0x',
        |        substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':' ||
-       |                   CAST(b.b AS VARCHAR)), 1, 15))
-       |        AS BIGINT) AS DOUBLE) / 1152921504606846976e0 AS u
-       |    FROM o CROSS JOIN
-       |      (SELECT unnest(generate_series(0, ${BootB - 1})) AS b) b)),
+       |                   CAST(g.g AS VARCHAR)), 1 + 8 * lanes.lane, 8))
+       |        AS BIGINT) AS DOUBLE) / 4294967296e0 AS u
+       |    FROM o
+       |    CROSS JOIN
+       |      (SELECT unnest(generate_series(0, ${BootB / 4 - 1})) AS g) g
+       |    CROSS JOIN
+       |      (SELECT unnest(generate_series(0, 3)) AS lane) lanes)),
        |means AS (
        |  SELECT b,
        |    CAST(CAST(sum(m * cents) AS BIGINT) AS DOUBLE)
@@ -980,8 +993,12 @@ object StatModels {
       ($"n1".cast("double") * $"n2".cast("double")) /
         ($"n1".cast("double") + $"n2".cast("double")))
     val l2 = lam * lam
-    val pVal = lit(2.0) * (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2) +
-      exp(lit(-18.0) * l2))
+    // The truncated 3-term Smirnov series exceeds 1 for small lambda
+    // (identical distributions: D=0 -> series = 2.0); clamp to the
+    // probability domain so the no-drift case reports exactly 1.0.
+    val pVal = least(lit(1.0),
+      lit(2.0) * (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2) +
+        exp(lit(-18.0) * l2)))
     agg.select(
       $"n1".as("n_click"), $"n2".as("n_purchase"),
       (round(dStat, 6) + lit(0.0)).as("d_stat"),
@@ -1026,8 +1043,9 @@ object StatModels {
       |SELECT n1 AS n_click, n2 AS n_purchase,
       |  round(d_stat, 6) + 0.0 AS d_stat,
       |  round(lam, 6) + 0.0 AS lambda,
-      |  round(2.0 * (exp(-2.0 * (lam * lam)) - exp(-8.0 * (lam * lam)) +
-      |               exp(-18.0 * (lam * lam))), 6) + 0.0 AS p_value
+      |  round(least(1.0,
+      |        2.0 * (exp(-2.0 * (lam * lam)) - exp(-8.0 * (lam * lam)) +
+      |               exp(-18.0 * (lam * lam)))), 6) + 0.0 AS p_value
       |FROM stat""".stripMargin
 
   /** Spearman rank correlation between the two per-document size
@@ -1337,8 +1355,12 @@ object StatModels {
       sum(when($"c" === 2L, $"f").otherwise(0L)).as("f2"))
       .select(
         $"v_seen", $"n_tokens", $"f1", $"f2",
+        // f1 quadratic in DECIMAL(38,0): past ~3e9 singleton tokens a
+        // BIGINT product overflows under ANSI while the oracle's
+        // HUGEINT succeeds — ride the repo's quadratic discipline.
         (round($"v_seen".cast("double") +
-          ($"f1" * ($"f1" - 1L)).cast("double") /
+          ($"f1".cast("decimal(38,0)") *
+            ($"f1" - 1L).cast("decimal(38,0)")).cast("double") /
             (lit(2L) * ($"f2" + 1L)).cast("double"), 6) + lit(0.0))
           .as("chao1"),
         (round($"f1".cast("double") / $"n_tokens".cast("double"), 6)

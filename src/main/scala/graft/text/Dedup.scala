@@ -1158,9 +1158,13 @@ object Dedup {
           round($"n_hit".cast("double") / $"n_truth".cast("double"), 6)
             + lit(0.0))
           .otherwise(lit(0.0)).as("pair_completeness"),
-        (round(lit(1.0) - $"n_cand".cast("double") /
-          (dec($"n_docs") * dec($"n_docs" - 1L) / dec(lit(2L)))
-            .cast("double"), 6) + lit(0.0)).as("reduction_ratio"))
+        // guard the C(n,2)=0 denominator like the n_truth one above:
+        // a 0/1-doc corpus has no pair space to reduce — define 0.0
+        when($"n_docs" > 1L,
+          round(lit(1.0) - $"n_cand".cast("double") /
+            (dec($"n_docs") * dec($"n_docs" - 1L) / dec(lit(2L)))
+              .cast("double"), 6) + lit(0.0))
+          .otherwise(lit(0.0)).as("reduction_ratio"))
   }
 
   /** Per-source exact-duplicate profile — the dedup REPORT a curation
@@ -1284,9 +1288,11 @@ object Dedup {
        |       THEN round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
        |            + 0.0
        |       ELSE 0.0 END AS pair_completeness,
-       |  round(1.0 - CAST(n_cand AS DOUBLE) /
-       |        CAST((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2 AS DOUBLE),
-       |        6) + 0.0 AS reduction_ratio
+       |  CASE WHEN n_docs > 1
+       |       THEN round(1.0 - CAST(n_cand AS DOUBLE) /
+       |            CAST((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2
+       |                 AS DOUBLE), 6) + 0.0
+       |       ELSE 0.0 END AS reduction_ratio
        |FROM nd, nt, nc, nh""".stripMargin
   }
 

@@ -207,12 +207,14 @@ class StatModelsSpec extends SparkSpec {
         org.apache.spark.sql.functions.round($"o_totalprice" * 100, 0)
           .cast("long"))
       .collect().map(row => (row.getLong(0), row.getLong(1)))
-    // exact replay of the hash-Poisson draw: first 15 md5 hex digits / 2^60
+    // exact replay of the hash-Poisson draw: md5(key ':' b/4), the
+    // 32 hex chars split into four 8-char lanes, lane b%4 over 2^32
     val md = java.security.MessageDigest.getInstance("MD5")
     def u(key: Long, b: Int): Double = {
-      val hex = md.digest(s"$key:$b".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976e0
+      val hex = md.digest(s"$key:${b / 4}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val lane = hex.substring(8 * (b % 4), 8 * (b % 4) + 8)
+      java.lang.Long.parseLong(lane, 16).toDouble / 4294967296e0
     }
     val e1 = math.exp(-1.0)
     val thr = {
@@ -324,7 +326,7 @@ class StatModelsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("d_stat") - dNaive) < 1e-6,
       s"D ${r.getAs[Double]("d_stat")} vs naive $dNaive")
     val p = r.getAs[Double]("p_value")
-    assert(p >= 0.0 && p <= 1.0001, s"p out of range: $p")
+    assert(p >= 0.0 && p <= 1.0, s"p out of range: $p")
     // same distribution against itself -> D = 0 exactly
     val tmp = java.nio.file.Files.createTempDirectory("graftks")
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
@@ -338,6 +340,10 @@ class StatModelsSpec extends SparkSpec {
     // exactly +0.0 — the NegZero discipline at the leaf
     assert(java.lang.Double.doubleToRawLongBits(
       same.getAs[Double]("d_stat")) == 0L)
+    // identical distributions: the truncated Smirnov series evaluates
+    // to 2.0 at lambda=0; the clamp must report exactly p = 1.0
+    assert(same.getAs[Double]("p_value") == 1.0,
+      s"no-drift p_value must be 1.0, got ${same.getAs[Double]("p_value")}")
   }
 
   test("spearman_doc_signals == naive midrank correlation; planted monotone -> 1") {
