@@ -47,7 +47,12 @@ object SparkEntry {
       relational.StatAudit.queries ++ relational.StatModels.queries ++
       pipeline.Curation.queries ++ pipeline.Packing.queries ++
       pipeline.Decontam.queries ++ pipeline.Classifier.queries ++
-      pipeline.Privacy.queries ++ pipeline.Dsir.queries
+      pipeline.Privacy.queries ++ pipeline.Dsir.queries ++
+      relational.Experiment.queries ++ relational.TsExtras.queries ++
+      relational.Hits.queries ++ relational.BasketRules.queries ++
+      relational.Dependence.queries ++ pipeline.QualityRules.queries ++
+      pipeline.SplitAudit.queries ++ text.LshPlan.queries ++
+      relational.StatExtras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -72,5 +77,10 @@ object SparkEntry {
       relational.StatAudit.oracles ++ relational.StatModels.oracles ++
       pipeline.Curation.oracles ++ pipeline.Packing.oracles ++
       pipeline.Decontam.oracles ++ pipeline.Classifier.oracles ++
-      pipeline.Privacy.oracles ++ pipeline.Dsir.oracles
+      pipeline.Privacy.oracles ++ pipeline.Dsir.oracles ++
+      relational.Experiment.oracles ++ relational.TsExtras.oracles ++
+      relational.Hits.oracles ++ relational.BasketRules.oracles ++
+      relational.Dependence.oracles ++ pipeline.QualityRules.oracles ++
+      pipeline.SplitAudit.oracles ++ text.LshPlan.oracles ++
+      relational.StatExtras.oracles
 }

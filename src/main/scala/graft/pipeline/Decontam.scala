@@ -32,7 +32,7 @@ object Decontam {
     */
   val BenchSource = "src0"
 
-  private def gramsOf(spark: SparkSession, d: String): DataFrame = {
+  def gramsOf(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val leads: Seq[Column] =
@@ -131,7 +131,7 @@ object Decontam {
     "decontam_ngrams" -> (flagContaminated _),
     "decontam_embed" -> (flagEmbedContaminated _))
 
-  private def gramSql: String = {
+  def gramSql: String = {
     val parts = (1 to N).map(i => s"t[i + $i]").mkString(" || ' ' || ")
     s"""SELECT doc_id, source,
        |  CAST('0x' || substr(md5(g0), 1, 15) AS BIGINT) AS g
