@@ -97,7 +97,6 @@ object QualityRules {
         sum($"pass").as("n_pass"))
       .withColumn("pass_rate",
         round($"n_pass".cast("double") / $"n_docs".cast("double"), 6) + lit(0.0))
-      .orderBy($"source")
   }
 
   private def gopherOracle: String = {

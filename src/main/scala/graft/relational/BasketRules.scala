@@ -63,7 +63,6 @@ object BasketRules {
         (round(dbl($"n_ab") / dbl($"n_baskets") -
           (dbl($"n_a") / dbl($"n_baskets")) * (dbl($"n_b") / dbl($"n_baskets")), 6)
           + lit(0.0)).as("leverage"))
-      .orderBy($"n_ab".desc, $"part_a".asc, $"part_b".asc)
   }
 
   private def rulesOracle: String =

@@ -96,7 +96,6 @@ object Experiment {
         (round(when(varxN > 0.0 && varyN > 0.0,
           covN * covN / (varxN * varyN)).otherwise(lit(0.0)), 6) + lit(0.0))
           .as("rho2"))
-      .orderBy($"arm")
   }
 
   private def cupedOracle: String =
@@ -441,7 +440,6 @@ object Experiment {
       .select($"t", $"n_risk", $"d",
         when($"dead" === 1L, lit(0.0))
           .otherwise(round(exp($"lsum"), 6) + lit(0.0)).as("surv"))
-      .orderBy($"t")
   }
 
   private def kmOracle: String =
@@ -543,7 +541,6 @@ object Experiment {
         (round(least($"p_adj_raw", lit(1.0)), 6) + lit(0.0)).as("p_adj"),
         when(least($"p_adj_raw", lit(1.0)) <= 0.05, 1L).otherwise(0L)
           .as("discovery"))
-      .orderBy($"event_type")
   }
 
   private def fdrOracle: String =

@@ -225,7 +225,6 @@ object StatExtras {
         (round((dbl($"n_pass") + $"alpha") /
           (dbl($"n_docs") + $"alpha" + $"beta"), 6) + lit(0.0))
           .as("rate_shrunk"))
-      .orderBy($"source")
   }
 
   private def shrinkOracle: String = {

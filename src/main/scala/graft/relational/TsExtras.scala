@@ -156,7 +156,6 @@ object TsExtras {
         (round($"var_bm", 6) + lit(0.0)).as("var_bm"),
         (round(slope, 6) + lit(0.0)).as("slope"),
         (round(lit(1.0) + slope / 2.0, 6) + lit(0.0)).as("hurst"))
-      .orderBy($"m")
   }
 
   private def hurstOracle: String = {

@@ -53,7 +53,6 @@ object LshPlan {
           lit(1.0) / $"r".cast("double")), 6) + lit(0.0)).as("s50"),
         (round(lit(1.0) - pow(lit(1.0) - pow(lit(0.2), $"r".cast("double")),
           $"b".cast("double")), 6) + lit(0.0)).as("p_fp02"))
-      .orderBy($"b")
   }
 
   private def planOracle: String = {

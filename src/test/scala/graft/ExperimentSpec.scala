@@ -75,6 +75,7 @@ class ExperimentSpec extends SparkSpec {
 
   test("survival_km_retention matches a naive KM product") {
     val rows = relational.Experiment.survivalKm(spark, sf).collect()
+      .sortBy(_.getAs[Long]("t"))
     // fixture users all purchase eventually, so the curve exists
     assert(rows.nonEmpty)
     val users = Tables.events(spark, sf)

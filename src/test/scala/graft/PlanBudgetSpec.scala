@@ -22,6 +22,26 @@ class PlanBudgetSpec extends SparkSpec {
   private val exchangeBudget: Map[String, Int] = Map(
     // pair mining: distinct items -> orderkey join -> pair agg
     "basket_pairs" -> 3,
+    // basket build + per-item count agg + pair agg — all three consume
+    // the ONE checkpointed capped-basket frame
+    "basket_rules" -> 3,
+    // (type, hour) cells agg (data-scale) + the two marginal aggs and
+    // their joins — every post-cells payload is the bounded
+    // |types|x24 contingency table
+    "event_mi_hour" -> 5,
+    // (type, cent) freq agg (data-scale) + global cent-grid agg +
+    // per-group rank-sum agg — frequency-table algebra, the
+    // anomaly_mad shape
+    "kruskal_wallis_value" -> 3,
+    // the jaccardPairs backbone (per-doc block window + bucket join)
+    // + the 7-plan agg; pair stream is bucket-capped, plans broadcast
+    "lsh_band_plan" -> 3,
+    // fingerprint-group agg + the Decontam gram window + two split
+    // DISTINCTs + the 8-byte-key leak join — no string ever shuffles
+    "split_leakage_audit" -> 5,
+    // per-user (min, min-purchase) agg + duration freq agg + the
+    // day-bounded KM window
+    "survival_km_retention" -> 3,
     // simhash chunk-bucket group + pair distinct + the doc_id-keyed
     // prefix join-back; the pair side is candidate-sized (bucket-capped),
     // AQE broadcasts it at runtime
@@ -280,6 +300,18 @@ class PlanBudgetSpec extends SparkSpec {
     * one-row aggregate (SURVEY §8: the only sanctioned NLJ shape).
     */
   private val nljWhitelist: Set[String] = Set(
+    "ab_cuped_adjust", // 1-row period-midpoint + 1-row pooled-stats broadcast
+    "ab_diff_in_diff", // 1-row period-midpoint broadcast
+    "ab_ztest_fdr", // 1-row period-midpoint broadcast
+    "kruskal_wallis_value", // 1-row N/ties broadcast into the group fold
+    "survival_km_retention", // 1-row corpus-horizon broadcast
+    "ts_hurst_aggvar", // 6-row scale table + 1-row fit broadcast
+    "event_mi_hour", // 1-row totals + 1-row entropy broadcasts
+    "revenue_theil", // 1-row corpus-total broadcast
+    "source_rate_shrinkage", // 1-row fitted-prior broadcast
+    "split_leakage_audit", // 1-row gram-leak x 1-row exact-dup fold cross
+    "basket_rules", // 1-row basket-count broadcast
+    "lsh_band_plan", // 7-row banding-plan table against the pair stream
     "anomaly_zscore", // one-row global stats
     "bm25_search", // one-row corpus stats
     "embed_knn", // probe-vector constant
