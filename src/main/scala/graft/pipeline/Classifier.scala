@@ -248,13 +248,101 @@ object Classifier {
           + lit(0.0)).as("auc"))
   }
 
+  /** Isotonic (PAV) recalibration of the reliability table — the
+    * monotone positive-rate fit a deployment reads instead of the raw
+    * (possibly non-monotone) per-bin rates (Zadrozny & Elkan 2002;
+    * Robertson et al., "Order Restricted Statistical Inference" for the
+    * minimax identity iso(i) = max_{j≤i} min_{k≥i} avg(j..k)).
+    *
+    * Scale shape: the input is [[qualityCalibration]]'s ≤10-row bin
+    * table (the ONE data-scale aggregate), localCheckpointed once; the
+    * minimax unrolls as three joins/aggregates over that bounded table
+    * (≤10² segments × ≤10 positions — constant work at ANY corpus
+    * size). Rates go to micro fixed point by integer division — the
+    * fit's own overflow envelope (sums × 1e6, safe to ~9.2e12 docs,
+    * same as the mu means at Classifier.scala:83) — so both engines
+    * compute the identical monotone fit with zero FP accumulation.
+    */
+  def isotonicCalibration(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cal = qualityCalibration(spark, d)
+      .select($"bin", $"n", $"n_label_pos").localCheckpoint()
+    val segs = cal.select($"bin".as("j"))
+      .crossJoin(cal.select($"bin".as("k"))).filter($"j" <= $"k")
+      .join(cal, $"bin".between($"j", $"k"))
+      .groupBy($"j", $"k")
+      .agg(sum($"n").as("sn"), sum($"n_label_pos").as("sp"))
+      .select($"j", $"k", expr(s"(sp * ${Micro}L) div sn").as("a_micro"))
+    val minOverK = cal.select($"bin".as("i"))
+      .join(segs, $"j" <= $"i" && $"k" >= $"i")
+      .groupBy($"i", $"j").agg(min($"a_micro").as("lo"))
+    val iso = minOverK.groupBy($"i").agg(max($"lo").as("iso_micro"))
+    cal.join(iso, $"bin" === $"i")
+      .select($"bin", $"n", $"n_label_pos",
+        expr(s"(n_label_pos * ${Micro}L) div n").as("rate_micro"),
+        $"iso_micro")
+  }
+
+  /** Brier score + expected calibration error of the score read out as
+    * a probability — the two model-card calibration scalars next to
+    * [[rocAuc]]'s discrimination scalar (Brier 1950; Murphy 1973 for
+    * the reliability framing; Naeini et al. 2015 for binned ECE). The
+    * probability is the normalized score p = (score−mn)/(mx−mn+1) in
+    * micro fixed point, i.e. the linear read-out a calibration step
+    * would correct; ECE bins by the same 10-bin rule as
+    * [[qualityCalibration]], so the three calibration views agree on
+    * geometry.
+    *
+    * Scale shape: ONE scoring scan feeds ONE partial+final aggregate
+    * onto ≤10 bin rows (map-side combined; the 1-row min/max bounds
+    * broadcast is the established calibration shape), then a final fold
+    * of that bounded table. All accumulation is exact integer
+    * (DECIMAL(38,0) for the squared-error and p_micro sums — per-doc
+    * terms ≤1e12 so 100 TB corpora stay within 38 digits); the only FP
+    * is the two final divisions, nonnegative, 6dp-rounded.
+    */
+  def brierEce(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val scored = qualityClassifier(spark, d)
+    val bounds = scored.agg(min($"score").as("mn"), max($"score").as("mx"))
+    val perBin = scored.crossJoin(broadcast(bounds))
+      .select(
+        expr("(score - mn) * 10L div (mx - mn + 1L)").as("bin"),
+        expr(s"cast(score - mn as decimal(38,0)) * ${Micro}L" +
+          " div (mx - mn + 1L)").as("p_micro"),
+        when($"y" === 1L, lit(Micro)).otherwise(lit(0L)).as("y_micro"))
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("nb"),
+        sum(dec($"p_micro")).as("sp"),
+        sum(when($"y_micro" === Micro, 1L).otherwise(0L)).as("posb"),
+        sum(dec($"p_micro" - $"y_micro") * ($"p_micro" - $"y_micro"))
+          .as("sq"))
+      .select($"nb", $"sq",
+        expr("sp div nb").as("conf_micro"),
+        expr(s"cast(posb as decimal(38,0)) * ${Micro}L div nb")
+          .as("acc_micro"))
+    perBin
+      .agg(
+        sum($"nb").as("n"), sum($"sq").as("sqsum"),
+        sum(dec($"nb") * abs($"acc_micro" - $"conf_micro")).as("ecenum"))
+      .select($"n",
+        round($"sqsum".cast("double") /
+          ($"n".cast("double") * lit(1e12)), 6).as("brier"),
+        round($"ecenum".cast("double") /
+          ($"n".cast("double") * lit(1e6)), 6).as("ece"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "classifier_roc_auc" -> (rocAuc _),
     "quality_classifier" -> (qualityClassifier _),
     "quality_gated_sample" -> (qualityGatedSample _),
     "classifier_pr_curve" -> (prCurve _),
     "classifier_kappa" -> (kappa _),
-    "quality_calibration" -> (qualityCalibration _))
+    "quality_calibration" -> (qualityCalibration _),
+    "classifier_isotonic" -> (isotonicCalibration _),
+    "classifier_brier_ece" -> (brierEce _))
 
   /** The classifier fit as a reusable CTE block (feature CTE → 1-row
     * class-sum CTE → micro-mean CTE), shared by the standalone oracle
@@ -454,5 +542,62 @@ object Classifier {
          |FROM draws d
          |JOIN rates r ON d.source = r.source
          |JOIN accepted a ON a.doc_id = d.doc_id
-         |WHERE d.u < r.sample_rate""".stripMargin)
+         |WHERE d.u < r.sample_rate""".stripMargin,
+    "classifier_isotonic" ->
+      s"""WITH $fitCtes,
+         |scored AS (
+         |  SELECT doc_id, y, $scoreExpr AS score FROM f, mu),
+         |bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+         |cal AS (
+         |  SELECT CAST(((score - mn) * 10) // (mx - mn + 1) AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM scored, bounds GROUP BY 1),
+         |segs AS (
+         |  SELECT a.bin AS j, b.bin AS k,
+         |    CAST((sum(t.np) * $Micro) // sum(t.n) AS BIGINT) AS a_micro
+         |  FROM cal a, cal b, cal t
+         |  WHERE a.bin <= b.bin AND t.bin BETWEEN a.bin AND b.bin
+         |  GROUP BY 1, 2),
+         |mm AS (
+         |  SELECT c.bin AS i, s.j, min(s.a_micro) AS lo
+         |  FROM cal c JOIN segs s ON s.j <= c.bin AND s.k >= c.bin
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT i, max(lo) AS iso_micro FROM mm GROUP BY 1)
+         |SELECT c.bin, c.n, c.np AS n_label_pos,
+         |  CAST((c.np * $Micro) // c.n AS BIGINT) AS rate_micro,
+         |  i.iso_micro
+         |FROM cal c JOIN iso i ON i.i = c.bin""".stripMargin,
+    "classifier_brier_ece" ->
+      s"""WITH $fitCtes,
+         |scored AS (
+         |  SELECT doc_id, y, $scoreExpr AS score FROM f, mu),
+         |bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+         |enr AS (
+         |  SELECT ((score - mn) * 10) // (mx - mn + 1) AS bin,
+         |    CAST((CAST(score - mn AS HUGEINT) * $Micro) // (mx - mn + 1)
+         |         AS BIGINT) AS p_micro,
+         |    CASE WHEN y = 1 THEN $Micro ELSE 0 END AS y_micro
+         |  FROM scored, bounds),
+         |perbin AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(p_micro) AS HUGEINT) AS sp,
+         |    CAST(sum(CASE WHEN y_micro = $Micro THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS posb,
+         |    sum(CAST(p_micro - y_micro AS HUGEINT) * (p_micro - y_micro))
+         |      AS sq
+         |  FROM enr GROUP BY 1),
+         |conf AS (
+         |  SELECT nb, sq,
+         |    CAST(sp // nb AS BIGINT) AS conf_micro,
+         |    CAST((CAST(posb AS HUGEINT) * $Micro) // nb AS BIGINT)
+         |      AS acc_micro
+         |  FROM perbin)
+         |SELECT CAST(sum(nb) AS BIGINT) AS n,
+         |  round(CAST(sum(sq) AS DOUBLE) /
+         |        (CAST(sum(nb) AS DOUBLE) * 1e12), 6) AS brier,
+         |  round(CAST(sum(CAST(nb AS HUGEINT) * abs(acc_micro - conf_micro))
+         |             AS DOUBLE) /
+         |        (CAST(sum(nb) AS DOUBLE) * 1e6), 6) AS ece
+         |FROM conf""".stripMargin)
 }

@@ -340,7 +340,49 @@ object TextExtras {
        |      AS BIGINT) AS n_digit
        |  FROM documents) x""".stripMargin
 
+  /** Tokenizer fertility by (source × detected language): subword
+    * (BPE-regex) tokens per whitespace word — THE tokenizer-budget
+    * metric a multilingual pretraining mix is planned around (fertility
+    * >> 1 for a language means its documents cost proportionally more
+    * sequence length per word; Rust et al. 2021, "How Good is Your
+    * Tokenizer?"). Language comes from [[TextAnalysis.LangProfiles]]'s
+    * stopword argmax, tokens from [[TextAnalysis.BpePattern]] — the
+    * catalog's proven cross-engine regex pair.
+    *
+    * Scale shape: one narrow document scan (source, text), per-doc
+    * integer counts, ONE partial+final aggregate onto ≤ |sources| × 4
+    * language rows (map-side combined; no joins). Fertility is the
+    * single division of two exact BIGINT sums, 6dp-rounded.
+    */
+  def tokenFertility(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.TextAnalysis.{BpePattern, LangProfiles, hits, toks}
+    val base = Tables.documents(spark, d)
+      .select($"source", toks($"text").as("t"),
+        size(expr(s"regexp_extract_all(text, '${BpePattern.replace("\\", "\\\\")}', 0)"))
+          .cast("long").as("n_bpe"))
+    val withHits = LangProfiles.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"${lang}_hits", hits(col("t"), words))
+    }
+    withHits
+      .select($"source", size($"t").cast("long").as("n_words"), $"n_bpe",
+        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" &&
+          $"en_hits" >= $"es_hits", "en")
+          .when($"de_hits" >= $"fr_hits" && $"de_hits" >= $"es_hits", "de")
+          .when($"fr_hits" >= $"es_hits", "fr")
+          .otherwise("es").as("pred_lang"))
+      .groupBy($"source", $"pred_lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_bpe").as("n_bpe"))
+      .select($"source", $"pred_lang", $"n_docs", $"n_words", $"n_bpe",
+        round($"n_bpe".cast("double") /
+          greatest($"n_words", lit(1L)).cast("double"), 6).as("fertility"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_fertility" -> (tokenFertility _),
     "text_code_detect" -> (codeDetect _),
     "token_burstiness" -> (tokenBurstiness _),
     "text_ngram_topk" -> (ngramTopk _),
@@ -351,6 +393,40 @@ object TextExtras {
     "text_pii_redact" -> (piiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "token_fertility" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text,
+        |      ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x = 'the' OR x = 'a')) AS en_hits,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x = 'der' OR x = 'und' OR x = 'data' OR x = 'batch'))
+        |      AS de_hits,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x = 'le' OR x = 'et' OR x = 'stream' OR x = 'query'))
+        |      AS fr_hits,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x = 'el' OR x = 'y' OR x = 'table' OR x = 'row'))
+        |      AS es_hits
+        |  FROM documents),
+        |lang AS (
+        |  SELECT source, n_words, n_bpe,
+        |    CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+        |              AND en_hits >= es_hits THEN 'en'
+        |         WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |         WHEN fr_hits >= es_hits THEN 'fr'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM per)
+        |SELECT source, pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+        |  round(CAST(sum(n_bpe) AS DOUBLE) /
+        |        CAST(greatest(sum(n_words), 1) AS DOUBLE), 6) AS fertility
+        |FROM lang GROUP BY 1, 2""".stripMargin,
     "text_code_detect" -> codeDetectOracle,
     "token_burstiness" -> burstOracle,
     "source_vocab_overlap" ->

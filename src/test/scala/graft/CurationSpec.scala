@@ -136,6 +136,60 @@ class CurationSpec extends SparkSpec {
       "classifier should beat chance agreement decisively on the fixture")
   }
 
+  test("isotonic calibration == naive minimax PAV, monotone, pooling where violated") {
+    val rows = graft.pipeline.Classifier.isotonicCalibration(spark, sf)
+      .orderBy("bin").collect()
+    val bins = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive minimax over the same floored micro averages
+    val micro = 1000000L
+    val want = bins.indices.map { i =>
+      bins.indices.filter(_ <= i).map { j =>
+        bins.indices.filter(_ >= i).map { k =>
+          val seg = bins.slice(j, k + 1)
+          seg.map(_._3).sum * micro / seg.map(_._2).sum
+        }.min
+      }.max
+    }
+    assert(rows.map(_.getAs[Long]("iso_micro")).toSeq == want)
+    // the fit is monotone nondecreasing even where raw rates are not
+    val iso = rows.map(_.getAs[Long]("iso_micro"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    // and each fitted value stays inside the observed rate envelope
+    val rates = rows.map(_.getAs[Long]("rate_micro"))
+    assert(iso.forall(v => v >= rates.min && v <= rates.max))
+  }
+
+  test("brier + ece == naive micro-integer recomputation over the scored corpus") {
+    val r = graft.pipeline.Classifier.brierEce(spark, sf).collect()(0)
+    val scored = graft.pipeline.Classifier.qualityClassifier(spark, sf)
+      .collect().map(s => (s.getLong(1), s.getLong(2)))
+    val (mn, mx) = (scored.map(_._2).min, scored.map(_._2).max)
+    val w = BigInt(mx - mn + 1)
+    val micro = BigInt(1000000)
+    val enr = scored.map { case (y, s) =>
+      val p = (BigInt(s - mn) * micro / w).toLong
+      val bin = ((s - mn) * 10L) / (mx - mn + 1L)
+      (bin, p, if (y == 1L) 1000000L else 0L)
+    }
+    val n = enr.length
+    assert(r.getAs[Long]("n") == n.toLong)
+    val sq = enr.map { case (_, p, y) => BigInt(p - y) * BigInt(p - y) }.sum
+    // same IEEE shape as the query: exact-integer sums -> ONE double div
+    val wantBrier = BigDecimal(sq.toDouble / (n.toDouble * 1e12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ecenum = enr.groupBy(_._1).values.map { g =>
+      val nb = g.length
+      val conf = g.map(e => BigInt(e._2)).sum / nb
+      val acc = BigInt(g.count(_._3 == 1000000L)) * micro / nb
+      BigInt(nb) * (acc - conf).abs
+    }.sum
+    val wantEce = BigDecimal(ecenum.toDouble / (n.toDouble * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("brier") == wantBrier)
+    assert(r.getAs[Double]("ece") == wantEce)
+    assert(wantBrier >= 0.0 && wantBrier <= 1.0 && wantEce >= 0.0 && wantEce <= 1.0)
+  }
+
   test("classifier_roc_auc == naive pairwise concordance with tie halving") {
     val r = graft.pipeline.Classifier.rocAuc(spark, sf).collect()(0)
     val scored = graft.pipeline.Classifier.qualityClassifier(spark, sf)

@@ -20,6 +20,10 @@ class PlanBudgetSpec extends SparkSpec {
 
   /** Queries allowed MORE than the default 2 exchanges, with why. */
   private val exchangeBudget: Map[String, Int] = Map(
+    // the PAV minimax unrolled over the checkpointed <=10-row bin
+    // table: segment agg + per-(i,j) min agg + per-i max agg — all
+    // three exchanges carry <=10^2-row bounded payloads, never data
+    "classifier_isotonic" -> 3,
     // pair mining: distinct items -> orderkey join -> pair agg
     "basket_pairs" -> 3,
     // basket build + per-item count agg + pair agg — all three consume
@@ -333,6 +337,8 @@ class PlanBudgetSpec extends SparkSpec {
     "customer_rfm", // one-row boundary broadcasts (anchor + tertiles)
     "quality_calibration", // one-row score min/max broadcast
     "classifier_pr_curve", // the calibration one-row bounds broadcast
+    "classifier_brier_ece", // the same calibration one-row bounds broadcast
+    "classifier_isotonic", // bounded <=10-row bin-table minimax self-joins
     "mixture_sample", // inherits mixture_rates' one-row total broadcast
     "text_unigram_logprob", // one-row token-total broadcast
     "text_phrase_detect", // one-row corpus-total broadcast

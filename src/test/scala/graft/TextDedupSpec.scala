@@ -771,6 +771,30 @@ class TextDedupSpec extends SparkSpec {
       s"PC ${p.getAs[Double]("pair_completeness")}")
   }
 
+  test("token_fertility: groups tie out to corpus totals, fertility >= 1, langs closed") {
+    val rows = TextExtras.tokenFertility(spark, sf).collect()
+    val langs = Set("en", "de", "fr", "es")
+    rows.foreach { r =>
+      assert(langs(r.getAs[String]("pred_lang")))
+      // every whitespace word contributes >= 1 BPE-regex token
+      assert(r.getAs[Long]("n_bpe") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+    // (source, lang) cells partition the corpus: doc/word/bpe totals match
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    val naive = Tables.documents(spark, sf).select($"text").collect().map { r =>
+      val words = r.getString(0).split("\\s+").count(_.nonEmpty).toLong
+      val bpe = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+        .matcher(r.getString(0))
+      var nb = 0L
+      while (bpe.find()) nb += 1
+      (words, nb)
+    }
+    assert(rows.map(_.getAs[Long]("n_words")).sum == naive.map(_._1).sum)
+    assert(rows.map(_.getAs[Long]("n_bpe")).sum == naive.map(_._2).sum)
+  }
+
   test("token_burstiness == naive Fano factor; planted clump vs uniform") {
     val rows = TextExtras.tokenBurstiness(spark, sf).collect()
     assert(rows.length == TextExtras.BurstTop)
