@@ -1367,6 +1367,101 @@ object StatModels {
           + lit(0.0)).as("p_unseen"))
   }
 
+  /** Highest raw count the Good–Turing table reports (the classic
+    * smoothing cutoff below which N_r is dense enough to trust raw
+    * Turing estimates; Gale & Sampson 1995 §3).
+    */
+  val GtMaxR = 20L
+
+  /** Raw Turing re-estimated counts r* = (r+1)·N_{r+1}/N_r for the head
+    * of the frequency-of-frequencies table (Good 1953; Gale & Sampson
+    * 1995) — the unseen-mass / rare-token discounting view a language
+    * model's smoothing layer consumes, next to [[vocabChao1]]'s
+    * richness view. Reported in micro fixed point by exact integer
+    * division; gaps (N_{r+1} = 0) report r* = 0, the raw-Turing
+    * convention, with N_{r+1} emitted so the reader sees why.
+    *
+    * Scale shape: the chao1 backbone (token agg → freq-of-freq agg),
+    * then ONE lead window over the frequency-of-frequencies table —
+    * bounded by distinct count values (O(√N_tokens)), the StatModels
+    * single-partition frequency-table discipline — cut to the ≤
+    * [[GtMaxR]]-row head. (r+1)·N_{r+1}·1e6 ≤ 21 · V · 1e6 stays in
+    * BIGINT to vocabularies of ~4e11 types.
+    */
+  def vocabGoodTuring(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ff = Tables.documents(spark, d)
+      .select(explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"c").agg(count(lit(1)).as("f"))
+    val w = Window.orderBy($"c")
+    ff
+      .withColumn("n_r1",
+        when(lead($"c", 1).over(w) === $"c" + 1L, lead($"f", 1).over(w))
+          .otherwise(0L))
+      .filter($"c" <= GtMaxR)
+      .select($"c".as("r"), $"f".as("n_r"), $"n_r1",
+        expr("(c + 1L) * n_r1 * 1000000L div f").as("r_star_micro"))
+  }
+
+  private def goodTuringOracle: String =
+    s"""WITH tf AS (
+       |  SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                                  x -> x <> '')) AS t
+       |        FROM documents) x
+       |  GROUP BY t),
+       |ff AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM tf GROUP BY c),
+       |led AS (
+       |  SELECT c, f,
+       |    CASE WHEN lead(c) OVER (ORDER BY c) = c + 1
+       |         THEN lead(f) OVER (ORDER BY c) ELSE 0 END AS n_r1
+       |  FROM ff)
+       |SELECT c AS r, f AS n_r, CAST(n_r1 AS BIGINT) AS n_r1,
+       |  CAST(((c + 1) * n_r1 * 1000000) // f AS BIGINT) AS r_star_micro
+       |FROM led WHERE c <= $GtMaxR""".stripMargin
+
+  /** Yule's K lexical-repetitiveness characteristic
+    * K = 10⁴·(Σ c²·N_c − N)/N² (Yule 1944; Tweedie & Baayen 1998) — the
+    * corpus-size-robust repetition scalar a data-quality dashboard
+    * tracks alongside entropy and TTR. Σ c²·N_c rides DECIMAL(38,0)
+    * (c² can pass 1e18 for a 1e9-count token); the only FP is the one
+    * final nonnegative division, 6dp.
+    */
+  def vocabYuleK(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ff = Tables.documents(spark, d)
+      .select(explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"c").agg(count(lit(1)).as("f"))
+    ff.agg(
+      sum($"f").as("v_seen"),
+      sum($"c" * $"f").as("n_tokens"),
+      sum($"c".cast("decimal(38,0)") * $"c" * $"f").as("m2"))
+      .select($"v_seen", $"n_tokens",
+        round(lit(10000.0) *
+          ($"m2" - $"n_tokens").cast("double") /
+          ($"n_tokens".cast("double") * $"n_tokens".cast("double")), 6)
+          .as("yule_k"))
+  }
+
+  private def yuleKOracle: String =
+    """WITH tf AS (
+      |  SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      |                                  x -> x <> '')) AS t
+      |        FROM documents) x
+      |  GROUP BY t),
+      |ff AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM tf GROUP BY c)
+      |SELECT CAST(sum(f) AS BIGINT) AS v_seen,
+      |  CAST(sum(c * f) AS BIGINT) AS n_tokens,
+      |  round(10000.0 *
+      |        CAST(sum(CAST(c AS HUGEINT) * c * f) - sum(c * f) AS DOUBLE) /
+      |        (CAST(sum(c * f) AS DOUBLE) * CAST(sum(c * f) AS DOUBLE)), 6)
+      |    AS yule_k
+      |FROM ff""".stripMargin
+
   private def chao1Oracle: String =
     """WITH tf AS (
       |  SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
@@ -1480,6 +1575,8 @@ object StatModels {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_chao1" -> (vocabChao1 _),
+    "vocab_good_turing" -> (vocabGoodTuring _),
+    "vocab_yule_k" -> (vocabYuleK _),
     "source_heaps_law" -> (sourceHeapsLaw _),
     "hill_tail_index" -> (hillTailIndex _),
     "spearman_doc_signals" -> (spearmanDocSignals _),
@@ -1499,6 +1596,8 @@ object StatModels {
 
   val oracles: Map[String, String] = Map(
     "vocab_chao1" -> chao1Oracle,
+    "vocab_good_turing" -> goodTuringOracle,
+    "vocab_yule_k" -> yuleKOracle,
     "source_heaps_law" -> heapsOracle,
     "hill_tail_index" -> hillOracle,
     "spearman_doc_signals" -> spearmanOracle,
