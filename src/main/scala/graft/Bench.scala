@@ -39,7 +39,62 @@ final class TaskMetricsListener extends SparkListener {
 }
 
 object Bench {
+
+  /** Machine stamp for contention forensics: 1-min load average, core
+    * count, and concurrent java-process count at bench start. Two
+    * rounds of bench-drift adjudication (r7 machine drift, r9
+    * self-contention with a concurrently-running 100x Verify) were
+    * root-caused only via process-table archaeology — the stamp makes
+    * a polluted bench self-evident from the committed artifact alone.
+    */
+  def machineStamp(): (Double, Int, Int) = {
+    val load =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val cores = Runtime.getRuntime.availableProcessors
+    val javas =
+      try new java.io.File("/proc").listFiles
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+        .count { f =>
+          try scala.io.Source.fromFile(s"${f.getPath}/comm").mkString.trim == "java"
+          catch { case _: Throwable => false }
+        }
+      catch { case _: Throwable => -1 }
+    (load, cores, javas)
+  }
+
+  /** JSON fragment for the contract line. */
+  def envJson(stamp: (Double, Int, Int)): String =
+    s"""{"loadavg1":${stamp._1},"cores":${stamp._2},"javaProcs":${stamp._3}}"""
+
+  val IdleLoadMax = 2.0
+
   def main(args: Array[String]): Unit = {
+    // Idle guard: a 1-min load above ~2 at start means another heavy
+    // job is (or just was) on the box and every timing will inflate
+    // uniformly (~1.4x in r9). Banner-warn always; with
+    // SPARK_GRAFT_REQUIRE_IDLE=1 (the evidence-chain legs) wait up to
+    // 15 min for the load to decay, then REFUSE rather than commit a
+    // polluted artifact.
+    var stamp = machineStamp()
+    val requireIdle = sys.env.get("SPARK_GRAFT_REQUIRE_IDLE").contains("1")
+    if (stamp._1 > IdleLoadMax) {
+      System.err.println(
+        s"*** BENCH CONTENTION WARNING: 1-min load ${stamp._1} > $IdleLoadMax " +
+          s"(${stamp._3} java procs) — timings will be polluted ***")
+      if (requireIdle) {
+        val deadline = System.nanoTime() + 15L * 60 * 1000000000L
+        while (stamp._1 > IdleLoadMax && System.nanoTime() < deadline) {
+          Thread.sleep(30000)
+          stamp = machineStamp()
+        }
+        if (stamp._1 > IdleLoadMax) {
+          System.err.println(
+            s"*** BENCH REFUSED: load still ${stamp._1} after 15 min — box not idle ***")
+          sys.exit(2)
+        }
+      }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the cluster-scale lever under measurement in the sf3 rehearsal:
@@ -123,7 +178,7 @@ object Bench {
     // taskMetrics deliberately precedes queries: the driver keeps only
     // the TAIL of the output, and the ~18k-char metrics map was pushing
     // the per-query timings out of the round-5 capture window.
-    val contract = contractLine(results, metricNames, sfDir)
+    val contract = contractLine(results, metricNames, sfDir, envJson(stamp))
     // The FULL record also lands in a committed file, so the driver's
     // 2000-char tail is a redundant copy: byte-counter noise adjudication
     // ("timing moved, bytes identical") works from the repo alone.
@@ -145,11 +200,14 @@ object Bench {
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** The driver-contract JSON line (metric=total). */
+  /** The driver-contract JSON line (metric=total). `env` carries the
+    * start-of-run machine stamp (empty = unstamped, spec fixtures).
+    */
   def contractLine(
       results: Seq[(String, Double, Seq[Long])],
       metricNames: Seq[String],
-      sfDir: String): String = {
+      sfDir: String,
+      env: String = ""): String = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val tm = results.map { case (k, _, d) =>
@@ -158,7 +216,8 @@ object Bench {
           .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","taskMetrics":$tm,"queries":$qs,"sf":"$sfDir"}"""
+    val envField = if (env.isEmpty) "" else s""""env":$env,"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$envField"taskMetrics":$tm,"queries":$qs,"sf":"$sfDir"}"""
   }
 
   /** The tail-capture-proof summary line (metric=summary): bounded size

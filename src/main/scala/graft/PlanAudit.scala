@@ -35,6 +35,15 @@ object PlanAudit {
     println("AUDIT_HIST " + h.mkString(" "))
     println("AUDIT_TOTAL n=" + counts.size +
       " le1=" + counts.count(_._2 <= 1) + " le2=" + counts.count(_._2 <= 2))
+    // catalog-size census (scripts/r10_counts.sh patches README/SURVEY
+    // from this line): oracleSql must be read AFTER the construction
+    // loop above — the data-fitted oracles (IVF centroids, quantizer
+    // bounds, …) register per (session, dir) when their query builds,
+    // so a static read undercounts by the fitted tier
+    val oracled = SparkEntry.oracleSql.keySet
+    println("AUDIT_CATALOG total=" + SparkEntry.queries.size +
+      " oracled=" + oracled.size + " no_oracle=" +
+      SparkEntry.queries.keySet.diff(oracled).toSeq.sorted.mkString(","))
     spark.stop()
   }
 }

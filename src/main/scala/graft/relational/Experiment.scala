@@ -75,8 +75,12 @@ object Experiment {
       .localCheckpoint() // two consumers below; users scanned once
     val pooled = perUser.agg(
       count(lit(1)).as("n"), dec($"x").as("sx"), dec($"y").as("sy"),
-      dec($"x" * $"y").as("sxy"), dec($"x" * $"x").as("sxx"),
-      dec($"y" * $"y").as("syy"))
+      // decimal-first multiply, matching the oracle's CAST(x AS
+      // DECIMAL(38,0)) * y: a LONG*LONG product silently wraps in
+      // non-ANSI mode once per-user cent totals pass ~3e9
+      dec($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+      dec($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+      dec($"y".cast("decimal(38,0)") * $"y").as("syy"))
     val arms = perUser.groupBy($"arm").agg(
       count(lit(1)).as("n_arm"), dec($"x").as("sx_a"), dec($"y").as("sy_a"))
     val covN = dbl($"n") * dbl($"sxy") - dbl($"sx") * dbl($"sy")
@@ -172,7 +176,7 @@ object Experiment {
     val cells = daily.crossJoin(broadcast(bounds))
       .groupBy($"arm", when($"day" > $"mid", lit(1L)).otherwise(0L).as("post"))
       .agg(count(lit(1)).as("nd"), dec($"cents").as("s"),
-        dec($"cents" * $"cents").as("ss"))
+        dec($"cents".cast("decimal(38,0)") * $"cents").as("ss"))
     def m(arm: Int, post: Int) = "m" + arm + post
     def pick(arm: Int, post: Int, c: Column) =
       max(when($"arm" === arm && $"post" === post, c))
@@ -182,8 +186,13 @@ object Experiment {
       pick(1, 0, $"nd").as("n10"), pick(1, 0, $"s").as("s10"), pick(1, 0, $"ss").as("ss10"),
       pick(1, 1, $"nd").as("n11"), pick(1, 1, $"s").as("s11"), pick(1, 1, $"ss").as("ss11"))
     def mean(n: Column, s: Column) = dbl(s) / dbl(n)
+    // n = 1 guard: Spark double 0/0 yields NULL while DuckDB yields
+    // NaN, so a single-day cell would diverge cross-engine — a
+    // degenerate cell contributes zero variance instead
     def varm(n: Column, s: Column, ss: Column) =
-      (dbl(ss) - dbl(s) * dbl(s) / dbl(n)) / (dbl(n) - 1.0) / dbl(n)
+      when(n > 1L,
+        (dbl(ss) - dbl(s) * dbl(s) / dbl(n)) / (dbl(n) - 1.0) / dbl(n))
+        .otherwise(lit(0.0))
     val did = (mean($"n11", $"s11") - mean($"n10", $"s10")) -
       (mean($"n01", $"s01") - mean($"n00", $"s00"))
     val se = sqrt(
@@ -229,7 +238,14 @@ object Experiment {
       |    max(CASE WHEN arm = 1 AND post = 1 THEN nd END) AS n11,
       |    max(CASE WHEN arm = 1 AND post = 1 THEN s END) AS s11,
       |    max(CASE WHEN arm = 1 AND post = 1 THEN ss END) AS ss11
-      |  FROM cells)
+      |  FROM cells),
+      |v AS (
+      |  SELECT g.*,
+      |    CASE WHEN n00 > 1 THEN (CAST(ss00 AS DOUBLE) - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) / (CAST(n00 AS DOUBLE) - 1.0) / CAST(n00 AS DOUBLE) ELSE 0.0 END AS v00,
+      |    CASE WHEN n01 > 1 THEN (CAST(ss01 AS DOUBLE) - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / (CAST(n01 AS DOUBLE) - 1.0) / CAST(n01 AS DOUBLE) ELSE 0.0 END AS v01,
+      |    CASE WHEN n10 > 1 THEN (CAST(ss10 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / (CAST(n10 AS DOUBLE) - 1.0) / CAST(n10 AS DOUBLE) ELSE 0.0 END AS v10,
+      |    CASE WHEN n11 > 1 THEN (CAST(ss11 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / (CAST(n11 AS DOUBLE) - 1.0) / CAST(n11 AS DOUBLE) ELSE 0.0 END AS v11
+      |  FROM g)
       |SELECT
       |  round(CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / 100.0, 6) + 0.0 AS mean_a_pre,
       |  round(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / 100.0, 6) + 0.0 AS mean_a_post,
@@ -238,27 +254,14 @@ object Experiment {
       |  round(((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
       |       - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
       |    / 100.0, 6) + 0.0 AS did,
-      |  round(sqrt(
-      |      (CAST(ss00 AS DOUBLE) - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) / (CAST(n00 AS DOUBLE) - 1.0) / CAST(n00 AS DOUBLE)
-      |    + (CAST(ss01 AS DOUBLE) - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / (CAST(n01 AS DOUBLE) - 1.0) / CAST(n01 AS DOUBLE)
-      |    + (CAST(ss10 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / (CAST(n10 AS DOUBLE) - 1.0) / CAST(n10 AS DOUBLE)
-      |    + (CAST(ss11 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / (CAST(n11 AS DOUBLE) - 1.0) / CAST(n11 AS DOUBLE)
-      |  ) / 100.0, 6) + 0.0 AS se,
-      |  CASE WHEN sqrt(
-      |      (CAST(ss00 AS DOUBLE) - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) / (CAST(n00 AS DOUBLE) - 1.0) / CAST(n00 AS DOUBLE)
-      |    + (CAST(ss01 AS DOUBLE) - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / (CAST(n01 AS DOUBLE) - 1.0) / CAST(n01 AS DOUBLE)
-      |    + (CAST(ss10 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / (CAST(n10 AS DOUBLE) - 1.0) / CAST(n10 AS DOUBLE)
-      |    + (CAST(ss11 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / (CAST(n11 AS DOUBLE) - 1.0) / CAST(n11 AS DOUBLE)) > 0.0
+      |  round(sqrt(v00 + v01 + v10 + v11) / 100.0, 6) + 0.0 AS se,
+      |  CASE WHEN sqrt(v00 + v01 + v10 + v11) > 0.0
       |  THEN round((
       |      (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
       |    - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
-      |    / sqrt(
-      |      (CAST(ss00 AS DOUBLE) - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) / (CAST(n00 AS DOUBLE) - 1.0) / CAST(n00 AS DOUBLE)
-      |    + (CAST(ss01 AS DOUBLE) - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / (CAST(n01 AS DOUBLE) - 1.0) / CAST(n01 AS DOUBLE)
-      |    + (CAST(ss10 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / (CAST(n10 AS DOUBLE) - 1.0) / CAST(n10 AS DOUBLE)
-      |    + (CAST(ss11 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / (CAST(n11 AS DOUBLE) - 1.0) / CAST(n11 AS DOUBLE)), 6) + 0.0
+      |    / sqrt(v00 + v01 + v10 + v11), 6) + 0.0
       |  ELSE 0.0 END AS t_stat
-      |FROM g""".stripMargin
+      |FROM v""".stripMargin
 
   /** Sample-ratio-mismatch guardrail: the chi-square goodness-of-fit
     * of the observed per-arm DISTINCT-USER counts against the designed
@@ -503,13 +506,19 @@ object Experiment {
       .agg(
         sum(when($"h" === 0L, 1L).otherwise(0L)).as("n1"),
         dec(when($"h" === 0L, $"c").otherwise(0L)).as("s1"),
-        dec(when($"h" === 0L, $"c" * $"c").otherwise(0L)).as("ss1"),
+        dec(when($"h" === 0L, $"c".cast("decimal(38,0)") * $"c")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss1"),
         sum(when($"h" === 1L, 1L).otherwise(0L)).as("n2"),
         dec(when($"h" === 1L, $"c").otherwise(0L)).as("s2"),
-        dec(when($"h" === 1L, $"c" * $"c").otherwise(0L)).as("ss2"))
+        dec(when($"h" === 1L, $"c".cast("decimal(38,0)") * $"c")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss2"))
     def meanv(n: Column, s: Column) = dbl(s) / dbl(n)
+    // n = 1 guard: see [[abDiffInDiff]]'s varm — avoids cross-engine
+    // NULL-vs-NaN divergence on a degenerate half
     def varv(n: Column, s: Column, ss: Column) =
-      (dbl(ss) - dbl(s) * dbl(s) / dbl(n)) / (dbl(n) - 1.0)
+      when(n > 1L,
+        (dbl(ss) - dbl(s) * dbl(s) / dbl(n)) / (dbl(n) - 1.0))
+        .otherwise(lit(0.0))
     val se = sqrt(varv($"n1", $"s1", $"ss1") / dbl($"n1") +
       varv($"n2", $"s2", $"ss2") / dbl($"n2"))
     val z = when(se > 0.0,
@@ -560,17 +569,18 @@ object Experiment {
       |    CAST(sum(CASE WHEN day > (SELECT mid FROM bounds) THEN CAST(c AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2,
       |    CAST(sum(CASE WHEN day > (SELECT mid FROM bounds) THEN CAST(c AS DECIMAL(38,0)) * c ELSE 0 END) AS DECIMAL(38,0)) AS ss2
       |  FROM ev GROUP BY event_type),
+      |vt AS (
+      |  SELECT event_type, n1, n2, s1, s2,
+      |    CASE WHEN n1 > 1 THEN (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) ELSE 0.0 END AS var1,
+      |    CASE WHEN n2 > 1 THEN (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) ELSE 0.0 END AS var2
+      |  FROM g),
       |zt AS (
       |  SELECT event_type, n1, n2,
-      |    CASE WHEN sqrt(
-      |        (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
-      |      + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)) > 0.0
+      |    CASE WHEN sqrt(var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE)) > 0.0
       |    THEN (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-      |      / sqrt(
-      |        (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
-      |      + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE))
+      |      / sqrt(var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE))
       |    ELSE 0.0 END AS zv
-      |  FROM g),
+      |  FROM vt),
       |scored AS (
       |  SELECT event_type, n1, n2, round(zv, 6) + 0.0 AS z,
       |    round(((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0)))) - 1.453152027)

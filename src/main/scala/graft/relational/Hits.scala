@@ -44,8 +44,13 @@ object Hits {
         .cast("long")).as("w"))
       .coalesce(1)
       .localCheckpoint() // ≤ 625 rows at ANY input scale
+    // sorted (src, dst): collect() order follows partition/grouping
+    // order, which is not stable across runs — a fixed edge order
+    // fixes the Scala-side accumulation sequence so the 1e-12 grid
+    // round always sees the same IEEE sums
     val eArr = edges.collect().map(r =>
       (r.getString(0), r.getString(1), r.getLong(2).toDouble))
+      .sortBy(e => (e._1, e._2))
     val nodes = eArr.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     def r12(x: Double): Double =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -209,9 +209,12 @@ object StatExtras {
     // mean/var of rates; method of moments: m = mean, v = var,
     // common = m(1-m)/v - 1; alpha = m*common, beta = (1-m)*common
     val mean = dbl($"sr") / (dbl($"k_src") * 1e6)
-    val varr = (dbl($"srr") / 1e12 -
-      (dbl($"sr") / 1e6) * (dbl($"sr") / 1e6) / dbl($"k_src")) /
-      (dbl($"k_src") - 1.0)
+    // k_src = 1 guard: Spark 0/0 is NULL but DuckDB NaN (which DuckDB
+    // orders above 0.0), so a single-source corpus would diverge
+    val varr = when($"k_src" > 1L,
+      (dbl($"srr") / 1e12 -
+        (dbl($"sr") / 1e6) * (dbl($"sr") / 1e6) / dbl($"k_src")) /
+        (dbl($"k_src") - 1.0)).otherwise(lit(0.0))
     val common = when(varr > 0.0, mean * (lit(1.0) - mean) / varr - 1.0)
       .otherwise(lit(0.0))
     val prior = mom.select(
@@ -267,9 +270,11 @@ object StatExtras {
        |  FROM rates),
        |mv AS (
        |  SELECT CAST(sr AS DOUBLE) / (CAST(k_src AS DOUBLE) * 1e6) AS m,
-       |    (CAST(srr AS DOUBLE) / 1e12
-       |     - (CAST(sr AS DOUBLE) / 1e6) * (CAST(sr AS DOUBLE) / 1e6) / CAST(k_src AS DOUBLE))
-       |    / (CAST(k_src AS DOUBLE) - 1.0) AS v
+       |    CASE WHEN k_src > 1 THEN
+       |      (CAST(srr AS DOUBLE) / 1e12
+       |       - (CAST(sr AS DOUBLE) / 1e6) * (CAST(sr AS DOUBLE) / 1e6) / CAST(k_src AS DOUBLE))
+       |      / (CAST(k_src AS DOUBLE) - 1.0)
+       |    ELSE 0.0 END AS v
        |  FROM mom),
        |prior AS (
        |  SELECT

@@ -56,6 +56,23 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
+  test("contract line carries the machine stamp (contention forensics)") {
+    val line = Bench.contractLine(
+      fakeResults(2), metricNames, "sfX", Bench.envJson((1.5, 32, 2)))
+    assert(line.contains(""""env":{"loadavg1":1.5,"cores":32,"javaProcs":2}"""), line)
+    // stamp must not displace the tail-capture ordering contract
+    assert(line.indexOf("\"env\":") < line.indexOf("\"taskMetrics\":"))
+    // unstamped (spec-fixture) calls stay byte-compatible
+    assert(!Bench.contractLine(fakeResults(2), metricNames, "sfX").contains("\"env\":"))
+  }
+
+  test("machine stamp reads real load/cores/javaProcs on this box") {
+    val (load, cores, javas) = Bench.machineStamp()
+    assert(load >= 0.0, "loadavg must parse")
+    assert(cores > 0)
+    assert(javas >= 1, "at least this JVM must be counted")
+  }
+
   test("contract line keeps taskMetrics BEFORE queries (tail keeps the timings)") {
     val line = Bench.contractLine(fakeResults(5), metricNames, "sfX")
     val tmAt = line.indexOf("\"taskMetrics\":")
