@@ -792,8 +792,13 @@ object Analytics {
         sum(when($"arm" === 1L, $"n").otherwise(0L)).as("n_b"),
         sum(when($"arm" === 1L, $"x").otherwise(0L)).as("x_b"))
     // 4 draws per digest ([[StatModels.bootstrapCi]]'s lane scheme):
-    // md5(user ':' day ':' ⌊b/4⌋) split into four 32-bit hex lanes
+    // md5(user ':' day ':' ⌊b/4⌋) split into four 32-bit hex lanes.
+    // Explicit-count repartition before the 64x explode for the same
+    // reason as bootstrapCi: units is post-shuffle, and AQE coalesces
+    // its few-MB exchange to one partition, serializing the md5 kernel
     val draws = units
+      .repartition(spark.sparkContext.defaultParallelism,
+        $"user_id", $"day")
       .select($"user_id", $"day", $"arm", $"conv",
         explode(sequence(lit(0), lit(B / 4 - 1))).as("g"))
       .withColumn("h",

@@ -659,7 +659,18 @@ object StatModels {
     // of 64 per row cuts the dominant md5 CPU ~4x (the r8 bench-tail
     // item) while staying bit-identical across both engines (a 32-bit
     // int / 2^32 is exact in double on each side).
-    val draws = o
+    //
+    // Kernel-parallelism exchange (the r9 "~6 s" claim adjudicated in
+    // r10): the md5+conv kernel amplifies each input row 64x AFTER the
+    // scan, so it inherits the scan's task count — one small parquet
+    // file = ONE task doing 100% of the CPU (6 tasks total, 10.4 s idle
+    // at sf0.1). An explicit-count repartition of the narrow pre-explode
+    // rows (16 B each) spreads the kernel across every core; the
+    // explicit count keeps AQE from byte-coalescing the tiny exchange
+    // back to one partition (AQE can't see the downstream row blowup).
+    val drawsIn = o.repartition(
+      spark.sparkContext.defaultParallelism, $"o_orderkey")
+    val draws = drawsIn
       .select($"o_orderkey", $"cents",
         explode(sequence(lit(0), lit(BootB / 4 - 1))).as("g"))
       .withColumn("h",

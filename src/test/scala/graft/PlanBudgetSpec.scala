@@ -106,10 +106,11 @@ class PlanBudgetSpec extends SparkSpec {
     // per-user conversion-flag agg (map-side combined) + 2-row arm agg
     // + final 1-row fold
     "ab_conversion_ztest" -> 3,
-    // unit agg + point fold + the B-row resample agg + the bounded
-    // 64-row rank window + final cross of 1-row frames (the
+    // unit agg + point fold + the kernel-parallelism repartition of
+    // the narrow pre-explode units + the B-row resample agg + the
+    // bounded 64-row rank window + final cross of 1-row frames (the
     // bootstrap_ci shape over two arms)
-    "ab_uplift_bootstrap" -> 6,
+    "ab_uplift_bootstrap" -> 7,
     // (mon, day, bucket) register agg + its two bounded re-aggregates
     // + the independent direct-sketch distinct/agg + day-count and
     // exact-distinct companions + month joins — register payloads
@@ -120,9 +121,10 @@ class PlanBudgetSpec extends SparkSpec {
     "quantile_transform_values" -> 3,
     // one source-keyed aggregate broadcast back onto the scan
     "target_encode_loo" -> 2,
-    // orders agg + 64-row resample agg + the rank window's single
-    // partition (64 rows) + final fold
-    "bootstrap_ci" -> 4,
+    // orders agg + the kernel-parallelism repartition of the narrow
+    // pre-explode rows + 64-row resample agg + the rank window's
+    // single partition (64 rows) + final fold
+    "bootstrap_ci" -> 5,
     // (source, token) distinct + the token-keyed self-join + pair agg;
     // every payload is vocabulary-bounded (types, not occurrences)
     "source_vocab_overlap" -> 3,
