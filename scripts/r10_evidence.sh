@@ -50,9 +50,20 @@ case "$LEG" in
     ;;
   gate)
     require_corpus /tmp/sf10skew
-    rm -rf /tmp/vout_sf10skew
-    SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g $R graft.Verify \
-      /tmp/sf10skew /tmp/vout_sf10skew 2>&1 | grep -E "\[verify\]" | tail -5
+    # oracle_sql.json is written LAST by Verify, so its presence marks a
+    # complete dump — skip the ~65-min Verify on re-run (delete the dir
+    # to force). The failure-line grep must tolerate ZERO matches: under
+    # pipefail a clean Verify (no "[verify] ... failed" lines) made grep
+    # exit 1 and set -e aborted the leg BEFORE check_oracle — the r10
+    # first run died of its own success.
+    if [ ! -f /tmp/vout_sf10skew/oracle_sql.json ]; then
+      rm -rf /tmp/vout_sf10skew
+      SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g $R graft.Verify \
+        /tmp/sf10skew /tmp/vout_sf10skew 2>&1 \
+        | { grep -E "\[verify\]" || true; } | tail -5
+    else
+      echo "verify dump already complete (oracle_sql.json present) — skipping"
+    fi
     python3 scripts/check_oracle.py /tmp/sf10skew /tmp/vout_sf10skew \
       > CORRECTNESS_sf10skew.txt.partial
     tail -3 CORRECTNESS_sf10skew.txt.partial
