@@ -35,12 +35,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def fresh_con(sf_dir):
     con = duckdb.connect()
     # explicit budget + spill dir: the default allocator config OOM'd
-    # on explode-heavy oracles at the 100x corpora
-    con.execute("SET memory_limit='100GB'")
+    # on explode-heavy oracles at the 100x corpora. Both knobs scale
+    # down via env when several fork-isolated children run at once
+    # (CHECK_ORACLE_PROCS below) so concurrent heavy oracles spill
+    # instead of overcommitting the box.
+    con.execute(f"SET memory_limit='{os.environ.get('CHECK_ORACLE_MEM', '100GB')}'")
     con.execute("SET temp_directory='/tmp/duckspill'")
     # 32 threads amplify per-operator reservation on the explode-heavy
     # oracles enough to trip the limit nondeterministically
-    con.execute("SET threads=16")
+    con.execute(f"SET threads={os.environ.get('CHECK_ORACLE_THREADS', '16')}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
@@ -172,8 +175,13 @@ def main(sf_dir, out_dir):
             continue
         tasks.append((sf_dir, out_dir, name, oracle[name]))
     ctx = mp.get_context("fork")
-    # maxtasksperchild=1 -> a genuinely fresh process per query
-    with ctx.Pool(processes=1, maxtasksperchild=1) as pool:
+    # maxtasksperchild=1 -> a genuinely fresh process per query (the r8
+    # DuckDB reservation-leak fence). CHECK_ORACLE_PROCS>1 runs several
+    # such fresh processes at once — isolation is per-process either
+    # way; pair it with CHECK_ORACLE_MEM/_THREADS so n concurrent heavy
+    # oracles fit the box (e.g. PROCS=4 MEM=24GB THREADS=8).
+    procs = int(os.environ.get("CHECK_ORACLE_PROCS", "1"))
+    with ctx.Pool(processes=procs, maxtasksperchild=1) as pool:
         for ok, lines in pool.imap(check_one, tasks):
             for l in lines:
                 print(l)
