@@ -40,7 +40,10 @@ def fresh_con(sf_dir):
     # (CHECK_ORACLE_PROCS below) so concurrent heavy oracles spill
     # instead of overcommitting the box.
     con.execute(f"SET memory_limit='{os.environ.get('CHECK_ORACLE_MEM', '100GB')}'")
-    con.execute("SET temp_directory='/tmp/duckspill'")
+    # per-PID spill dir: concurrent DuckDB instances sharing one
+    # temp_directory delete each other's duckdb_temp_storage files and
+    # abort with an IOException (observed at the r10 sf10skew gate)
+    con.execute(f"SET temp_directory='/tmp/duckspill/{os.getpid()}'")
     # 32 threads amplify per-operator reservation on the explode-heavy
     # oracles enough to trip the limit nondeterministically
     con.execute(f"SET threads={os.environ.get('CHECK_ORACLE_THREADS', '16')}")
@@ -166,9 +169,23 @@ def check_one(args):
 
 def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # resume support: skip queries already 'ok' in a previous (partial)
+    # report — CHECK_ORACLE_SKIP=<path to that report>. Only ok lines
+    # are trusted; failures re-run.
+    skip = set()
+    skip_file = os.environ.get("CHECK_ORACLE_SKIP")
+    if skip_file and os.path.exists(skip_file):
+        for line in open(skip_file):
+            if line.startswith("ok    "):
+                skip.add(line.split()[1])
+        print(f"skipping {len(skip)} already-ok queries from {skip_file}",
+              file=sys.stderr)
     n_ok = n_bad = 0
     tasks = []
     for name in sorted(oracle):
+        if name in skip:
+            n_ok += 1
+            continue
         if not glob.glob(f"{out_dir}/{name}/*.parquet"):
             print(f"FAIL  {name}: no spark output")
             n_bad += 1
@@ -181,10 +198,18 @@ def main(sf_dir, out_dir):
     # way; pair it with CHECK_ORACLE_MEM/_THREADS so n concurrent heavy
     # oracles fit the box (e.g. PROCS=4 MEM=24GB THREADS=8).
     procs = int(os.environ.get("CHECK_ORACLE_PROCS", "1"))
+    # CHECK_ORACLE_UNORDERED=1 prints results as they complete instead
+    # of input order, so a killed run's partial output reflects ALL
+    # finished work (imap buffers everything behind the slowest
+    # head-of-line query). Sort the ok-lines afterwards if a stable
+    # report is needed.
     with ctx.Pool(processes=procs, maxtasksperchild=1) as pool:
-        for ok, lines in pool.imap(check_one, tasks):
+        it = (pool.imap_unordered
+              if os.environ.get("CHECK_ORACLE_UNORDERED") == "1"
+              else pool.imap)(check_one, tasks)
+        for ok, lines in it:
             for l in lines:
-                print(l)
+                print(l, flush=True)
             if ok:
                 n_ok += 1
             else:
