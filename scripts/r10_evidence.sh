@@ -78,8 +78,19 @@ case "$LEG" in
     ;;
   stream)
     require_corpus /tmp/sf10
+    # full log kept (the first r10 run's crash was undiagnosable after
+    # `| tail -3` ate the stack trace); per-leg fragments persist as
+    # STREAM_sf10.json.partial.leg_* and are reused on re-run, so a
+    # crash costs exactly the leg that crashed. Optional $2 = legs
+    # filter passed through (e.g. rolling_avg_ttl).
     SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g $R graft.streaming.StreamScale \
-      /tmp/sf10 STREAM_sf10.json.partial 120 2>&1 | tail -3
+      /tmp/sf10 STREAM_sf10.json.partial "${STREAM_CHUNKS:-120}" ${2:-} \
+      > /tmp/streamscale_sf10.log 2>&1 || {
+        echo "STREAMSCALE FAILED — tail of /tmp/streamscale_sf10.log:" >&2
+        tail -40 /tmp/streamscale_sf10.log >&2
+        exit 1
+      }
+    grep STREAMSCALE /tmp/streamscale_sf10.log || true
     mv STREAM_sf10.json.partial STREAM_sf10.json
     ;;
   benchlocal)

@@ -35,14 +35,25 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * but it is the weaker signal: a monotone leak ALSO peaks late, so
   * read it with drift_ratio.)
   *
-  * Usage: runMain graft.streaming.StreamScale [sfDir] [outFile] [chunks]
-  * Defaults: /tmp/sf1 STREAM_sf1.json 60
+  * Usage: runMain graft.streaming.StreamScale [sfDir] [outFile] [chunks] [legs]
+  * Defaults: /tmp/sf1 STREAM_sf1.json 60 (all legs)
+  *
+  * Crash safety (the r10 failure: the last leg died after ~90 min and
+  * took the six finished legs' series with it): each leg's JSON
+  * fragment persists to `<outFile>.leg_<name>` the moment the leg
+  * completes, a fragment already on disk is REUSED instead of re-run
+  * (delete it to force), and the optional 4th arg (comma-separated leg
+  * names) restricts a run to chosen legs — so any leg is independently
+  * re-runnable and a crash costs exactly the leg that crashed. The
+  * final outFile assembles every fragment present.
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sf1")
     val outFile = args.lift(1).getOrElse("STREAM_sf1.json")
     val chunks = args.lift(2).map(_.toInt).getOrElse(60)
+    val onlyLegs: Option[Set[String]] =
+      args.lift(3).map(_.split(",").toSet)
     val ownsSession = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isEmpty
     val spark = SparkSession.builder()
@@ -67,11 +78,21 @@ object StreamScale {
         .collect()
     val chunkSize = math.max(1, staged.length / chunks)
 
+    def legPath(name: String) = java.nio.file.Paths.get(s"$outFile.leg_$name")
+
     def runLeg(
         name: String,
         build: DataFrame => DataFrame,
         mode: OutputMode = OutputMode.Append(),
-        rocksdb: Boolean = false): String = {
+        rocksdb: Boolean = false): Option[String] = {
+      if (onlyLegs.exists(!_(name))) {
+        println(s"STREAMSCALE $name skipped (not in legs filter)")
+        return None
+      }
+      if (java.nio.file.Files.exists(legPath(name))) {
+        println(s"STREAMSCALE $name reused from ${legPath(name)}")
+        return Some(java.nio.file.Files.readString(legPath(name)))
+      }
       // transformWithState needs multi-column-family state, which only
       // the RocksDB provider supports (the StreamingSpec discipline:
       // set per leg, restore after, so the watermark legs keep the
@@ -137,7 +158,8 @@ object StreamScale {
         f"finalRows=${if (rows.nonEmpty) rows.last else 0} plateau=$plateau%.3f " +
         f"drift=$drift%.3f finalVsInput=$finalVsInput%.4f " +
         f"totalMs=$totalMs maxBatchMs=$maxMs")
-      s""""$name":{"batches":${rows.length},"input_rows":${staged.length},""" +
+      val frag =
+        s""""$name":{"batches":${rows.length},"input_rows":${staged.length},""" +
         s""""state_rows":[${rows.mkString(",")}],""" +
         s""""state_bytes":[${mem.mkString(",")}],""" +
         s""""batch_ms":[${dur.mkString(",")}],""" +
@@ -146,6 +168,9 @@ object StreamScale {
         s""""plateau_ratio":$plateau,"drift_ratio":$drift,""" +
         s""""final_vs_input":$finalVsInput,""" +
         s""""last_watermark":"${wm.lastOption.getOrElse("")}"}"""
+      java.nio.file.Files.write(legPath(name),
+        frag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Some(frag)
     }
 
     val parts = Seq(
@@ -182,7 +207,7 @@ object StreamScale {
       runLeg("rolling_avg_ttl",
         e => EventStreams.rollingAvgStreamV2(
           e, java.time.Duration.ofSeconds(60)).toDF(),
-        OutputMode.Update(), rocksdb = true))
+        OutputMode.Update(), rocksdb = true)).flatten
     val json = s"""{"sf":"$sfDir","chunks":$chunks,${parts.mkString(",")}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
