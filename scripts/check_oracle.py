@@ -172,18 +172,21 @@ def main(sf_dir, out_dir):
     # resume support: skip queries already 'ok' in a previous (partial)
     # report — CHECK_ORACLE_SKIP=<path to that report>. Only ok lines
     # are trusted; failures re-run.
-    skip = set()
+    skip = {}  # name -> the trusted ok line, re-emitted so the resumed
+    # report is self-consistent (N ok lines for an "N ok" total) and a
+    # second resume can chain off it
     skip_file = os.environ.get("CHECK_ORACLE_SKIP")
     if skip_file and os.path.exists(skip_file):
         for line in open(skip_file):
             if line.startswith("ok    "):
-                skip.add(line.split()[1])
+                skip[line.split()[1]] = line.rstrip("\n")
         print(f"skipping {len(skip)} already-ok queries from {skip_file}",
               file=sys.stderr)
     n_ok = n_bad = 0
     tasks = []
     for name in sorted(oracle):
         if name in skip:
+            print(skip[name], flush=True)
             n_ok += 1
             continue
         if not glob.glob(f"{out_dir}/{name}/*.parquet"):

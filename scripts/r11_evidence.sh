@@ -1,0 +1,118 @@
+#!/usr/bin/env bash
+# Round-11 closure + growth evidence chain (VERDICT r10 items 1-7),
+# same crash-safety discipline as r10_evidence.sh: independent legs,
+# .partial + atomic rename, set -e, per-leg class snapshots.
+#
+# Usage: scripts/r11_evidence.sh <stream|benchlocal|bootrows|cluster|counts>
+set -euo pipefail
+cd /root/repo
+R=scripts/java_run.sh
+LEG="${1:?usage: r11_evidence.sh <stream|benchlocal|bootrows|cluster|counts>}"
+export CLS_SNAP="/tmp/graft_cls_r11_$LEG"
+rm -rf "$CLS_SNAP"
+
+require_corpus() {
+  [ -f "$1/_SUCCESS" ] || {
+    echo "FATAL: corpus $1 has no _SUCCESS marker — run r10_evidence.sh corpora first" >&2
+    exit 1
+  }
+}
+
+case "$LEG" in
+  stream)
+    # VERDICT items 1 + 6: land the seventh leg (rolling_avg_ttl, with
+    # checkpoint-file checksums disabled for that leg — the r10 IO wall,
+    # adjudication recorded in the fragment) and the eighth
+    # (doc_admit, the streaming incremental-dedup admission twin).
+    # chunks=60 matches the six committed fragments; their reuse now
+    # happens BEFORE the legs filter (the r10 recovery-path bug), so
+    # the assembled file carries all eight legs.
+    require_corpus /tmp/sf10
+    SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g $R graft.streaming.StreamScale \
+      /tmp/sf10 STREAM_sf10.json.partial 60 rolling_avg_ttl,doc_admit \
+      > /tmp/streamscale_r11.log 2>&1 || {
+        echo "STREAMSCALE FAILED — tail of /tmp/streamscale_r11.log:" >&2
+        tail -40 /tmp/streamscale_r11.log >&2
+        exit 1
+      }
+    grep STREAMSCALE /tmp/streamscale_r11.log || true
+    python3 -c "import json; d=json.load(open('STREAM_sf10.json.partial')); \
+      assert len([k for k in d if k not in ('sf','chunks')]) == 8, sorted(d)"
+    mv STREAM_sf10.json.partial STREAM_sf10.json
+    # fragments are now redundant with the assembled artifact (r10
+    # verdict item 4: delete deliberately once the full file lands)
+    rm -f STREAM_sf10.json.partial.leg_*
+    ;;
+  benchlocal)
+    # VERDICT item 2: flagship sf0.1 bench whose own stamp passes the
+    # idle guard (r10's committed stamp read loadavg 5.11 / 2 JVMs).
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
+      SPARK_GRAFT_REQUIRE_IDLE=1 \
+      SPARK_GRAFT_BENCH_OUT=BENCH_local.json.partial $R graft.Bench 2>&1 | tail -1
+    mv BENCH_local.json.partial BENCH_local.json
+    ;;
+  bootrows)
+    # VERDICT item 3: the two bootstrap rows of the 100×-skew bench
+    # were measured pre-71b927e (the explicit-count repartition fix).
+    # Re-measure JUST those two on the same corpus, idle, into a
+    # companion artifact — the 1485 s full-catalog run is untouched.
+    require_corpus /tmp/sf10skew
+    SPARK_GRAFT_SF_DIR=/tmp/sf10skew SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
+      SPARK_GRAFT_REQUIRE_IDLE=1 \
+      SPARK_GRAFT_QUERIES=bootstrap_ci,ab_uplift_bootstrap \
+      SPARK_GRAFT_BENCH_OUT=BENCH_sf10skew_bootstrap.json.partial \
+      $R graft.Bench 2>&1 | tail -1
+    mv BENCH_sf10skew_bootstrap.json.partial BENCH_sf10skew_bootstrap.json
+    ;;
+  cluster)
+    # VERDICT item 5: multi-JVM rehearsal. local-cluster[4,8,8192] = 4
+    # executor PROCESSES × 8 cores — the first run in the repo's history
+    # where rows, broadcasts, and custom Expressions cross process
+    # boundaries (local[32] structurally cannot falsify serialization
+    # or executor-side registry rebinding). Set: the 20 heaviest sf0.1
+    # queries + the broadcast/salted/bucketed/range/ANN-fit families +
+    # the submit-time plugin mrapp + the new admit chain. Hash-checked
+    # against DuckDB (not just timed), then benched.
+    QS="theilsen_trend,dedup_edit_pairs,graph_kcore,bloom_prune,dedup_containment"
+    QS="$QS,dedup_blocking_eval,bpe_encode_stats,graph_markov_stationary,embed_pca_power"
+    QS="$QS,text_gram_overlap,markov_entropy_rate,basket_pairs,dedup_incremental_admit"
+    QS="$QS,graph_reach_hops,basket_rules,decontam_ngrams,split_leakage_audit,embed_mmr"
+    QS="$QS,ab_uplift_bootstrap,bootstrap_ci"
+    QS="$QS,cms_join_size,dedup_minhash_pairs,embed_ann_ivf,embed_ann_ivfpq,embed_ann_lsh"
+    QS="$QS,embed_knn,embed_knn_pq,embed_knn_quantized,embed_knn_rerank,embed_knn_rp"
+    QS="$QS,events_purchase_click_join,join_anti,join_full_outer,join_null_safe,join_semi"
+    QS="$QS,range_join_tiers,sessionize_bucketed,skew_salted_agg,skew_salted_join"
+    QS="$QS,mr_wc,mr_wc_plugin,q5_region_revenue,q9_profit,dedup_admit_chain"
+    # the binary distro has no launcher/target build dirs, and we bypass
+    # spark-class (java_run.sh), so the scala version must be pinned or
+    # executor launch dies with "Cannot find any build directories"
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    rm -rf /tmp/vout_cluster
+    SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g $R graft.Verify \
+      /root/testdata/sf0.1 /tmp/vout_cluster "$QS" 2>&1 \
+      | { grep -E "\[verify\]" || true; } | tail -8
+    python3 scripts/check_oracle.py /root/testdata/sf0.1 /tmp/vout_cluster \
+      > CORRECTNESS_cluster.txt.partial
+    tail -3 CORRECTNESS_cluster.txt.partial
+    grep -q " 0 failed" CORRECTNESS_cluster.txt.partial
+    mv CORRECTNESS_cluster.txt.partial CORRECTNESS_cluster.txt
+    SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
+      SPARK_GRAFT_REQUIRE_IDLE=1 SPARK_GRAFT_QUERIES="$QS" \
+      SPARK_GRAFT_BENCH_OUT=BENCH_cluster.json.partial $R graft.Bench 2>&1 | tail -1
+    mv BENCH_cluster.json.partial BENCH_cluster.json
+    ;;
+  counts)
+    # VERDICT item 7: the counts regeneration is part of every round
+    # close from now on, not a manual step.
+    scripts/r10_counts.sh
+    ;;
+  *)
+    echo "unknown leg: $LEG" >&2
+    exit 1
+    ;;
+esac
+echo "LEG $LEG OK"

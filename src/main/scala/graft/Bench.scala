@@ -107,9 +107,21 @@ object Bench {
     // task count (and spill) barely moves. The operative guard is the
     // advisory size itself — sweeping it is what divides per-task state.
     val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // multi-process rehearsal passes local-cluster[n,cores,memMb],
+    // which is the cheapest falsifier of the claims local[*]
+    // structurally cannot test: kryo/java serialization of the custom
+    // Expressions and Aggregators across executor JVMs, broadcast
+    // thresholds actually broadcasting, and executor-side class/registry
+    // rebinding. local-cluster launches REAL executor processes, so
+    // they need the compiled classes on their own classpath:
+    // SPARK_GRAFT_EXECUTOR_CP (the java_run.sh class snapshot).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", shuffleParts)
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
+      builder.config("spark.executor.extraClassPath", cp))
     advisoryMb.foreach(mb => builder.config(
       "spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m"))
     // Map-side partial-agg state (basket_pairs' pair counts after the

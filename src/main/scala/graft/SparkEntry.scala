@@ -41,6 +41,7 @@ object SparkEntry {
       sim.Pca.queries ++
       multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++ streaming.Drift.queries ++
+      streaming.DocStreams.queries ++
       relational.Skew.queries ++ relational.Quantiles.queries ++
       relational.Reconcile.queries ++ relational.BloomPrune.queries ++
       relational.MaterializedView.queries ++ pipeline.Curriculum.queries ++
@@ -71,6 +72,7 @@ object SparkEntry {
       sim.Pca.oracles ++
       multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++ streaming.Drift.oracles ++
+      streaming.DocStreams.oracles ++
       relational.Skew.oracles ++ relational.Quantiles.oracles ++
       relational.Reconcile.oracles ++ relational.BloomPrune.oracles ++
       relational.MaterializedView.oracles ++ pipeline.Curriculum.oracles ++

@@ -11,9 +11,16 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // same overrides as Bench: the multi-JVM rehearsal hash-checks a
+    // catalog subset on local-cluster (executors need the class
+    // snapshot on their own classpath)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
+      builder.config("spark.executor.extraClassPath", cp))
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
@@ -13,14 +13,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * without bound — session aggregation (open sessions),
   * dropDuplicatesWithinWatermark (seen keys), the stream-stream
   * interval join (buffered rows on both sides), the unbounded-by-design
-  * EWMA cell, the windowed drift monitor, and the two
-  * transformWithState twins (timer-evicted session closer, TTL'd
-  * rolling ListState) — from an sf directory's
-  * events table, replayed through a MemoryStream in EVENT-TIME ORDER in
-  * fixed-size chunks (the arrival pattern a landing zone produces, and
-  * the one that lets watermarks advance steadily). After every
-  * micro-batch the StreamingQueryProgress state metrics are recorded:
-  * numRowsTotal, memoryUsedBytes, and the watermark.
+  * EWMA cell, the windowed drift monitor, the two transformWithState
+  * twins (timer-evicted session closer, TTL'd rolling ListState), and
+  * the docs-as-stream dedup-admission chain (fingerprints live inside
+  * the horizon) — each replayed through a MemoryStream in EVENT-TIME
+  * ORDER in fixed-size chunks (the arrival pattern a landing zone
+  * produces, and the one that lets watermarks advance steadily). After
+  * every micro-batch the StreamingQueryProgress state metrics are
+  * recorded: numRowsTotal, memoryUsedBytes, and the watermark.
   *
   * The emitted JSON ([[outFile]], one object per leg) carries the full
   * per-batch series plus two adjudication scalars per leg:
@@ -42,18 +42,37 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * took the six finished legs' series with it): each leg's JSON
   * fragment persists to `<outFile>.leg_<name>` the moment the leg
   * completes, a fragment already on disk is REUSED instead of re-run
-  * (delete it to force), and the optional 4th arg (comma-separated leg
-  * names) restricts a run to chosen legs — so any leg is independently
-  * re-runnable and a crash costs exactly the leg that crashed. The
-  * final outFile assembles every fragment present.
+  * (delete it to force) — reuse happens BEFORE the legs filter is
+  * consulted, so a filtered run still assembles EVERY fragment present
+  * and the filter only gates which legs execute live. The optional 4th
+  * arg (comma-separated leg names, validated against the leg registry —
+  * a typo fails loudly instead of silently writing an empty artifact)
+  * restricts LIVE execution to the chosen legs. Fragments embed the
+  * sfDir and chunk count they were recorded at; reusing a fragment from
+  * a different corpus or chunking aborts rather than silently mixing
+  * incomparable series in one artifact (pre-r11 fragments without the
+  * fields are accepted with a warning).
   */
 object StreamScale {
+
+  /** The leg registry: names the 4th-arg filter validates against. */
+  val LegNames: Seq[String] = Seq(
+    "session_agg", "dedup_watermark", "interval_join", "ewma_v2",
+    "drift_monitor", "session_close_v2", "rolling_avg_ttl", "doc_admit")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sf1")
     val outFile = args.lift(1).getOrElse("STREAM_sf1.json")
     val chunks = args.lift(2).map(_.toInt).getOrElse(60)
     val onlyLegs: Option[Set[String]] =
-      args.lift(3).map(_.split(",").toSet)
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    onlyLegs.foreach { ls =>
+      val unknown = ls.diff(LegNames.toSet)
+      require(unknown.isEmpty,
+        s"unknown legs: ${unknown.toSeq.sorted.mkString(",")} " +
+          s"(known: ${LegNames.mkString(",")})")
+      require(ls.nonEmpty, "legs filter selected zero legs")
+    }
     val ownsSession = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isEmpty
     val spark = SparkSession.builder()
@@ -68,46 +87,93 @@ object StreamScale {
 
     // the whole month of events, event-time ordered, staged on the
     // driver once (the rehearsal volume is ~1M rows — a harness-side
-    // fit, not a catalog-operator pattern)
-    val staged: Array[(Long, Long, Long, String, Double)] =
+    // fit, not a catalog-operator pattern). Lazy: a doc-legs-only run
+    // never pays for it.
+    lazy val stagedEvents: Array[(Long, Long, Long, String, Double)] =
       graft.Tables.events(spark, sfDir)
         .select($"event_id", expr("unix_micros(ts)").as("tsus"),
           $"user_id", $"event_type", $"value")
         .orderBy($"tsus", $"event_id")
         .as[(Long, Long, Long, String, Double)]
         .collect()
-    val chunkSize = math.max(1, staged.length / chunks)
+
+    // the documents corpus for the dedup-admission leg, fingerprinted
+    // IN SPARK (only (doc_id, fp, tsus) tuples reach the driver — the
+    // text never does), arrival-ordered by the synthesized clock
+    lazy val stagedDocs: Array[(Long, String, Long)] =
+      DocStreams.fingerprintedDocs(spark, sfDir)
+        .select($"doc_id", $"fp", expr("unix_micros(ts)").as("tsus"))
+        .orderBy($"tsus", $"doc_id")
+        .as[(Long, String, Long)]
+        .collect()
 
     def legPath(name: String) = java.nio.file.Paths.get(s"$outFile.leg_$name")
 
-    def runLeg(
+    /** Fragment reuse with provenance validation: a fragment recorded
+      * on a different corpus or chunking must not be assembled into
+      * this artifact. Fragments that predate the embedded fields
+      * (r10) are accepted with a warning.
+      */
+    def reuseFragment(name: String): Option[String] = {
+      if (!java.nio.file.Files.exists(legPath(name))) return None
+      val frag = java.nio.file.Files.readString(legPath(name))
+      val sfRe = """"sf_dir":"([^"]*)"""".r
+      val ckRe = """"chunks_cfg":(\d+)""".r
+      (sfRe.findFirstMatchIn(frag), ckRe.findFirstMatchIn(frag)) match {
+        case (Some(s), Some(c)) =>
+          require(s.group(1) == sfDir && c.group(1).toInt == chunks,
+            s"fragment ${legPath(name)} was recorded at sf_dir=${s.group(1)} " +
+              s"chunks=${c.group(1)} but this run is sf_dir=$sfDir chunks=$chunks " +
+              "— delete the fragment to re-record it")
+        case _ =>
+          println(s"STREAMSCALE $name fragment predates provenance fields " +
+            s"— accepting as-is (recorded pre-r11)")
+      }
+      println(s"STREAMSCALE $name reused from ${legPath(name)}")
+      Some(frag)
+    }
+
+    /** Drives one leg: chunk the staged rows into the MemoryStream,
+      * record state metrics after each micro-batch, persist the
+      * fragment. `extraConf` entries are set for the leg and restored
+      * after (and recorded in the fragment — they are part of the
+      * measurement's provenance).
+      */
+    def driveLeg[T: Encoder](
         name: String,
+        staged: => Array[T],
+        toEvents: DataFrame => DataFrame,
         build: DataFrame => DataFrame,
         mode: OutputMode = OutputMode.Append(),
-        rocksdb: Boolean = false): Option[String] = {
+        rocksdb: Boolean = false,
+        extraConf: Map[String, String] = Map.empty,
+        ttlPoll: Boolean = false): Option[String] = {
+      // reuse BEFORE the filter: the filter gates live execution only,
+      // so a one-leg recovery run still assembles the other fragments
+      val reused = reuseFragment(name)
+      if (reused.isDefined) return reused
       if (onlyLegs.exists(!_(name))) {
         println(s"STREAMSCALE $name skipped (not in legs filter)")
         return None
-      }
-      if (java.nio.file.Files.exists(legPath(name))) {
-        println(s"STREAMSCALE $name reused from ${legPath(name)}")
-        return Some(java.nio.file.Files.readString(legPath(name)))
       }
       // transformWithState needs multi-column-family state, which only
       // the RocksDB provider supports (the StreamingSpec discipline:
       // set per leg, restore after, so the watermark legs keep the
       // default HDFS-backed provider their metrics were recorded on)
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = spark.conf.getOption(providerKey)
-      if (rocksdb) spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val legConf: Map[String, String] =
+        (if (rocksdb) Map(providerKey ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        else Map.empty[String, String]) ++ extraConf
+      val prevConf: Map[String, Option[String]] =
+        legConf.map { case (k, _) => k -> spark.conf.getOption(k) }
+      legConf.foreach { case (k, v) => spark.conf.set(k, v) }
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val input = MemoryStream[(Long, Long, Long, String, Double)]
-      val events = input.toDF()
-        .toDF("event_id", "tsus", "user_id", "event_type", "value")
-        .withColumn("ts", expr("timestamp_micros(tsus)"))
-        .drop("tsus")
+      val data = staged
+      val chunkSize = math.max(1, data.length / chunks)
+      val input = MemoryStream[T]
+      val events = toEvents(input.toDF())
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graftss_$name").toString
       val q: StreamingQuery = build(events).writeStream
@@ -115,14 +181,42 @@ object StreamScale {
         .format("noop")
         .option("checkpointLocation", ckpt)
         .start()
+      // Under TimeMode.ProcessingTime the TTL machinery keeps the
+      // trigger armed, so StreamExecution NEVER reaches the quiescent
+      // point processAllAvailable waits for — the r10 run's real wall
+      // (endless zero-input TTL batches, each paying the checkpoint
+      // round-trip, with processAllAvailable parked forever; the
+      // StreamingSpec pollUntil discipline, applied here). For those
+      // legs (`ttlPoll`) the chunk barrier is instead "the engine has
+      // CONSUMED every row added so far", observed via a listener
+      // summing numInputRows across progress events.
+      val consumed = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.id == q.id) consumed.addAndGet(e.progress.numInputRows)
+      }
+      if (ttlPoll) spark.streams.addListener(listener)
+      def awaitConsumed(target: Long): Unit = {
+        val deadline = System.nanoTime() + 15L * 60 * 1000000000L
+        while (consumed.get() < target) {
+          require(System.nanoTime() < deadline,
+            s"$name: engine consumed ${consumed.get()}/$target rows after 15 min")
+          Thread.sleep(200)
+        }
+      }
       val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
       val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
       val wm = scala.collection.mutable.ArrayBuffer.empty[String]
       val dur = scala.collection.mutable.ArrayBuffer.empty[Long]
       try {
-        staged.grouped(chunkSize).foreach { chunk =>
+        var added = 0L
+        data.grouped(chunkSize).foreach { chunk =>
           input.addData(chunk.toIndexedSeq)
-          q.processAllAvailable()
+          added += chunk.length
+          if (ttlPoll) awaitConsumed(added) else q.processAllAvailable()
           val p = q.lastProgress
           if (p != null && p.stateOperators.nonEmpty) {
             rows += p.stateOperators.map(_.numRowsTotal).sum
@@ -135,10 +229,11 @@ object StreamScale {
           }
         }
       } finally {
+        if (ttlPoll) spark.streams.removeListener(listener)
         q.stop()
-        if (rocksdb) prevProvider match {
-          case Some(p) => spark.conf.set(providerKey, p)
-          case None => spark.conf.unset(providerKey)
+        prevConf.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
         }
       }
       val quarter = rows.drop(rows.length * 3 / 4)
@@ -151,15 +246,20 @@ object StreamScale {
       val drift =
         if (meanOf(firstQ) == 0.0) 0.0 else meanOf(quarter) / meanOf(firstQ)
       val finalVsInput =
-        if (rows.isEmpty) 0.0 else rows.last.toDouble / staged.length
+        if (rows.isEmpty) 0.0 else rows.last.toDouble / data.length
       val totalMs = dur.sum
       val maxMs = if (dur.nonEmpty) dur.max else 0L
       println(f"STREAMSCALE $name%-14s batches=${rows.length} peakRows=$peak " +
         f"finalRows=${if (rows.nonEmpty) rows.last else 0} plateau=$plateau%.3f " +
         f"drift=$drift%.3f finalVsInput=$finalVsInput%.4f " +
         f"totalMs=$totalMs maxBatchMs=$maxMs")
+      val confField =
+        if (extraConf.isEmpty) ""
+        else extraConf.map { case (k, v) => s""""$k":"$v"""" }
+          .mkString(""""conf":{""", ",", "},")
       val frag =
-        s""""$name":{"batches":${rows.length},"input_rows":${staged.length},""" +
+        s""""$name":{"sf_dir":"$sfDir","chunks_cfg":$chunks,$confField""" +
+        s""""batches":${rows.length},"input_rows":${data.length},""" +
         s""""state_rows":[${rows.mkString(",")}],""" +
         s""""state_bytes":[${mem.mkString(",")}],""" +
         s""""batch_ms":[${dur.mkString(",")}],""" +
@@ -172,6 +272,20 @@ object StreamScale {
         frag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Some(frag)
     }
+
+    def runLeg(
+        name: String,
+        build: DataFrame => DataFrame,
+        mode: OutputMode = OutputMode.Append(),
+        rocksdb: Boolean = false,
+        extraConf: Map[String, String] = Map.empty,
+        ttlPoll: Boolean = false): Option[String] =
+      driveLeg[(Long, Long, Long, String, Double)](
+        name, stagedEvents,
+        df => df.toDF("event_id", "tsus", "user_id", "event_type", "value")
+          .withColumn("ts", expr("timestamp_micros(tsus)"))
+          .drop("tsus"),
+        build, mode, rocksdb, extraConf, ttlPoll)
 
     val parts = Seq(
       runLeg("session_agg", e => EventStreams.sessionAggStream(e)),
@@ -203,12 +317,32 @@ object StreamScale {
       // replay compresses a month of event time into minutes of wall
       // clock, so a production-shaped TTL (hours) would never fire
       // mid-run — 60 s of wall clock is the replay-scaled stand-in that
-      // actually exercises eviction at volume
+      // actually exercises eviction at volume. Checkpoint file checksums
+      // are disabled FOR THIS LEG ONLY (recorded in the fragment): the
+      // r10 run's wall was 14/16 tasks parked in
+      // ChecksumCheckpointFileManager.awaitResult — the TTL secondary
+      // index multiplies RocksDB changelog files per batch, and at
+      // replay compression the checksum round-trip dominates the
+      // measurement without changing what is being measured (state
+      // boundedness)
       runLeg("rolling_avg_ttl",
         e => EventStreams.rollingAvgStreamV2(
           e, java.time.Duration.ofSeconds(60)).toDF(),
-        OutputMode.Update(), rocksdb = true)).flatten
-    val json = s"""{"sf":"$sfDir","chunks":$chunks,${parts.mkString(",")}}"""
+        OutputMode.Update(), rocksdb = true,
+        extraConf = Map(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false"),
+        ttlPoll = true),
+      // docs-as-stream dedup admission (r10 verdict item 6): state =
+      // fingerprint chains alive inside the 1-day horizon (~17k at the
+      // 5 s synthesized arrival spacing) regardless of corpus size
+      driveLeg[(Long, String, Long)]("doc_admit", stagedDocs,
+        df => df.toDF("doc_id", "fp", "tsus")
+          .withColumn("ts", expr("timestamp_micros(tsus)"))
+          .drop("tsus"),
+        d => DocStreams.docAdmitStream(d).toDF(),
+        OutputMode.Append(), rocksdb = true)).flatten
+    val fields = Seq(s""""sf":"$sfDir"""", s""""chunks":$chunks""") ++ parts
+    val json = fields.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1,0 +1,120 @@
+package graft
+
+import graft.streaming.DocStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming dedup-admission == batch chain twin, on synthetic chains
+  * that exercise every verdict path the fixture corpus lacks (it has
+  * zero byte-exact dups): within-horizon dup, chain extension past the
+  * head's own horizon, cross-gap re-admission, and batch-internal dups.
+  * The streaming test additionally pins STATE EVICTION — the gap rule
+  * alone yields correct verdicts even with leaking state, so the leak
+  * is only observable in the state-store row count.
+  */
+class DocStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = DocStreams.HorizonSec
+  private val B = DocStreams.ArrivalBaseSec
+
+  /** (doc_id, fp, t-seconds): three fingerprints with chain structure.
+    * fpA: head 10, dup at +1h, extension at exactly horizon after the
+    * tail (past the HEAD's own horizon — still the same chain), then a
+    * sighting a full horizon+1s after that tail → NEW chain (re-admit).
+    * fpB: a singleton. fpC: two docs 1s apart (same-batch dup).
+    */
+  private val docs: Seq[(Long, String, Long)] = Seq(
+    (10L, "fpA", B),
+    (11L, "fpA", B + 3600L),
+    (12L, "fpA", B + H),             // gap H-3600 ≤ H: extends chain 1
+    (13L, "fpA", B + 2L * H + 1L),   // gap H+1 > H: new chain
+    (20L, "fpB", B + 500L),
+    (30L, "fpC", B + 1000L),
+    (31L, "fpC", B + 1001L))
+
+  private val want: Set[(Long, String, Option[Long])] = Set(
+    (10L, "admit", None), (11L, "drop_dup", Some(10L)),
+    (12L, "drop_dup", Some(10L)), (13L, "admit", None),
+    (20L, "admit", None),
+    (30L, "admit", None), (31L, "drop_dup", Some(30L)))
+
+  test("batch admit chain on synthetic chains") {
+    val f = docs.toDF("doc_id", "fp", "t")
+    val got = DocStreams.admitChainOf(f).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got === want)
+  }
+
+  test("streaming admission == batch chain twin, and expired chains leave the state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val stream = input.toDF().toDF("doc_id", "fp", "t")
+        .withColumn("ts", expr("timestamp_seconds(t)")).drop("t")
+      val q = DocStreams.docAdmitStream(stream).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("doc_admit_out").start()
+      try {
+        // event-time-ordered chunks so the watermark advances between
+        // batches; the last two far-future singletons push it past
+        // every earlier chain's tail+horizon, so their batches both
+        // FIRE the eviction timers and land fresh state to compare
+        // against
+        val flushed = docs ++
+          Seq((40L, "fpD", B + 10L * H), (50L, "fpE", B + 10L * H + 100L))
+        val ordered = flushed.sortBy(d => (d._3, d._1))
+        val chunks = Seq(ordered.take(5), Seq(ordered(5)), Seq(ordered(6)),
+          Seq(ordered(7)), Seq(ordered(8)))
+        val stateRows = chunks.map { c =>
+          input.addData(c)
+          q.processAllAvailable()
+          Option(q.lastProgress).toSeq
+            .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+        }
+        val got = spark.table("doc_admit_out").collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+        assert(got === want + ((40L, "admit", None)) + ((50L, "admit", None)))
+        // eviction: by the final batch the watermark (10H+100-3600) is
+        // past tail+H of every chain except fpD/fpE, so only those two
+        // cells (+ their timers) may remain — strictly below the
+        // mid-run peak that held fpA/fpB/fpC simultaneously
+        // (≤6 not ==2: numRowsTotal may count timer column-family rows
+        // alongside the two live value cells)
+        assert(stateRows.max >= 3, s"state series $stateRows never held the live chains")
+        assert(stateRows.last <= 6 && stateRows.last < stateRows.max,
+          s"expired chains were not evicted: $stateRows")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("dedup_admit_chain catalog query: fixture prefix collisions produce drops, roots self-consistent") {
+    val out = DocStreams.dedupAdmitChain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out.length === Tables.documents(spark, sf).count())
+    // the fixture has prefix-fingerprint collisions (8-token prefix),
+    // so the drop path is live at every test scale
+    val drops = out.filter(_._2 == "drop_dup")
+    assert(drops.nonEmpty, "expected prefix-collision drops in the fixture")
+    val admits = out.filter(_._2 == "admit").map(_._1).toSet
+    // every drop points at an admitted, earlier doc
+    drops.foreach { case (id, _, m) =>
+      assert(m.exists(r => admits(r) && r < id), s"doc $id matched_to $m")
+    }
+    // admits carry no match
+    assert(out.filter(_._2 == "admit").forall(_._3.isEmpty))
+  }
+}
