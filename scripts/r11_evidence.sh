@@ -3,11 +3,11 @@
 # same crash-safety discipline as r10_evidence.sh: independent legs,
 # .partial + atomic rename, set -e, per-leg class snapshots.
 #
-# Usage: scripts/r11_evidence.sh <stream|benchlocal|bootrows|cluster|counts>
+# Usage: scripts/r11_evidence.sh <stream|benchlocal|bootrows|cluster|clusterfull|counts>
 set -euo pipefail
 cd /root/repo
 R=scripts/java_run.sh
-LEG="${1:?usage: r11_evidence.sh <stream|benchlocal|bootrows|cluster|counts>}"
+LEG="${1:?usage: r11_evidence.sh <stream|benchlocal|bootrows|cluster|clusterfull|counts>}"
 export CLS_SNAP="/tmp/graft_cls_r11_$LEG"
 rm -rf "$CLS_SNAP"
 
@@ -104,6 +104,28 @@ case "$LEG" in
       SPARK_GRAFT_REQUIRE_IDLE=1 SPARK_GRAFT_QUERIES="$QS" \
       SPARK_GRAFT_BENCH_OUT=BENCH_cluster.json.partial $R graft.Bench 2>&1 | tail -1
     mv BENCH_cluster.json.partial BENCH_cluster.json
+    ;;
+  clusterfull)
+    # The complete multi-process correctness gate: EVERY catalog query
+    # dumped from 4 real executor JVMs at sf0.01 and hash-compared to
+    # DuckDB — the multi-JVM twin of the driver's own gate.
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    if [ ! -f /tmp/vout_clusterfull/oracle_sql.json ]; then
+      rm -rf /tmp/vout_clusterfull
+      SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
+        SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+        SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g $R graft.Verify \
+        /root/testdata/sf0.01 /tmp/vout_clusterfull 2>&1 \
+        | { grep -E "\[verify\]" || true; } | tail -8
+    else
+      echo "cluster verify dump already complete — skipping"
+    fi
+    CHECK_ORACLE_PROCS=4 CHECK_ORACLE_UNORDERED=1 \
+      python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/vout_clusterfull \
+      > CORRECTNESS_clusterfull.txt.partial
+    tail -3 CORRECTNESS_clusterfull.txt.partial
+    grep -q " 0 failed" CORRECTNESS_clusterfull.txt.partial
+    mv CORRECTNESS_clusterfull.txt.partial CORRECTNESS_clusterfull.txt
     ;;
   counts)
     # VERDICT item 7: the counts regeneration is part of every round
