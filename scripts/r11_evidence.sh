@@ -3,11 +3,11 @@
 # same crash-safety discipline as r10_evidence.sh: independent legs,
 # .partial + atomic rename, set -e, per-leg class snapshots.
 #
-# Usage: scripts/r11_evidence.sh <stream|benchlocal|bootrows|cluster|clusterfull|counts>
+# Usage: scripts/r11_evidence.sh <stream|streamskew|benchlocal|bootrows|cluster|clusterfull|counts>
 set -euo pipefail
 cd /root/repo
 R=scripts/java_run.sh
-LEG="${1:?usage: r11_evidence.sh <stream|benchlocal|bootrows|cluster|clusterfull|counts>}"
+LEG="${1:?usage: r11_evidence.sh <stream|streamskew|benchlocal|bootrows|cluster|clusterfull|counts>}"
 export CLS_SNAP="/tmp/graft_cls_r11_$LEG"
 rm -rf "$CLS_SNAP"
 
@@ -104,6 +104,26 @@ case "$LEG" in
       SPARK_GRAFT_REQUIRE_IDLE=1 SPARK_GRAFT_QUERIES="$QS" \
       SPARK_GRAFT_BENCH_OUT=BENCH_cluster.json.partial $R graft.Bench 2>&1 | tail -1
     mv BENCH_cluster.json.partial BENCH_cluster.json
+    ;;
+  streamskew)
+    # Streaming under skew at 100×: the full 8-leg replay on the
+    # hot-key corpus (one user owning 20% of 10M events, one token on
+    # half the docs). The question uniform replay cannot answer: does
+    # hot-key state stay horizon-bounded, and what does the hot user do
+    # to per-batch wall (the straggler signal lives in batch_ms)?
+    require_corpus /tmp/sf10skew
+    SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g $R graft.streaming.StreamScale \
+      /tmp/sf10skew STREAM_sf10skew.json.partial 60 \
+      > /tmp/streamscale_skew.log 2>&1 || {
+        echo "STREAMSCALE FAILED — tail of /tmp/streamscale_skew.log:" >&2
+        tail -40 /tmp/streamscale_skew.log >&2
+        exit 1
+      }
+    grep STREAMSCALE /tmp/streamscale_skew.log || true
+    python3 -c "import json; d=json.load(open('STREAM_sf10skew.json.partial')); \
+      assert len([k for k in d if k not in ('sf','chunks')]) == 8, sorted(d)"
+    mv STREAM_sf10skew.json.partial STREAM_sf10skew.json
+    rm -f STREAM_sf10skew.json.partial.leg_*
     ;;
   clusterfull)
     # The complete multi-process correctness gate: EVERY catalog query

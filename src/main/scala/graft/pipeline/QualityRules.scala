@@ -99,6 +99,162 @@ object QualityRules {
         round($"n_pass".cast("double") / $"n_docs".cast("double"), 6) + lit(0.0))
   }
 
+  /** The Gopher REPETITION battery (Rae et al. 2021 §A1.1, Table A1's
+    * other half) — the within-document repetition filters the quality
+    * battery above deliberately omits, because they need per-doc n-gram
+    * frequencies (a shuffle) where the quality rules are pure map-side
+    * integer algebra:
+    *
+    *   P1 duplicate-line fraction ≤ 0.30
+    *   P2 duplicate-line CHARACTER fraction ≤ 0.20
+    *   P3 top-2-gram character fraction ≤ 0.20
+    *   P4 duplicate-5-gram character fraction ≤ 0.15
+    *
+    * Definitions (fixed so both engines compute identical BIGINTs):
+    * lines are nonempty '\n' splits; duplicate-line chars = total line
+    * chars minus distinct-line chars (all occurrences beyond the first
+    * count, the Dolma/NeMo-Curator reading); the top 2-gram is the MOST
+    * FREQUENT one, coverage f·charlen(gram) as the tie-break — computed
+    * as one integer max over the packed key f·10¹² + f·charlen (both
+    * engines, no window/self-join for the arg-max; safe while a doc
+    * stays under ~10⁶ tokens, i.e. any real pretraining doc — a naive
+    * max(f·charlen) instead would let ONE giant unique 2-gram trip the
+    * rule); duplicate-5-gram chars = Σ over grams with f>1 of
+    * (f−1)·charlen(gram); gram charlen is the space-joined token string;
+    * the character denominator is length(text). Thresholds are the
+    * paper's, enforced as a·x ≤ b·y integer forms — no FP anywhere
+    * before the final 6dp pass_rate.
+    *
+    * Scale shape: line stats are IN-ROW list algebra (no shuffle); the
+    * two gram sizes ride ONE tagged explode → (doc_id, sz, gram)
+    * map-side-combined count → per-doc agg → doc_id join back to the
+    * line frame → the |sources|-row rollup. Gram traffic is
+    * volume-linear (the minhash-shingle precedent), never pairs.
+    */
+  def gopherRepetition(spark: SparkSession, d: String): DataFrame =
+    gopherRepetitionOf(Tables.documents(spark, d))
+
+  /** Same, over any (doc_id, source, text) frame — the spec plants one
+    * adversarial doc per rule.
+    */
+  def gopherRepetitionOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    // guarded in-row n-gram list: sequence(1, size-n+1) is only valid
+    // when size >= n (Spark's sequence DESCENDS when stop < start)
+    def grams(n: Int): Column =
+      when(size($"t") >= n,
+        expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $n)))"))
+        .otherwise(expr("array()").cast("array<string>"))
+    val base = documents
+      .withColumn("t", graft.text.TextAnalysis.toks($"text"))
+      .withColumn("ls", filter(split($"text", "\n"), x => x =!= ""))
+    def sumLen(c: String): Column =
+      coalesce(aggregate(col(c), lit(0L), (acc, x) => acc + length(x).cast("long")),
+        lit(0L))
+    val lineStats = base.select(
+      $"doc_id", $"source",
+      length($"text").cast("long").as("n_chars"),
+      size($"ls").cast("long").as("n_lines"),
+      (size($"ls") - size(array_distinct($"ls"))).cast("long").as("n_dup_lines"),
+      sumLen("ls").as("line_chars"),
+      (sumLen("ls") - coalesce(
+        aggregate(array_distinct($"ls"), lit(0L),
+          (acc, x) => acc + length(x).cast("long")), lit(0L)))
+        .as("dup_line_chars"))
+    val gramStats = base
+      .select($"doc_id", explode(concat(
+        transform(grams(2), g => struct(lit(2L).as("sz"), g.as("g"))),
+        transform(grams(5), g => struct(lit(5L).as("sz"), g.as("g"))))).as("x"))
+      .select($"doc_id", $"x.sz".as("sz"), $"x.g".as("g"))
+      .groupBy($"doc_id", $"sz", $"g")
+      .agg(count(lit(1)).as("f"))
+      .groupBy($"doc_id")
+      .agg(
+        (max(when($"sz" === 2L,
+          $"f" * lit(1000000000000L) + $"f" * length($"g").cast("long")))
+          % 1000000000000L).as("top2_chars"),
+        sum(when($"sz" === 5L && $"f" > 1L,
+          ($"f" - 1L) * length($"g").cast("long"))).as("dup5_chars"))
+    val perDoc = lineStats
+      .join(gramStats, Seq("doc_id"), "left_outer")
+      .select($"source",
+        when(lit(10L) * $"n_dup_lines" <= lit(3L) * $"n_lines", 1L)
+          .otherwise(0L).as("p1"),
+        when(lit(5L) * $"dup_line_chars" <= $"line_chars", 1L)
+          .otherwise(0L).as("p2"),
+        when(lit(5L) * coalesce($"top2_chars", lit(0L)) <= $"n_chars", 1L)
+          .otherwise(0L).as("p3"),
+        when(lit(20L) * coalesce($"dup5_chars", lit(0L)) <= lit(3L) * $"n_chars", 1L)
+          .otherwise(0L).as("p4"))
+    perDoc
+      .withColumn("pass", $"p1" * $"p2" * $"p3" * $"p4")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - $"p1").as("fail_dup_lines"),
+        sum(lit(1L) - $"p2").as("fail_dup_line_chars"),
+        sum(lit(1L) - $"p3").as("fail_top2gram"),
+        sum(lit(1L) - $"p4").as("fail_dup5gram"),
+        sum($"pass").as("n_pass"))
+      .withColumn("pass_rate",
+        round($"n_pass".cast("double") / $"n_docs".cast("double"), 6) + lit(0.0))
+  }
+
+  private def repetitionOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+      |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+      |  FROM documents),
+      |line AS (
+      |  SELECT doc_id, source,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(ls) AS BIGINT) AS n_lines,
+      |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+      |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+      |      AS BIGINT) AS line_chars,
+      |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+      |      - coalesce(list_sum(list_transform(list_distinct(ls),
+      |          x -> length(x))), 0) AS BIGINT) AS dup_line_chars
+      |  FROM base),
+      |grams AS (
+      |  SELECT doc_id, 2 AS sz,
+      |    unnest(list_transform(range(1, len(t)),
+      |      i -> array_to_string(t[i:i+1], ' '))) AS g
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 5 AS sz,
+      |    unnest(list_transform(range(1, len(t) - 3),
+      |      i -> array_to_string(t[i:i+4], ' '))) AS g
+      |  FROM base),
+      |gf AS (
+      |  SELECT doc_id, sz, g, CAST(count(*) AS BIGINT) AS f
+      |  FROM grams GROUP BY 1, 2, 3),
+      |gstats AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN sz = 2
+      |        THEN f * 1000000000000 + f * length(g) END) % 1000000000000
+      |      AS top2_chars,
+      |    sum(CASE WHEN sz = 5 AND f > 1 THEN (f - 1) * length(g) END)
+      |      AS dup5_chars
+      |  FROM gf GROUP BY 1),
+      |rules AS (
+      |  SELECT source,
+      |    CASE WHEN 10 * n_dup_lines <= 3 * n_lines THEN 1 ELSE 0 END AS p1,
+      |    CASE WHEN 5 * dup_line_chars <= line_chars THEN 1 ELSE 0 END AS p2,
+      |    CASE WHEN 5 * coalesce(top2_chars, 0) <= n_chars THEN 1 ELSE 0 END AS p3,
+      |    CASE WHEN 20 * coalesce(dup5_chars, 0) <= 3 * n_chars THEN 1 ELSE 0 END AS p4
+      |  FROM line LEFT JOIN gstats USING (doc_id))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(1 - p1) AS BIGINT) AS fail_dup_lines,
+      |  CAST(sum(1 - p2) AS BIGINT) AS fail_dup_line_chars,
+      |  CAST(sum(1 - p3) AS BIGINT) AS fail_top2gram,
+      |  CAST(sum(1 - p4) AS BIGINT) AS fail_dup5gram,
+      |  CAST(sum(p1 * p2 * p3 * p4) AS BIGINT) AS n_pass,
+      |  round(CAST(sum(p1 * p2 * p3 * p4) AS DOUBLE)
+      |        / CAST(count(*) AS DOUBLE), 6) + 0.0 AS pass_rate
+      |FROM rules GROUP BY source ORDER BY source""".stripMargin
+
   private def gopherOracle: String = {
     val stopSum = Stopwords
       .map(w => s"CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END")
@@ -142,8 +298,10 @@ object QualityRules {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gopher_quality_rules" -> (gopherRules _))
+    "gopher_quality_rules" -> (gopherRules _),
+    "gopher_repetition_rules" -> (gopherRepetition _))
 
   val oracles: Map[String, String] = Map(
-    "gopher_quality_rules" -> gopherOracle)
+    "gopher_quality_rules" -> gopherOracle,
+    "gopher_repetition_rules" -> repetitionOracle)
 }

@@ -40,6 +40,10 @@ class PlanBudgetSpec extends SparkSpec {
     // the jaccardPairs backbone (per-doc block window + bucket join)
     // + the 7-plan agg; pair stream is bucket-capped, plans broadcast
     "lsh_band_plan" -> 3,
+    // tagged gram explode -> (doc,sz,gram) count -> per-doc arg-max/sum
+    // -> doc_id join back to the in-row line stats; gram traffic is
+    // volume-linear (minhash-shingle shape), the join is doc-keyed
+    "gopher_repetition_rules" -> 3,
     // fingerprint-group agg + the Decontam gram window + two split
     // DISTINCTs + the 8-byte-key leak join — no string ever shuffles
     "split_leakage_audit" -> 5,

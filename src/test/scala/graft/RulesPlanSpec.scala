@@ -41,6 +41,56 @@ class RulesPlanSpec extends SparkSpec {
     assert(fails("nostop") == Seq("fail_stopwords"))
   }
 
+  test("gopher_repetition_rules: each planted document fails exactly its rule") {
+    // varied lines, varied tokens — passes all four repetition rules
+    val pass = (1L, "pass",
+      "alpha beta gamma delta\nepsilon zeta eta theta\niota kappa lambda mu")
+    // P1 (dup-line fraction): two tiny duplicate lines + one long unique
+    // line — dup fraction 1/3 > 0.30 but dup CHARS 3/86 pass P2; the
+    // tiny line's tokens repeat as "a b" (f=2) which is far under the
+    // top-2-gram char threshold
+    val dupl = (2L, "dupl",
+      "a b\na b\n" + (1 to 16).map(i => s"w$i").mkString(" "))
+    // P2 (dup-line chars): ONE duplicated 100-char single-token line
+    // among 7 short distinct lines — dup lines 1/8 pass P1, dup chars
+    // 100/230 fail P2; the giant token forms no repeated n-grams, and
+    // the most frequent 2-gram is an f=1 short one (the packed-key
+    // arg-max keeps the giant f=1 2-gram from tripping P3)
+    val duplc = (3L, "duplc",
+      ("Z" * 100) + "\n" + ("Z" * 100) + "\n" +
+        (1 to 6).map(i => s"line$i has words\n").mkString)
+    // P3 (top 2-gram chars): "x y" riding every third token pair —
+    // f=20, coverage 60/~170 chars > 0.20; the unique fillers keep
+    // every 5-gram distinct
+    val top2 = (4L, "top2",
+      (1 to 20).map(i => s"x y q$i").mkString(" "))
+    // P4 (dup 5-gram chars): "p q r s t" x8 with unique 3-token
+    // separators — dup5 = 7*9 = 63 chars of ~190 > 0.15; each 2-gram of
+    // the phrase has f=8, coverage 24 < 0.20*190 so P3 passes
+    val dup5 = (5L, "dup5",
+      (1 to 8).map(i => s"p q r s t u$i v$i w$i").mkString(" "))
+    val docs = Seq(pass, dupl, duplc, top2, dup5)
+      .toDF("doc_id", "source", "text")
+    val out = pipeline.QualityRules.gopherRepetitionOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    def fails(src: String): Seq[String] =
+      Seq("fail_dup_lines", "fail_dup_line_chars", "fail_top2gram",
+        "fail_dup5gram").filter(c => out(src).getAs[Long](c) == 1L)
+    assert(fails("pass").isEmpty && out("pass").getAs[Long]("n_pass") == 1L)
+    assert(fails("dupl") == Seq("fail_dup_lines"))
+    assert(fails("duplc") == Seq("fail_dup_line_chars"))
+    assert(fails("top2") == Seq("fail_top2gram"))
+    assert(fails("dup5") == Seq("fail_dup5gram"))
+  }
+
+  test("gopher_repetition_rules: per-source totals cover the corpus") {
+    val rows = pipeline.QualityRules.gopherRepetition(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    for (r <- rows)
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_docs"))
+  }
+
   test("gopher_quality_rules: per-source totals cover the corpus") {
     val rows = pipeline.QualityRules.gopherRules(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
