@@ -125,6 +125,39 @@ case "$LEG" in
     mv STREAM_sf10skew.json.partial STREAM_sf10skew.json
     rm -f STREAM_sf10skew.json.partial.leg_*
     ;;
+  streamadd)
+    # Add newly-registered legs to an EXISTING committed stream artifact
+    # without re-running the finished ones: re-emit per-leg fragments
+    # from the assembled JSON (compact separators so the provenance
+    # regexes still match), run StreamScale filtered to the new legs
+    # (fragment reuse assembles the rest), then clean up.
+    #   $2 = corpus dir   $3 = artifact   $4 = comma-separated new legs
+    #   $5 = expected final leg count
+    CORPUS="${2:?corpus}"; ART="${3:?artifact}"; NEW="${4:?legs}"; WANT="${5:?count}"
+    require_corpus "$CORPUS"
+    python3 - "$ART" <<'PYEOF'
+import json, sys
+art = sys.argv[1]
+d = json.load(open(art))
+for k, v in d.items():
+    if isinstance(v, dict):
+        frag = '"%s":%s' % (k, json.dumps(v, separators=(",", ":")))
+        open(f"{art}.partial.leg_{k}", "w").write(frag)
+PYEOF
+    SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g $R graft.streaming.StreamScale \
+      "$CORPUS" "$ART.partial" 60 "$NEW" \
+      > /tmp/streamscale_add.log 2>&1 || {
+        echo "STREAMSCALE FAILED — tail of /tmp/streamscale_add.log:" >&2
+        tail -40 /tmp/streamscale_add.log >&2
+        exit 1
+      }
+    grep STREAMSCALE /tmp/streamscale_add.log || true
+    python3 -c "import json,sys; d=json.load(open('$ART.partial')); \
+      n=len([k for k in d if k not in ('sf','chunks')]); \
+      assert n == $WANT, (n, sorted(d))"
+    mv "$ART.partial" "$ART"
+    rm -f "$ART".partial.leg_*
+    ;;
   clusterfull)
     # The complete multi-process correctness gate: EVERY catalog query
     # dumped from 4 real executor JVMs at sf0.01 and hash-compared to

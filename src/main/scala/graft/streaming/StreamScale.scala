@@ -57,8 +57,9 @@ object StreamScale {
 
   /** The leg registry: names the 4th-arg filter validates against. */
   val LegNames: Seq[String] = Seq(
-    "session_agg", "dedup_watermark", "interval_join", "ewma_v2",
-    "drift_monitor", "session_close_v2", "rolling_avg_ttl", "doc_admit")
+    "session_agg", "dedup_watermark", "interval_join", "interval_join_outer",
+    "ewma_v2", "drift_monitor", "session_close_v2", "rolling_avg_ttl",
+    "doc_admit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sf1")
@@ -291,6 +292,12 @@ object StreamScale {
       runLeg("session_agg", e => EventStreams.sessionAggStream(e)),
       runLeg("dedup_watermark", e => EventStreams.dedupStream(e)),
       runLeg("interval_join", e => EventStreams.purchaseClickJoinStream(e)),
+      // the OUTER variant is a strictly larger state class: an unmatched
+      // purchase cannot emit its null-padded row until the click-side
+      // watermark proves no match can still arrive, so state = the inner
+      // join's buffers PLUS the unmatched tail awaiting the horizon
+      runLeg("interval_join_outer",
+        e => EventStreams.purchaseClickJoinOuterStream(e)),
       // the ADJUDICATED unbounded-retention leg: EWMA state is one cell
       // per distinct user FOREVER (a TTL would silently re-seed idle
       // users). The series should plateau at the user count — growth
