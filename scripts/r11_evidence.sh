@@ -180,6 +180,27 @@ PYEOF
     grep -q " 0 failed" CORRECTNESS_clusterfull.txt.partial
     mv CORRECTNESS_clusterfull.txt.partial CORRECTNESS_clusterfull.txt
     ;;
+  clusterbench)
+    # Full-catalog multi-process bench: every query timed on 4 executor
+    # JVMs at sf0.1 — the complete single- vs multi-process ratio map
+    # (the 44-query subset bench sampled it; this closes it).
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
+      SPARK_GRAFT_REQUIRE_IDLE=1 \
+      SPARK_GRAFT_BENCH_OUT=BENCH_clusterfull.json.partial $R graft.Bench 2>&1 | tail -1
+    mv BENCH_clusterfull.json.partial BENCH_clusterfull.json
+    ;;
+  benchsf10)
+    # Fresh uniform-100× full-catalog completion receipt at the current
+    # catalog size (BENCH_sf10.json predates 117 of the queries).
+    require_corpus /tmp/sf10
+    SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
+      SPARK_GRAFT_REQUIRE_IDLE=1 \
+      SPARK_GRAFT_BENCH_OUT=BENCH_sf10_r11.json.partial $R graft.Bench 2>&1 | tail -1
+    mv BENCH_sf10_r11.json.partial BENCH_sf10_r11.json
+    ;;
   counts)
     # VERDICT item 7: the counts regeneration is part of every round
     # close from now on, not a manual step.
