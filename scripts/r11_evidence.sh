@@ -18,30 +18,57 @@ require_corpus() {
   }
 }
 
+# Split a committed stream artifact back into per-leg fragments (compact
+# separators so StreamScale's provenance regexes match), so finished legs
+# are reused and only legs missing from the artifact run live.
+explode_fragments() { # artifact
+  [ -f "$1" ] || return 0
+  python3 - "$1" <<'PYEOF'
+import json, sys
+art = sys.argv[1]
+d = json.load(open(art))
+for k, v in d.items():
+    if isinstance(v, dict):
+        frag = '"%s":%s' % (k, json.dumps(v, separators=(",", ":")))
+        open(f"{art}.partial.leg_{k}", "w").write(frag)
+PYEOF
+}
+
+run_stream_leg() { # corpus artifact
+  local corpus="$1" art="$2"
+  require_corpus "$corpus"
+  explode_fragments "$art"
+  SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g $R graft.streaming.StreamScale \
+    "$corpus" "$art.partial" 60 \
+    > /tmp/streamscale_run.log 2>&1 || {
+      echo "STREAMSCALE FAILED — tail of /tmp/streamscale_run.log:" >&2
+      tail -40 /tmp/streamscale_run.log >&2
+      exit 1
+    }
+  grep STREAMSCALE /tmp/streamscale_run.log || true
+  # expected leg count from the code's own registry — never a literal
+  WANT=$($R graft.streaming.StreamScaleLegCount 2>/dev/null | tail -1)
+  python3 - "$art.partial" "$WANT" <<'PYEOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+n = len([k for k in d if k not in ("sf", "chunks")])
+want = int(sys.argv[2])
+assert want > 0 and n == want, (n, want, sorted(d))
+PYEOF
+  mv "$art.partial" "$art"
+  rm -f "$art".partial.leg_*
+}
+
 case "$LEG" in
   stream)
-    # VERDICT items 1 + 6: land the seventh leg (rolling_avg_ttl, with
-    # checkpoint-file checksums disabled for that leg — the r10 IO wall,
-    # adjudication recorded in the fragment) and the eighth
-    # (doc_admit, the streaming incremental-dedup admission twin).
-    # chunks=60 matches the six committed fragments; their reuse now
-    # happens BEFORE the legs filter (the r10 recovery-path bug), so
-    # the assembled file carries all eight legs.
-    require_corpus /tmp/sf10
-    SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g $R graft.streaming.StreamScale \
-      /tmp/sf10 STREAM_sf10.json.partial 60 rolling_avg_ttl,doc_admit \
-      > /tmp/streamscale_r11.log 2>&1 || {
-        echo "STREAMSCALE FAILED — tail of /tmp/streamscale_r11.log:" >&2
-        tail -40 /tmp/streamscale_r11.log >&2
-        exit 1
-      }
-    grep STREAMSCALE /tmp/streamscale_r11.log || true
-    python3 -c "import json; d=json.load(open('STREAM_sf10.json.partial')); \
-      assert len([k for k in d if k not in ('sf','chunks')]) == 8, sorted(d)"
-    mv STREAM_sf10.json.partial STREAM_sf10.json
-    # fragments are now redundant with the assembled artifact (r10
-    # verdict item 4: delete deliberately once the full file lands)
-    rm -f STREAM_sf10.json.partial.leg_*
+    # Full stream replay on the uniform 100× corpus, RE-RUNNABLE at any
+    # catalog state: fragments are reconstructed from the committed
+    # artifact when one exists (so finished legs are reused, not
+    # re-run), the run is UNFILTERED (reuse-before-filter means only
+    # legs missing from the artifact execute live), and the expected
+    # leg count comes from the code's own registry instead of a
+    # hardcoded number that goes stale when a leg is added.
+    run_stream_leg /tmp/sf10 STREAM_sf10.json
     ;;
   benchlocal)
     # VERDICT item 2: flagship sf0.1 bench whose own stamp passes the
@@ -106,24 +133,12 @@ case "$LEG" in
     mv BENCH_cluster.json.partial BENCH_cluster.json
     ;;
   streamskew)
-    # Streaming under skew at 100×: the full 8-leg replay on the
-    # hot-key corpus (one user owning 20% of 10M events, one token on
-    # half the docs). The question uniform replay cannot answer: does
-    # hot-key state stay horizon-bounded, and what does the hot user do
-    # to per-batch wall (the straggler signal lives in batch_ms)?
-    require_corpus /tmp/sf10skew
-    SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g $R graft.streaming.StreamScale \
-      /tmp/sf10skew STREAM_sf10skew.json.partial 60 \
-      > /tmp/streamscale_skew.log 2>&1 || {
-        echo "STREAMSCALE FAILED — tail of /tmp/streamscale_skew.log:" >&2
-        tail -40 /tmp/streamscale_skew.log >&2
-        exit 1
-      }
-    grep STREAMSCALE /tmp/streamscale_skew.log || true
-    python3 -c "import json; d=json.load(open('STREAM_sf10skew.json.partial')); \
-      assert len([k for k in d if k not in ('sf','chunks')]) == 8, sorted(d)"
-    mv STREAM_sf10skew.json.partial STREAM_sf10skew.json
-    rm -f STREAM_sf10skew.json.partial.leg_*
+    # Streaming under skew at 100×: the full replay on the hot-key
+    # corpus (one user owning 20% of 10M events, one token on half the
+    # docs). The question uniform replay cannot answer: does hot-key
+    # state stay horizon-bounded, and what does the hot user do to
+    # per-batch wall (the straggler signal lives in batch_ms)?
+    run_stream_leg /tmp/sf10skew STREAM_sf10skew.json
     ;;
   streamadd)
     # Add newly-registered legs to an EXISTING committed stream artifact
@@ -171,8 +186,23 @@ PYEOF
         /root/testdata/sf0.01 /tmp/vout_clusterfull 2>&1 \
         | { grep -E "\[verify\]" || true; } | tail -8
     else
-      echo "cluster verify dump already complete — skipping"
+      echo "cluster verify dump already present — validating completeness"
     fi
+    # oracle_sql.json is written even when individual query dumps threw
+    # (Verify swallows per-query exceptions), so its presence alone is
+    # NOT a completion marker: a resumed run would skip the dump and
+    # fail the gate identically forever. Validate every oracled query
+    # has output; on a partial dump, drop the marker so the next run
+    # re-dumps instead of wedging.
+    python3 - <<'PYEOF' || { rm -f /tmp/vout_clusterfull/oracle_sql.json; exit 1; }
+import glob, json, sys
+oracle = json.load(open("/tmp/vout_clusterfull/oracle_sql.json"))
+missing = [q for q in oracle
+           if not glob.glob(f"/tmp/vout_clusterfull/{q}/*.parquet")]
+if missing:
+    print("partial cluster dump — missing:", missing, file=sys.stderr)
+    sys.exit(1)
+PYEOF
     CHECK_ORACLE_PROCS=4 CHECK_ORACLE_UNORDERED=1 \
       python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/vout_clusterfull \
       > CORRECTNESS_clusterfull.txt.partial

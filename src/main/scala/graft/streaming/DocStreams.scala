@@ -119,7 +119,11 @@ object DocStreams {
         cur match {
           case Some(c) if t - c.last_ms <= horizonMs =>
             out += DocVerdict(docId, "drop_dup", Some(c.root_id))
-            cur = Some(FpChain(c.root_id, t))
+            // max: a LATE row (within the watermark tolerance, so legal)
+            // must not move the chain tail backward — a regressed tail
+            // would re-admit a doc the batch twin calls a dup AND let
+            // the stale-timer guard evict the chain half a horizon early
+            cur = Some(FpChain(c.root_id, math.max(c.last_ms, t)))
           case _ =>
             out += DocVerdict(docId, "admit", None)
             cur = Some(FpChain(docId, t))
@@ -194,17 +198,24 @@ object DocStreams {
 
   /** Chain verdicts over any (doc_id, fp, t-seconds) frame — the spec
     * drives this with synthetic chains the fixture corpus lacks.
+    * `horizonSec` mirrors docAdmitStream's parameter so a non-default
+    * horizon keeps a batch twin (they must only be compared at the
+    * same horizon).
     */
-  def admitChainOf(f: DataFrame): DataFrame = {
+  def admitChainOf(f: DataFrame, horizonSec: Long = HorizonSec): DataFrame = {
     import f.sparkSession.implicits._
     val arrival = Window.partitionBy($"fp").orderBy($"t", $"doc_id")
     val chained = f
       .withColumn("new_chain",
-        when($"t" - lag($"t", 1).over(arrival) <= HorizonSec, 0L).otherwise(1L))
+        when($"t" - lag($"t", 1).over(arrival) <= horizonSec, 0L).otherwise(1L))
       .withColumn("chain_id", sum($"new_chain").over(
         arrival.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("root",
-        min($"doc_id").over(Window.partitionBy($"fp", $"chain_id")))
+      // the root is the chain's FIRST ARRIVAL by (t, doc_id) — what the
+      // streaming processor admits — NOT min(doc_id), which diverges
+      // whenever doc_id order disagrees with arrival order; first over
+      // the ordered chain window reuses the arrival sort
+      .withColumn("root", first($"doc_id").over(
+        Window.partitionBy($"fp", $"chain_id").orderBy($"t", $"doc_id")))
     chained.select(
       $"doc_id",
       when($"doc_id" === $"root", "admit").otherwise("drop_dup").as("verdict"),
@@ -233,7 +244,8 @@ object DocStreams {
        |  FROM c),
        |r AS (
        |  SELECT doc_id, fp,
-       |    min(doc_id) OVER (PARTITION BY fp, chain_id) AS root
+       |    first_value(doc_id) OVER (PARTITION BY fp, chain_id
+       |      ORDER BY t, doc_id) AS root
        |  FROM ch)
        |SELECT doc_id,
        |  CASE WHEN doc_id = root THEN 'admit' ELSE 'drop_dup' END AS verdict,

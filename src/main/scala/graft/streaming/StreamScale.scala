@@ -53,6 +53,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * incomparable series in one artifact (pre-r11 fragments without the
   * fields are accepted with a warning).
   */
+/** Prints the leg-registry size — the evidence script asserts assembled
+  * artifacts against the CODE's count instead of a hardcoded literal
+  * that goes stale every time a leg is added (the r11 review finding).
+  */
+object StreamScaleLegCount {
+  def main(args: Array[String]): Unit = println(StreamScale.LegNames.length)
+}
+
 object StreamScale {
 
   /** The leg registry: names the 4th-arg filter validates against. */
@@ -254,9 +262,18 @@ object StreamScale {
         f"finalRows=${if (rows.nonEmpty) rows.last else 0} plateau=$plateau%.3f " +
         f"drift=$drift%.3f finalVsInput=$finalVsInput%.4f " +
         f"totalMs=$totalMs maxBatchMs=$maxMs")
+      // conf keys/values are arbitrary strings — escape them (the
+      // Verify.q discipline) so a quoted or backslashed value can never
+      // produce an unparseable fragment
+      def jq(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
       val confField =
         if (extraConf.isEmpty) ""
-        else extraConf.map { case (k, v) => s""""$k":"$v"""" }
+        else extraConf.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
           .mkString(""""conf":{""", ",", "},")
       val frag =
         s""""$name":{"sf_dir":"$sfDir","chunks_cfg":$chunks,$confField""" +

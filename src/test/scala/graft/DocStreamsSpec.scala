@@ -100,6 +100,61 @@ class DocStreamsSpec extends SparkSpec {
     }
   }
 
+  test("late within-watermark arrival cannot regress the chain tail (stream == batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val stream = input.toDF().toDF("doc_id", "fp", "t")
+        .withColumn("ts", expr("timestamp_seconds(t)")).drop("t")
+      val q = DocStreams.docAdmitStream(stream).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("doc_late_out").start()
+      try {
+        // batch 1 ends at tail B+3600; batch 2's first row is LATE
+        // (t=B+1800 > the watermark B) and must NOT regress the tail:
+        // doc 16 at exactly tail+H is a dup of the chain root, which a
+        // regressed tail (B+1800) would wrongly re-admit
+        input.addData(Seq((10L, "fpA", B), (11L, "fpA", B + 3600L)))
+        q.processAllAvailable()
+        input.addData(Seq((15L, "fpA", B + 1800L),
+          (16L, "fpA", B + 3600L + H)))
+        q.processAllAvailable()
+        val got = spark.table("doc_late_out").collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+        val batch = Seq((10L, "fpA", B), (11L, "fpA", B + 3600L),
+          (15L, "fpA", B + 1800L), (16L, "fpA", B + 3600L + H))
+          .toDF("doc_id", "fp", "t")
+        val want = DocStreams.admitChainOf(batch).collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+        assert(want.contains((16L, "drop_dup", Some(10L))))
+        assert(got === want)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("batch chain root is the FIRST ARRIVAL, not min(doc_id)") {
+    // doc_id order deliberately disagrees with arrival order: the
+    // stream admits doc 100 (it arrived first) and drops doc 5 onto it;
+    // the batch twin must agree
+    val f = Seq((100L, "fpY", B), (5L, "fpY", B + 100L)).toDF("doc_id", "fp", "t")
+    val got = DocStreams.admitChainOf(f).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got === Set((100L, "admit", None), (5L, "drop_dup", Some(100L))))
+  }
+
   test("dedup_admit_chain catalog query: fixture prefix collisions produce drops, roots self-consistent") {
     val out = DocStreams.dedupAdmitChain(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1),
