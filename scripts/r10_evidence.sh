@@ -77,6 +77,9 @@ case "$LEG" in
     mv BENCH_sf10skew.json.partial BENCH_sf10skew.json
     ;;
   stream)
+    echo "DEPRECATED: this leg filtered+clobbered fragments (r10 recovery bug);" >&2
+    echo "use scripts/r11_evidence.sh stream — reuse-before-filter, registry-counted." >&2
+    exit 1
     require_corpus /tmp/sf10
     # full log kept (the first r10 run's crash was undiagnosable after
     # `| tail -3` ate the stack trace); per-leg fragments persist as

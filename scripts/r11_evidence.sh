@@ -3,11 +3,11 @@
 # same crash-safety discipline as r10_evidence.sh: independent legs,
 # .partial + atomic rename, set -e, per-leg class snapshots.
 #
-# Usage: scripts/r11_evidence.sh <stream|streamskew|benchlocal|bootrows|cluster|clusterfull|counts>
+# Usage: scripts/r11_evidence.sh <stream|streamskew|streamadd|benchlocal|bootrows|cluster|clusterfull|clusterbench|benchsf10|counts>
 set -euo pipefail
 cd /root/repo
 R=scripts/java_run.sh
-LEG="${1:?usage: r11_evidence.sh <stream|streamskew|benchlocal|bootrows|cluster|clusterfull|counts>}"
+LEG="${1:?usage: r11_evidence.sh <stream|streamskew|streamadd|benchlocal|bootrows|cluster|clusterfull|clusterbench|benchsf10|counts>}"
 export CLS_SNAP="/tmp/graft_cls_r11_$LEG"
 rm -rf "$CLS_SNAP"
 
