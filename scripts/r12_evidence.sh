@@ -1,0 +1,225 @@
+#!/usr/bin/env bash
+# Round-12 evidence chain (VERDICT r11 items 1-6), same crash-safety
+# discipline as r10/r11: independent legs, .partial + atomic rename,
+# set -e, per-leg class snapshots.
+#
+# Usage: scripts/r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|counts>
+set -euo pipefail
+cd /root/repo
+R=scripts/java_run.sh
+LEG="${1:?usage: r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|counts>}"
+export CLS_SNAP="/tmp/graft_cls_r12_$LEG"
+rm -rf "$CLS_SNAP"
+
+require_corpus() {
+  [ -f "$1/_SUCCESS" ] || {
+    echo "FATAL: corpus $1 has no _SUCCESS marker — run r10_evidence.sh corpora first" >&2
+    exit 1
+  }
+}
+
+# Background watcher: once `trigger` exists, wait `delay` seconds, then
+# SIGKILL one executor JVM (CoarseGrainedExecutorBackend — a real child
+# PROCESS under local-cluster, never the driver). Records the kill
+# timestamp, pid, and output-dir progress into `log`, then 30 s later
+# records the surviving/respawned executor count (the standalone master
+# relaunches a lost executor; either way the QUERY must finish green).
+arm_executor_kill() { # trigger delay log outdir
+  local trigger="$1" delay="$2" log="$3" outdir="$4"
+  (
+    while [ ! -e "$trigger" ]; do sleep 1; done
+    sleep "$delay"
+    local pid
+    pid=$(pgrep -f CoarseGrainedExecutorBackend | head -1 || true)
+    if [ -n "$pid" ]; then
+      local before progress
+      before=$(pgrep -fc CoarseGrainedExecutorBackend || true)
+      progress=$(ls -1d "$outdir"/*/ 2>/dev/null | wc -l)
+      echo "# KILL pid=$pid at $(date -u +%FT%TZ) executors_before=$before" \
+        "query_dirs_done=$progress trigger=$(basename "$trigger") delay=${delay}s" >> "$log"
+      kill -9 "$pid"
+      sleep 30
+      echo "# executors 30s after kill: $(pgrep -fc CoarseGrainedExecutorBackend || echo 0)" >> "$log"
+    else
+      echo "# KILL FAILED: no executor process found at $(date -u +%FT%TZ)" >> "$log"
+    fi
+  ) &
+}
+
+case "$LEG" in
+  killone)
+    # VERDICT item 1a: SIGKILL one executor JVM mid-way through a heavy
+    # shuffle query at the 100x corpus and finish hash-green — the
+    # reference's "1 worker failure" row (README.md:291, T2 48.2 s)
+    # re-expressed on Spark: lost shuffle output -> FetchFailed -> stage
+    # resubmission; lost task -> retry under spark.task.maxFailures=4.
+    # Three heavy queries run in sequence; the kill lands 10 s into the
+    # first, so the remaining two ALSO prove post-kill cluster health.
+    require_corpus /tmp/sf10
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    QS="basket_rules,bootstrap_ci,q9_profit"
+    # unique per run: a stale watcher from a previous attempt must never
+    # see this run's trigger path
+    OUT="/tmp/vout_killone_$$"
+    rm -rf "$OUT" /tmp/kill1_log
+    # 12 GB executors (the sf10 corpus; the sf0.1 legs keep r11's 8 GB).
+    # excludeOnFailure: after one task failure on an executor, retries
+    # go ELSEWHERE — without it, replicated-block locality keeps
+    # steering every retry back onto the half-dead executor during the
+    # lost-detection window and burns maxFailures there (observed in the
+    # contaminated first rehearsal). This is the standard cluster
+    # posture, not a test crutch.
+    KCONF="spark.task.maxFailures=4"
+    KCONF="$KCONF;spark.excludeOnFailure.enabled=true"
+    KCONF="$KCONF;spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor=1"
+    echo "# executor-kill rehearsal (single heavy query, /tmp/sf10):" \
+      "master=local-cluster[4,8,12288] conf=$KCONF" > /tmp/kill1_log
+    # trigger on bootstrap_ci (runs first, ~60 s of explicit-count
+    # repartition + 960M md5 draws): +10 s lands mid-stage; the two
+    # heavy queries after the kill then also prove post-kill health
+    arm_executor_kill "$OUT/bootstrap_ci" 10 /tmp/kill1_log "$OUT"
+    # 256 shuffle partitions: per-task/block state must scale with the
+    # 100x corpus (the basket OOM diagnosis, Ckpt.sharded scaladoc)
+    SPARK_GRAFT_MASTER="local-cluster[4,8,12288]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="$KCONF" \
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+      SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g $R graft.Verify \
+      /tmp/sf10 "$OUT" "$QS" > /tmp/killone_driver.log 2>&1 || true
+    { grep -E "\[verify\]" /tmp/killone_driver.log || true; } | tail -8
+    wait # the watcher must have fired and logged before we assemble
+    grep -q "# KILL pid=" /tmp/kill1_log
+    cat /tmp/kill1_log > CORRECTNESS_killone.txt.partial
+    python3 scripts/check_oracle.py /tmp/sf10 "$OUT" \
+      >> CORRECTNESS_killone.txt.partial
+    tail -5 CORRECTNESS_killone.txt.partial
+    grep -q " 0 failed" CORRECTNESS_killone.txt.partial
+    mv CORRECTNESS_killone.txt.partial CORRECTNESS_killone.txt
+    ;;
+  killfull)
+    # VERDICT item 1b: the same kill against the full 44-query cluster
+    # subset at sf0.1 — the watcher fires when HALF the query dirs
+    # exist, so the kill lands mid-catalog with completed, in-flight,
+    # and unstarted queries all present. Every query must still
+    # hash-match DuckDB.
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    QS="theilsen_trend,dedup_edit_pairs,graph_kcore,bloom_prune,dedup_containment"
+    QS="$QS,dedup_blocking_eval,bpe_encode_stats,graph_markov_stationary,embed_pca_power"
+    QS="$QS,text_gram_overlap,markov_entropy_rate,basket_pairs,dedup_incremental_admit"
+    QS="$QS,graph_reach_hops,basket_rules,decontam_ngrams,split_leakage_audit,embed_mmr"
+    QS="$QS,ab_uplift_bootstrap,bootstrap_ci"
+    QS="$QS,cms_join_size,dedup_minhash_pairs,embed_ann_ivf,embed_ann_ivfpq,embed_ann_lsh"
+    QS="$QS,embed_knn,embed_knn_pq,embed_knn_quantized,embed_knn_rerank,embed_knn_rp"
+    QS="$QS,events_purchase_click_join,join_anti,join_full_outer,join_null_safe,join_semi"
+    QS="$QS,range_join_tiers,sessionize_bucketed,skew_salted_agg,skew_salted_join"
+    QS="$QS,mr_wc,mr_wc_plugin,q5_region_revenue,q9_profit,dedup_admit_chain"
+    OUT="/tmp/vout_killfull_$$"
+    rm -rf "$OUT" /tmp/killf_log /tmp/killf_trigger_$$
+    KCONF="spark.task.maxFailures=4"
+    KCONF="$KCONF;spark.excludeOnFailure.enabled=true"
+    KCONF="$KCONF;spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor=1"
+    echo "# executor-kill rehearsal (44-query cluster subset, sf0.1):" \
+      "master=local-cluster[4,8,8192] conf=$KCONF" > /tmp/killf_log
+    # trigger = the 22nd query dir appearing (mid-catalog)
+    (
+      while [ "$(ls -1d "$OUT"/*/ 2>/dev/null | wc -l)" -lt 22 ]; do sleep 2; done
+      touch /tmp/killf_trigger_$$
+    ) &
+    arm_executor_kill /tmp/killf_trigger_$$ 2 /tmp/killf_log "$OUT"
+    SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="$KCONF" \
+      SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g $R graft.Verify \
+      /root/testdata/sf0.1 "$OUT" "$QS" > /tmp/killfull_driver.log 2>&1 || true
+    { grep -E "\[verify\]" /tmp/killfull_driver.log || true; } | tail -8
+    wait
+    grep -q "# KILL pid=" /tmp/killf_log
+    cat /tmp/killf_log > CORRECTNESS_kill.txt.partial
+    python3 scripts/check_oracle.py /root/testdata/sf0.1 "$OUT" \
+      >> CORRECTNESS_kill.txt.partial
+    tail -5 CORRECTNESS_kill.txt.partial
+    grep -q " 0 failed" CORRECTNESS_kill.txt.partial
+    mv CORRECTNESS_kill.txt.partial CORRECTNESS_kill.txt
+    ;;
+  sf10gate)
+    # VERDICT item 6: the two r11 queries were oracled at sf0.01,
+    # cluster, and sf10skew but never on the UNIFORM 100x corpus —
+    # close the symmetry with the r10 catalog.
+    require_corpus /tmp/sf10
+    OUT=/tmp/vout_sf10_r12
+    rm -rf "$OUT"
+    SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g $R graft.Verify \
+      /tmp/sf10 "$OUT" "dedup_admit_chain,gopher_repetition_rules" 2>&1 \
+      | { grep -E "\[verify\]" || true; } | tail -4
+    python3 scripts/check_oracle.py /tmp/sf10 "$OUT" \
+      > CORRECTNESS_sf10_r12.txt.partial
+    tail -4 CORRECTNESS_sf10_r12.txt.partial
+    grep -q " 0 failed" CORRECTNESS_sf10_r12.txt.partial
+    mv CORRECTNESS_sf10_r12.txt.partial CORRECTNESS_sf10_r12.txt
+    ;;
+  streamadd12)
+    # VERDICT items 2+3: add the round's new stream legs (checkpoint
+    # restart at 100x, disordered arrival at 100x) to the committed
+    # uniform-corpus artifact. Finished legs are reused from fragments;
+    # the expected final count comes from the code's own registry
+    # (never a caller literal — the r11 review finding, closed).
+    require_corpus /tmp/sf10
+    ART=STREAM_sf10.json
+    NEW="doc_admit_restart,session_close_v2_restart,doc_admit_disorder"
+    python3 - "$ART" <<'PYEOF'
+import json, sys
+art = sys.argv[1]
+d = json.load(open(art))
+for k, v in d.items():
+    if isinstance(v, dict):
+        frag = '"%s":%s' % (k, json.dumps(v, separators=(",", ":")))
+        open(f"{art}.partial.leg_{k}", "w").write(frag)
+PYEOF
+    SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g $R graft.streaming.StreamScale \
+      /tmp/sf10 "$ART.partial" 60 "$NEW" \
+      > /tmp/streamscale_r12.log 2>&1 || {
+        echo "STREAMSCALE FAILED — tail of /tmp/streamscale_r12.log:" >&2
+        tail -40 /tmp/streamscale_r12.log >&2
+        exit 1
+      }
+    grep STREAMSCALE /tmp/streamscale_r12.log || true
+    WANT=$($R graft.streaming.StreamScaleLegCount 2>/dev/null | tail -1)
+    python3 - "$ART.partial" "$WANT" <<'PYEOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+n = len([k for k in d if k not in ("sf", "chunks")])
+want = int(sys.argv[2])
+assert want > 0 and n == want, (n, want, sorted(d))
+PYEOF
+    mv "$ART.partial" "$ART"
+    rm -f "$ART".partial.leg_*
+    ;;
+  benchlocal)
+    # VERDICT item 5: refresh the idle flagship to the full current
+    # catalog (the committed one predates gopher_repetition_rules).
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
+      SPARK_GRAFT_REQUIRE_IDLE=1 \
+      SPARK_GRAFT_BENCH_OUT=BENCH_local.json.partial $R graft.Bench 2>&1 | tail -1
+    mv BENCH_local.json.partial BENCH_local.json
+    ;;
+  clusterbench)
+    # VERDICT item 4 receipt: after retiring theilsen_trend's
+    # single-task global window, the multi-process full-catalog bench
+    # should show spilledBytes 0 (theilsen was the only spiller).
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
+      SPARK_GRAFT_REQUIRE_IDLE=1 \
+      SPARK_GRAFT_BENCH_OUT=BENCH_clusterfull.json.partial $R graft.Bench 2>&1 | tail -1
+    mv BENCH_clusterfull.json.partial BENCH_clusterfull.json
+    ;;
+  counts)
+    scripts/r10_counts.sh
+    ;;
+  *)
+    echo "unknown leg: $LEG" >&2
+    exit 1
+    ;;
+esac
+echo "LEG $LEG OK"

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+
+/** Storage level for every catalog `localCheckpoint`: replicated x2.
+  *
+  * Why: `localCheckpoint` TRUNCATES lineage — its blocks live only on
+  * executors, and with the default single-replica storage level an
+  * executor loss makes the query unrecoverable
+  * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — observed live the first time an
+  * executor JVM was SIGKILLed mid-`basket_rules` on
+  * local-cluster[4,8,8192], r12). The reference engine's stated
+  * fault-tolerance bar is surviving ONE worker failure (README.md:291,
+  * the T2 row); a second replica is exactly that bar re-expressed for
+  * executor-cached blocks: any single executor can die and every
+  * checkpointed partition still has a live copy. Memory cost is 2x the
+  * checkpointed frame — bounded by the catalog's fit discipline (the
+  * frames are driver-fit-sized or calendar/domain-bounded by
+  * construction). In single-JVM `local[*]` there are no peers, so
+  * replication silently degrades to one copy and local benches are
+  * unaffected.
+  *
+  * Queries that must survive MULTIPLE simultaneous executor losses
+  * should move to reliable `checkpoint()` on shared storage — a
+  * cluster-deployment concern (where HDFS/S3 exists), not a catalog
+  * one.
+  */
+object Ckpt {
+  /** Overridable for A/B diagnosis of replication cost/robustness
+    * (e.g. MEMORY_AND_DISK for the pre-r12 single-replica behavior,
+    * MEMORY_AND_DISK_SER_2 for serialized replicas); artifacts that
+    * depend on the level record their conf.
+    */
+  val ReplicatedLevel: StorageLevel =
+    sys.env.get("SPARK_GRAFT_CKPT_LEVEL").map(StorageLevel.fromString)
+      .getOrElse(StorageLevel.MEMORY_AND_DISK_2)
+
+  /** Replicated local checkpoint for DATA-SCALE frames: bound the block
+    * size first. BlockManager.replicate serializes a WHOLE block into
+    * one contiguous upload buffer, and AQE coalesces an aggregate's
+    * output to the 64 MB-compressed advisory target — at the 100x
+    * corpus that made basket_rules' checkpointed basket frame ~130 MB+
+    * per block and 8 concurrent replicating tasks OOM'd even 24 GB
+    * executors (r12, measured). An EXPLICIT repartition count (AQE
+    * never re-coalesces a user-specified count) divides the frame into
+    * session-shuffle-partition-sized blocks, so the upload buffer stays
+    * bounded at any corpus size. The added round-robin exchange is the
+    * price — use this ONLY where no downstream consumer reuses the
+    * frame's partitioning (a key-partitioned shared frame that IS
+    * reused must stay on [[ReplicatedLevel]] with its own partitioning
+    * and keep its blocks bounded by keyed partition count instead).
+    */
+  def sharded(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n).localCheckpoint(true, ReplicatedLevel)
+  }
+}

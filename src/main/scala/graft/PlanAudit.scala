@@ -22,14 +22,25 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val p = try fn(spark, d).queryExecution.executedPlan.toString
-              catch { case e: Throwable => s"ERR ${e.getMessage}" }
+      val (p, uw) = try {
+        val qe = fn(spark, d).queryExecution
+        // unpartitioned windows counted on the LOGICAL plan (a tree,
+        // traversable under AQE) — each is a single-task global
+        // sort-and-fold at ANY scale, so each needs a boundedness
+        // adjudication (PlanBudgetSpec enforces the whitelist)
+        val u = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.length
+        (qe.executedPlan.toString, u)
+      } catch { case e: Throwable => (s"ERR ${e.getMessage}", 0) }
       val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
       val nlj = if (p.contains("BroadcastNestedLoopJoin")) 1 else 0
       val sort = if ("Sort \\[[^\\]]*\\], true".r.findAllIn(p).nonEmpty) 1 else 0
-      (name, nEx, nlj, sort)
+      (name, nEx, nlj, sort, uw)
     }
-    counts.foreach { case (n, e, j, s) => println(s"AUDIT $n ex=$e nlj=$j gsort=$s") }
+    counts.foreach { case (n, e, j, s, u) =>
+      println(s"AUDIT $n ex=$e nlj=$j gsort=$s uw=$u") }
     val h = counts.map(_._2).groupBy(identity).toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k->${v.size}" }
     println("AUDIT_HIST " + h.mkString(" "))

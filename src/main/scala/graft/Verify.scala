@@ -15,11 +15,27 @@ object Verify {
     // catalog subset on local-cluster (executors need the class
     // snapshot on their own classpath)
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // shuffle partitions default to the core count (fixture scale) but
+    // must SCALE WITH VOLUME on the 100x rehearsals: per-task agg/sort
+    // state divides across reduce partitions (the r8 sf3 lever sweep),
+    // and the multi-process sf10 runs OOM'd 12 GB executors at 32
+    // partitions (basket_rules' pair partials) — 256 holds per-task
+    // state at the sf0.1 design point while AQE re-coalesces the small
+    // queries' outputs
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val builder = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
     sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
       builder.config("spark.executor.extraClassPath", cp))
+    // generic conf passthrough (semicolon-separated k=v): the executor-kill
+    // rehearsal pins spark.task.maxFailures explicitly so the artifact
+    // records the retry budget the run survived under
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

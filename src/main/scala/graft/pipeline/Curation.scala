@@ -101,7 +101,7 @@ object Curation {
       .withColumn("norm", TextAnalysis.normText($"text"))
       .withColumn("en_hits", TextAnalysis.hits($"t", langProfile("en")))
       .drop("text")
-      .localCheckpoint()
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     val gated = Seq("de", "fr", "es")
       .foldLeft(docs) { (df, l) =>
         df.filter($"en_hits" >= TextAnalysis.hits($"t", langProfile(l)))
@@ -184,7 +184,7 @@ object Curation {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def fittedRates(spark: SparkSession, d: String): DataFrame =
     ratesCache.getOrElseUpdate((spark, d),
-      fitMixtureRates(spark, d).localCheckpoint())
+      fitMixtureRates(spark, d).localCheckpoint(true, graft.Ckpt.ReplicatedLevel))
 
   def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

@@ -157,7 +157,6 @@ object QualityRules {
       length($"text").cast("long").as("n_chars"),
       size($"ls").cast("long").as("n_lines"),
       (size($"ls") - size(array_distinct($"ls"))).cast("long").as("n_dup_lines"),
-      sumLen("ls").as("line_chars"),
       (sumLen("ls") - coalesce(
         aggregate(array_distinct($"ls"), lit(0L),
           (acc, x) => acc + length(x).cast("long")), lit(0L)))
@@ -181,7 +180,12 @@ object QualityRules {
       .select($"source",
         when(lit(10L) * $"n_dup_lines" <= lit(3L) * $"n_lines", 1L)
           .otherwise(0L).as("p1"),
-        when(lit(5L) * $"dup_line_chars" <= $"line_chars", 1L)
+        // denominator is n_chars = length(text), the same base P3/P4
+        // use (Gopher/Dolma compute every character fraction over total
+        // document characters; P2 used the nonempty-line char sum until
+        // r12 — the advice finding: newline-heavy docs were judged
+        // stricter than the paper's rule)
+        when(lit(5L) * $"dup_line_chars" <= $"n_chars", 1L)
           .otherwise(0L).as("p2"),
         when(lit(5L) * coalesce($"top2_chars", lit(0L)) <= $"n_chars", 1L)
           .otherwise(0L).as("p3"),
@@ -212,8 +216,6 @@ object QualityRules {
       |    CAST(len(ls) AS BIGINT) AS n_lines,
       |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
       |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
-      |      AS BIGINT) AS line_chars,
-      |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
       |      - coalesce(list_sum(list_transform(list_distinct(ls),
       |          x -> length(x))), 0) AS BIGINT) AS dup_line_chars
       |  FROM base),
@@ -241,7 +243,7 @@ object QualityRules {
       |rules AS (
       |  SELECT source,
       |    CASE WHEN 10 * n_dup_lines <= 3 * n_lines THEN 1 ELSE 0 END AS p1,
-      |    CASE WHEN 5 * dup_line_chars <= line_chars THEN 1 ELSE 0 END AS p2,
+      |    CASE WHEN 5 * dup_line_chars <= n_chars THEN 1 ELSE 0 END AS p2,
       |    CASE WHEN 5 * coalesce(top2_chars, 0) <= n_chars THEN 1 ELSE 0 END AS p3,
       |    CASE WHEN 20 * coalesce(dup5_chars, 0) <= 3 * n_chars THEN 1 ELSE 0 END AS p4
       |  FROM line LEFT JOIN gstats USING (doc_id))

@@ -28,11 +28,14 @@ object BasketRules {
 
   def basketRules(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val baskets = Tables.lineitem(spark, d)
+    // three consumers (N, item counts, pair counts), none of which
+    // reuses the orderkey partitioning — sharded so the replicated
+    // blocks stay bounded at the 100x corpus (Ckpt.sharded's scaladoc
+    // has the measured OOM this prevents)
+    val baskets = graft.Ckpt.sharded(Tables.lineitem(spark, d)
       .groupBy($"l_orderkey")
       .agg(slice(array_sort(collect_set($"l_partkey")), 1, Analytics.MaxBasket)
-        .as("basket"))
-      .localCheckpoint() // three consumers: N, item counts, pair counts
+        .as("basket")))
     val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
     val itemCounts = baskets
       .select(explode($"basket").as("pk"))

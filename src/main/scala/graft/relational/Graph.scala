@@ -44,7 +44,7 @@ object Graph {
       graft.text.Dedup.jaccardPairs(spark, d)
         .filter($"jacc" >= 0.5)
         .select($"doc_a".as("a"), $"doc_b".as("b")) // already a < b
-        .localCheckpoint()
+        .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     })
 
   def triangles(spark: SparkSession, d: String): DataFrame =
@@ -112,14 +112,14 @@ object Graph {
       // iteration round would spawn that many near-empty tasks (measured
       // ~4 s of pure task overhead at 32 partitions vs ~1 s at 1).
       .coalesce(1)
-      .localCheckpoint()
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     // out-weight per source; w and outw are both exact-grid values, so
     // p = w/outw is the same double on every engine
     val outw = edges.groupBy($"src").agg(sum(RelQueries.gridScale($"w", 10000L)).as("ow"))
     val trans = edges.join(outw, "src")
       .select($"src", $"dst",
         (RelQueries.gridScale($"w", 10000L).cast("double") / $"ow".cast("double")).as("p"))
-      .coalesce(1).localCheckpoint()
+      .coalesce(1).localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     // The contracted matrix is <= 625 rows REGARDLESS of input scale —
     // the 100 TB scan above is the distributed phase; the power
     // iteration on the contraction belongs on the driver (the same
@@ -260,11 +260,11 @@ object Graph {
     import spark.implicits._
     val e = dupEdges(spark, d)
     // undirected: both orientations, materialized once for all rounds
-    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).localCheckpoint()
+    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     val seeds = Tables.documents(spark, d)
       .filter($"lang" === SeedLang)
       .select($"doc_id".as("doc"), lit(0L).as("hops"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     var visited = seeds
     var frontier = seeds.select($"doc")
     var k = 1L
@@ -273,8 +273,8 @@ object Graph {
         .select(und("b").as("doc")).distinct()
         .join(visited.select($"doc"), Seq("doc"), "left_anti")
         .select($"doc", lit(k).as("hops"))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+        .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      visited = visited.union(next).localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
       frontier = next.select($"doc")
       k += 1
     }
@@ -343,7 +343,7 @@ object Graph {
       .withColumn("tot", sum($"cnt").over(wf))
       .select($"from_type", $"to_type", $"cnt", $"tot",
         expr("(cnt * 1000000) div tot").as("p6"))
-      .localCheckpoint() // k x k bounded; 16 iteration consumers
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // k x k bounded; 16 iteration consumers
   }
 
   /** The exact-BIGINT e6 power iteration: (t, v) after
@@ -352,7 +352,7 @@ object Graph {
   private def stationaryE6(tr: DataFrame): DataFrame = {
     import tr.sparkSession.implicits._
     val types = tr.select($"from_type".as("t"))
-      .union(tr.select($"to_type".as("t"))).distinct().localCheckpoint()
+      .union(tr.select($"to_type".as("t"))).distinct().localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     val nT = types.agg(count(lit(1)).as("n"))
     var v = types.crossJoin(broadcast(nT))
       .select($"t", expr("1000000 div n").cast("long").as("v"))
@@ -440,7 +440,7 @@ object Graph {
     */
   def kcoreOfEdges(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).localCheckpoint()
+    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     val deg0 = und.groupBy($"a").agg(count(lit(1)).as("degree"))
     var adj = und
     var res = deg0.select($"a", $"degree", lit(1L).as("coreness"))
@@ -450,7 +450,7 @@ object Graph {
           .filter($"dg" >= k).select($"a")
         adj = adj.join(keep, "a")
           .join(keep.select($"a".as("b")), "b")
-          .select($"a", $"b").localCheckpoint()
+          .select($"a", $"b").localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
       }
       val inK = adj.select($"a").distinct().withColumn("ink", lit(1L))
       res = res.join(inK, Seq("a"), "left")

@@ -59,7 +59,7 @@ object StatModels {
     val freq = Tables.events(spark, d)
       .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
       .groupBy($"event_type", $"c").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // domain-bounded; three consumers, one scan
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // domain-bounded; three consumers, one scan
     val meds = medianFromFreq(freq).withColumnRenamed("med2", "med2")
     val dev = freq.join(broadcast(meds), "event_type")
       .select($"event_type", abs(lit(2L) * $"c" - $"med2").as("c"), $"cnt")
@@ -177,7 +177,7 @@ object StatModels {
     val st = Tables.documents(spark, d)
       .select($"source", explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
       .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     val srcTot = st.groupBy($"source").agg(sum($"c_st").as("c_s"))
     val tokTot = st.groupBy($"tok").agg(sum($"c_st").as("c_t"))
     val corpus = srcTot.agg(sum($"c_s").as("c_tot"))
@@ -327,7 +327,7 @@ object StatModels {
         max($"o_orderdate".cast("date")).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     val bounds = per.agg(
       max($"last_order").as("anchor"),
       percentile($"frequency", lit(1.0 / 3)).as("f1"),
@@ -411,7 +411,7 @@ object StatModels {
       .groupBy($"l_suppkey")
       .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 100, 0)
         .cast("long")).as("cents"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     val g = per.agg(
       count(lit(1)).as("n_suppliers"),
       sum($"cents".cast("decimal(38,0)")).as("tot"),
@@ -451,15 +451,19 @@ object StatModels {
     * identical exact integers.
     *
     * Scale shape: the daily aggregate is the only data-scale exchange.
-    * The O(d²) pair set and the single-partition cumulative-count
-    * windows are CALENDAR-bounded (2.4k days → ≤2.9M pairs per 6.5
-    * fixture-years at ANY corpus size — bounded by time span, not
-    * volume, the [[tsAutocorr]]/date_spine discipline); the slope
-    * scalar broadcasts back for the residual pass.
+    * The O(d²) pair set is CALENDAR-bounded (2.4k days → ≤2.9M pairs
+    * per 6.5 fixture-years at ANY corpus size — bounded by time span,
+    * not volume, the [[tsAutocorr]]/date_spine discipline). The two
+    * medians run through [[FreqSelect.med2]]'s iterative histogram
+    * narrowing — until r12 they were single-task cumulative-count
+    * windows over the slope frequency table, the catalog's last
+    * unpartitioned hot-path window and its only multi-process spiller
+    * (698 MB at the r11 cluster bench); narrowing replaces that with
+    * ≤B-row histogram passes over the cached frequency tables. The
+    * slope scalar re-enters the residual pass as a literal.
     */
   def theilsenTrend(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
 
     val daily = Tables.orders(spark, d)
       .groupBy($"o_orderdate".cast("date").as("day"))
@@ -467,26 +471,7 @@ object StatModels {
       .select(
         datediff($"day", lit("1970-01-01").cast("date")).cast("long").as("x"),
         $"cents".as("y"))
-      .localCheckpoint() // calendar-bounded; pair + residual consumers
-
-    // median (2x) of a single-group BIGINT frequency table, the
-    // anomalyMad cumulative-count spelling without the group key
-    def med2Of(freq: DataFrame, v: String, cnt: String): DataFrame = {
-      val wc = Window.orderBy(col(v))
-      val wAll = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      freq
-        .withColumn("cum", sum(col(cnt)).over(wc))
-        .withColumn("n", sum(col(cnt)).over(wAll))
-        .withColumn("klo", expr("(n - 1) div 2"))
-        .withColumn("khi", expr("n div 2"))
-        .agg(
-          max(col("n")).as("n"),
-          (min(when(col("cum") - col(cnt) <= col("klo") &&
-            col("klo") < col("cum"), col(v))) +
-            min(when(col("cum") - col(cnt) <= col("khi") &&
-              col("khi") < col("cum"), col(v)))).as("med2"))
-    }
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // calendar-bounded; pair + residual consumers
 
     val slopes = daily.as("a")
       .join(broadcast(daily.as("b")), $"a.x" > $"b.x")
@@ -495,22 +480,20 @@ object StatModels {
         ($"a.x" - $"b.x").as("b2"))
       .select(expr("(a2 - pmod(a2, b2)) div b2").as("s"))
       .groupBy($"s").agg(count(lit(1)).as("cnt"))
-    val slopeMed = med2Of(slopes, "s", "cnt")
-      .select($"n".as("n_pairs"), $"med2".as("slope_med2"))
+    val (nPairs, slopeMed2) = FreqSelect.med2(slopes, "s", "cnt")
 
-    val resid = daily.crossJoin(broadcast(slopeMed))
+    val resid = daily
       .select(
         ($"y".cast("decimal(38,0)") * 2000000L -
-          $"slope_med2".cast("decimal(38,0)") * $"x").as("r"))
+          lit(new java.math.BigDecimal(slopeMed2.bigInteger)) * $"x").as("r"))
       .groupBy($"r").agg(count(lit(1)).as("cnt"))
-    val interceptMed = med2Of(resid, "r", "cnt")
-      .select($"n".as("n_days"), $"med2".as("r_med2"))
+    val (nDays, rMed2) = FreqSelect.med2(resid, "r", "cnt")
 
-    slopeMed.crossJoin(broadcast(interceptMed))
-      .select($"n_days", $"n_pairs",
-        ($"slope_med2".cast("double") / 2000000.0).as("slope"),
-        // r carries 2x(1e6 y) and med2 doubles again -> /4e6 cents
-        ($"r_med2".cast("double") / 4000000.0).as("intercept_cents"))
+    Seq((nDays, nPairs,
+      slopeMed2.toDouble / 2000000.0,
+      // r carries 2x(1e6 y) and med2 doubles again -> /4e6 cents
+      rMed2.toDouble / 4000000.0))
+      .toDF("n_days", "n_pairs", "slope", "intercept_cents")
   }
 
   /** Gini coefficient of customer revenue — the inequality scalar
@@ -891,7 +874,7 @@ object StatModels {
     val st = Tables.documents(spark, d)
       .select($"source", explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
       .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     val srcTot = st.groupBy($"source").agg(sum($"c_st").as("c_s"))
     val tokTot = st.groupBy($"tok").agg(sum($"c_st").as("c_t"))
     val corpus = srcTot.agg(sum($"c_s").as("c_tot"))
@@ -1089,7 +1072,7 @@ object StatModels {
       .select($"n_chars".as("x"),
         size(graft.text.TextAnalysis.toks($"text")).cast("long").as("y"))
       .groupBy($"x", $"y").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     def rank2(col0: String): DataFrame = {
       val w = Window.orderBy(col(col0))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1549,7 +1532,7 @@ object StatModels {
         $"o_orderkey")
       .orderBy($"cents".desc, $"o_orderkey".asc)
       .limit(HillK + 1)
-      .localCheckpoint() // k+1 rows; threshold + sum consumers
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // k+1 rows; threshold + sum consumers
     val xk = top.agg(min($"cents").as("xk"))
     // rows at the threshold contribute ln(1) = 0, so summing over all
     // k+1 rows and dividing by k IS the Hill sum — no tie-exclusion

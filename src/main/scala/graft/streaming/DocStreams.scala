@@ -37,8 +37,22 @@ import graft.text.TextAnalysis
   * from doc_id ([[ArrivalSpacingSec]] apart), chains are rebuilt with a
   * lag/cumsum gap-session window, and the verdict is the same
   * (root=admit, rest drop_dup→root). StreamingSpec pins stream == batch
-  * on the fixture corpus, so the online decision cannot drift from the
-  * oracled definition.
+  * on the fixture corpus.
+  *
+  * ARRIVAL-ORDER CONTRACT (when stream == batch holds): the twin
+  * defines chains over EVENT-time order (t, doc_id); the stream decides
+  * by ARRIVAL and cannot retract an emitted verdict (Append mode). The
+  * two agree exactly when, per fingerprint, arrival order preserves
+  * event-time order ACROSS batches (within a batch the processor sorts,
+  * healing any in-batch disorder), and stay equal under bounded
+  * cross-batch lateness for non-root rows whose removal does not bridge
+  * a >horizon gap (proved at 100x volume by the doc_admit_disorder
+  * StreamScale leg). A late row with t EARLIER than the live chain's
+  * root is the one irreconcilable case: the twin would crown it root,
+  * but the stream already emitted `admit` for the later-t row — the
+  * processor pins the deterministic arrival semantics (drop_dup onto
+  * the emitted root; the root is never rewritten), spec-tested in
+  * DocStreamsSpec ("late row preceding the chain root").
   */
 object DocStreams {
 
@@ -117,6 +131,11 @@ object DocStreams {
       sorted.foreach { case (docId, _, ts) =>
         val t = ts.getTime
         cur match {
+          // t - last_ms may be NEGATIVE (a within-watermark late row,
+          // possibly even earlier than the root): still a duplicate of
+          // the LIVE chain, matched to the emitted root — Append mode
+          // cannot retract the root's `admit`, so the root is never
+          // rewritten (the arrival-order contract in the class doc)
           case Some(c) if t - c.last_ms <= horizonMs =>
             out += DocVerdict(docId, "drop_dup", Some(c.root_id))
             // max: a LATE row (within the watermark tolerance, so legal)
@@ -149,15 +168,19 @@ object DocStreams {
     }
   }
 
-  /** Streaming admission over a (doc_id, fp, ts) stream. The 1 h
-    * watermark delay only throttles eviction (timers fire as the
-    * watermark passes); the verdict horizon is [[HorizonSec]].
+  /** Streaming admission over a (doc_id, fp, ts) stream. The watermark
+    * delay throttles eviction (timers fire as the watermark passes) and
+    * bounds tolerated lateness — rows older than the watermark are
+    * dropped by the engine before the processor sees them; the verdict
+    * horizon is [[HorizonSec]]. The disorder rehearsal widens the delay
+    * to one replay-chunk span so chunk-late rows stay in-watermark.
     */
   def docAdmitStream(docs: DataFrame,
-      horizonMs: Long = HorizonSec * 1000L): Dataset[DocVerdict] = {
+      horizonMs: Long = HorizonSec * 1000L,
+      watermarkDelay: String = "1 hour"): Dataset[DocVerdict] = {
     import docs.sparkSession.implicits._
     docs
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", watermarkDelay)
       .select($"doc_id", $"fp", $"ts")
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._2)

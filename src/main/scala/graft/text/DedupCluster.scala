@@ -87,7 +87,7 @@ object DedupCluster {
           Tables.documents(spark, d).withColumn("t", TextAnalysis.toks($"text")))
           .filter($"jacc" >= JaccThreshold)
           .select($"doc_a", $"doc_b")
-          .localCheckpoint() // materialize once: the count gate + chosen path both read it
+          .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // materialize once: the count gate + chosen path both read it
         val labeled =
           if (edges.count() <= DriverEdgeLimit) clustersOfEdgesLocal(edges)
           else clustersOfEdges(edges)
@@ -172,7 +172,7 @@ object DedupCluster {
       .persist()
     var labels = und.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
-      .localCheckpoint()
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
     // Fixpoint detection without a compare join: labels are monotonically
     // non-increasing (min over a set containing the own label), so the
     // label sum strictly decreases on every changing round — equal sums
@@ -199,7 +199,7 @@ object DedupCluster {
       val jumped = prop.select($"id".as("pid"), $"label".as("plabel"))
       val next = prop.join(jumped, prop("label") === jumped("pid"))
         .select($"id", $"plabel".as("label"))
-        .localCheckpoint() // cut lineage; also materializes for the check
+        .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // cut lineage; also materializes for the check
       val s = labelSum(next)
       labels = next
       converged = s == prev

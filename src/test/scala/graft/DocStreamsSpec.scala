@@ -144,6 +144,107 @@ class DocStreamsSpec extends SparkSpec {
     }
   }
 
+  test("late row preceding the chain root: pinned arrival semantics (documented stream/batch divergence)") {
+    // The ONE case where stream and twin cannot agree (Append mode
+    // cannot retract the root's `admit`): a within-watermark late row
+    // whose t is EARLIER than the live chain's root. Pinned semantics:
+    // the stream drops it onto the EMITTED root and never rewrites the
+    // root; the batch twin would crown the earlier-t row. This test is
+    // the contract in DocStreams' scaladoc made executable.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val stream = input.toDF().toDF("doc_id", "fp", "t")
+        .withColumn("ts", expr("timestamp_seconds(t)")).drop("t")
+      val q = DocStreams.docAdmitStream(stream).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("doc_preroot_out").start()
+      try {
+        // batch 1: doc 10 at B+1800 admitted (the emitted root).
+        // batch 2: doc 9 at B arrives late (within the 1h watermark,
+        // t - last_ms = -1800 <= horizon) — earlier than the root.
+        input.addData(Seq((10L, "fpA", B + 1800L)))
+        q.processAllAvailable()
+        input.addData(Seq((9L, "fpA", B), (11L, "fpA", B + 2000L)))
+        q.processAllAvailable()
+        val got = spark.table("doc_preroot_out").collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+        // arrival semantics: 10 stays the root; 9 and 11 both drop on it
+        assert(got === Set((10L, "admit", None),
+          (9L, "drop_dup", Some(10L)), (11L, "drop_dup", Some(10L))))
+        // ...and the batch twin DISAGREES by construction (9 is its
+        // root) — the documented divergence, asserted so a future
+        // "fix" that silently changes either side trips this pin
+        val twin = DocStreams.admitChainOf(
+          Seq((10L, "fpA", B + 1800L), (9L, "fpA", B), (11L, "fpA", B + 2000L))
+            .toDF("doc_id", "fp", "t")).collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+        assert(twin === Set((9L, "admit", None),
+          (10L, "drop_dup", Some(9L)), (11L, "drop_dup", Some(9L))))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("chunk-late NON-ROOT row (the disorder-leg delayable class): stream == batch exactly") {
+    // The doc_admit_disorder StreamScale leg delays only non-root rows
+    // whose removal bridges no >horizon gap; this is that class at
+    // fixture scale: doc 11 (a mid-chain dup) arrives one batch late,
+    // after its event-time successor 12 was already processed. The
+    // successor still links (12.t - 10.t <= horizon — the leg's
+    // non-bridge predicate), the late row lands on the live chain, and
+    // every verdict equals the event-time batch twin.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val stream = input.toDF().toDF("doc_id", "fp", "t")
+        .withColumn("ts", expr("timestamp_seconds(t)")).drop("t")
+      val q = DocStreams.docAdmitStream(stream, watermarkDelay = "2 hours")
+        .toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("doc_disorder_out").start()
+      try {
+        val all = Seq((10L, "fpA", B), (11L, "fpA", B + 1800L),
+          (12L, "fpA", B + 3600L), (13L, "fpA", B + 5400L))
+        input.addData(Seq(all(0), all(2))) // 11 held back one batch
+        q.processAllAvailable()
+        input.addData(Seq(all(1), all(3))) // 11 arrives late, in-watermark
+        q.processAllAvailable()
+        val got = spark.table("doc_disorder_out").collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+        val twin = DocStreams.admitChainOf(all.toDF("doc_id", "fp", "t"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+        assert(got === twin)
+        assert(got === Set((10L, "admit", None), (11L, "drop_dup", Some(10L)),
+          (12L, "drop_dup", Some(10L)), (13L, "drop_dup", Some(10L))))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch chain root is the FIRST ARRIVAL, not min(doc_id)") {
     // doc_id order deliberately disagrees with arrival order: the
     // stream admits doc 100 (it arrived first) and drops doc 5 onto it;

@@ -71,9 +71,6 @@ class PlanBudgetSpec extends SparkSpec {
     // window, final fold — every post-scan payload is domain-bounded
     // (<= ~49k cells/type at ANY corpus size), never raw rows
     "anomaly_mad" -> 5,
-    // daily agg (data-scale) + slope-freq agg + residual-freq agg; both
-    // frequency exchanges carry calendar-bounded pair/day payloads
-    "theilsen_trend" -> 3,
     // daily agg (data-scale) + the calendar-bounded band join's 8-group
     // agg + final fold; post-scan payloads are <= days x 8 rows
     "ts_ccf" -> 3,
@@ -355,7 +352,6 @@ class PlanBudgetSpec extends SparkSpec {
     "ts_autocorr", // calendar-bounded daily series band self-join + 1-row den
     "ts_ccf", // calendar-bounded daily band self-join (the acf shape)
     "ts_wavelet_spectrum", // 1-row min-day + 8-row level-table broadcasts
-    "theilsen_trend", // calendar-bounded pair join + 1-row slope/intercept
     "bootstrap_ci", // one-row point-estimate x one-row CI broadcast
     "ab_uplift_bootstrap", // the same 1-row point x 1-row CI cross
     "hill_tail_index", // k+1-row head x 1-row threshold broadcast
@@ -423,6 +419,60 @@ class PlanBudgetSpec extends SparkSpec {
           .findFirstIn(plan).isDefined,
         s"$name joins on user alone (no bucket in the join keys):\n$plan")
     }
+  }
+
+  /** Queries whose UNPARTITIONED window is adjudicated bounded — each
+    * runs a single task whose input is domain-, calendar-, or
+    * k-bounded at ANY corpus size (the anomaly_mad frequency-algebra
+    * class), never data-scale. theilsen_trend used to be the one
+    * DATA-ADJACENT member (a 2.9M-row calendar-bounded slope table
+    * through one task — the catalog's only multi-process spiller,
+    * 698 MB at the r11 cluster bench); r12 moved it to
+    * [[relational.FreqSelect]]'s histogram narrowing and this gate now
+    * keeps unpartitioned windows from reappearing on any hot path.
+    */
+  private val unpartitionedWindowWhitelist: Set[String] = Set(
+    "ab_uplift_bootstrap", // 64-row resample rank window
+    "ab_ztest_fdr", // <=#metrics-row BH rank windows
+    "abc_classification", // cent-grid descending CDF
+    "benford_audit", // 9-row leading-digit grid
+    "bootstrap_ci", // 64-row resample rank window
+    "chisq_source_lang", // (source x lang)-cell contingency grid
+    "classifier_roc_auc", // score-lattice frequency CDF
+    "conversion_delay_quantiles", // delay-seconds-grid order statistics
+    "kruskal_wallis_value", // cent-grid global midranks
+    "ks_value_drift", // cent-grid CDF
+    "mannwhitney_value_drift", // cent-grid midranks
+    "quantile_transform_values", // cent-grid CDF
+    "revenue_gini", // cent-value frequency grid rank algebra
+    "skyline_lineitems", // price-grid exclusive cummax
+    "spearman_doc_signals", // two marginal-grid midrank windows
+    "survival_km_retention", // day-bounded KM product windows
+    "text_ngram_topk", // row_number over the 20-row TakeOrdered head
+    "ts_changepoint", // calendar-bounded daily series
+    "ts_cusum", // calendar-bounded daily series
+    "ts_seasonal_decompose", // calendar-bounded daily series
+    "ts_wavelet_spectrum", // 8-row level-energy rank window
+    "vocab_good_turing") // frequency-of-frequencies grid
+
+  test("no unpartitioned window outside the adjudicated bounded set") {
+    // counted on the LOGICAL plan: a tree (traversable under AQE), and
+    // physical WindowExec inherits its partitionSpec from here. Every
+    // unpartitioned window funnels its whole input through ONE task at
+    // any scale — allowed only with a boundedness adjudication above.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val unpart = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (unpart.nonEmpty && !unpartitionedWindowWhitelist(name))
+          Some(s"$name: ${unpart.length} unpartitioned window(s)")
+        else if (unpart.isEmpty && unpartitionedWindowWhitelist(name))
+          Some(s"$name: whitelisted but has no unpartitioned window (stale entry)")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("every catalog query stays within its exchange budget, NLJ whitelist, no global sort") {

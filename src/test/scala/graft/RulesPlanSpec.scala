@@ -53,7 +53,8 @@ class RulesPlanSpec extends SparkSpec {
       "a b\na b\n" + (1 to 16).map(i => s"w$i").mkString(" "))
     // P2 (dup-line chars): ONE duplicated 100-char single-token line
     // among 7 short distinct lines — dup lines 1/8 pass P1, dup chars
-    // 100/230 fail P2; the giant token forms no repeated n-grams, and
+    // 100/298 of length(text) fail P2; the giant token forms no
+    // repeated n-grams, and
     // the most frequent 2-gram is an f=1 short one (the packed-key
     // arg-max keeps the giant f=1 2-gram from tripping P3)
     val duplc = (3L, "duplc",
