@@ -245,6 +245,61 @@ class DocStreamsSpec extends SparkSpec {
     }
   }
 
+  test("beyond-watermark row is dropped BEFORE the processor and counted in numRowsDroppedByWatermark") {
+    // the disorder leg's far-row contract: the engine (not our code)
+    // drops a row older than the watermark, the verdict stream never
+    // sees it, and the per-batch metric reports it — asserted here so
+    // the 100x leg's dropped==planted gate rests on a wired metric
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val stream = input.toDF().toDF("doc_id", "fp", "t")
+        .withColumn("ts", expr("timestamp_seconds(t)")).drop("t")
+      val q = DocStreams.docAdmitStream(stream).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("doc_wmdrop_out").start()
+      val droppedTotal = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.id == q.id)
+            droppedTotal.addAndGet(
+              e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      }
+      spark.streams.addListener(listener)
+      try {
+        // batch 1 advances the watermark to B+8h-1h; batch 2's doc 9
+        // (t=B, 7h older than the watermark) must be DROPPED — no
+        // verdict — while doc 11 passes
+        input.addData(Seq((10L, "fpA", B + 8L * 3600L)))
+        q.processAllAvailable()
+        input.addData(Seq((9L, "fpA", B), (11L, "fpA", B + 8L * 3600L + 10L)))
+        q.processAllAvailable()
+        val got = spark.table("doc_wmdrop_out").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got === Set((10L, "admit"), (11L, "drop_dup")),
+          s"dropped row leaked a verdict: $got")
+        assert(droppedTotal.get() == 1L,
+          s"numRowsDroppedByWatermark not wired: ${droppedTotal.get()}")
+      } finally {
+        q.stop()
+        spark.streams.removeListener(listener)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch chain root is the FIRST ARRIVAL, not min(doc_id)") {
     // doc_id order deliberately disagrees with arrival order: the
     // stream admits doc 100 (it arrived first) and drops doc 5 onto it;
