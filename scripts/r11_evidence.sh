@@ -147,8 +147,17 @@ case "$LEG" in
     # regexes still match), run StreamScale filtered to the new legs
     # (fragment reuse assembles the rest), then clean up.
     #   $2 = corpus dir   $3 = artifact   $4 = comma-separated new legs
-    #   $5 = expected final leg count
-    CORPUS="${2:?corpus}"; ART="${3:?artifact}"; NEW="${4:?legs}"; WANT="${5:?count}"
+    # Expected final count is DERIVED (legs already in the artifact +
+    # requested legs not yet in it) — the caller-supplied literal was
+    # the stale-count pattern the r11 review flagged.
+    CORPUS="${2:?corpus}"; ART="${3:?artifact}"; NEW="${4:?legs}"
+    WANT=$(python3 - "$ART" "$NEW" <<'PYEOF'
+import json, sys
+have = {k for k, v in json.load(open(sys.argv[1])).items() if isinstance(v, dict)}
+new = {s.strip() for s in sys.argv[2].split(",") if s.strip()}
+print(len(have | new))
+PYEOF
+)
     require_corpus "$CORPUS"
     python3 - "$ART" <<'PYEOF'
 import json, sys
