@@ -3,11 +3,11 @@
 # discipline as r10/r11: independent legs, .partial + atomic rename,
 # set -e, per-leg class snapshots.
 #
-# Usage: scripts/r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|counts>
+# Usage: scripts/r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|counts>
 set -euo pipefail
 cd /root/repo
 R=scripts/java_run.sh
-LEG="${1:?usage: r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|counts>}"
+LEG="${1:?usage: r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|counts>}"
 export CLS_SNAP="/tmp/graft_cls_r12_$LEG"
 rm -rf "$CLS_SNAP"
 
@@ -213,6 +213,44 @@ PYEOF
       SPARK_GRAFT_REQUIRE_IDLE=1 \
       SPARK_GRAFT_BENCH_OUT=BENCH_clusterfull.json.partial $R graft.Bench 2>&1 | tail -1
     mv BENCH_clusterfull.json.partial BENCH_clusterfull.json
+    ;;
+  sf10cluster)
+    # Stretch receipt: the FULL catalog hash-checked at the 100x corpus
+    # ACROSS 4 executor processes — the r11 clusterfull gate (sf0.01)
+    # and the r10/r11 sf10 gates (single-JVM) composed. Optional 2nd
+    # arg: comma-separated query subset (the failure-re-run path).
+    # Fatter, narrower executors than the sf0.1 legs: Verify's
+    # coalesce(1) result stages funnel whole sf10 results through ONE
+    # task, so per-task memory (exec mem / cores) is the binding
+    # constraint, not core count.
+    require_corpus /tmp/sf10
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    OUT=/tmp/vout_sf10cluster
+    SUBSET="${2:-}"
+    # excludeOnFailure: the kill-leg posture — a dying executor must not
+    # absorb all 4 retries. storageFraction 0.2: a 278-query session
+    # accumulates every query's replicated checkpoint blocks until the
+    # ContextCleaner catches up; the default 0.5 PROTECTS half the pool
+    # for them, starving hash-join builds — MEMORY_AND_DISK blocks
+    # belong on disk under execution pressure, so shrink the protected
+    # share (correctness unaffected; this is the long-session posture).
+    KCONF="spark.excludeOnFailure.enabled=true"
+    KCONF="$KCONF;spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor=1"
+    KCONF="$KCONF;spark.memory.storageFraction=0.2"
+    SPARK_GRAFT_MASTER="local-cluster[4,6,20480]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="$KCONF" \
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+      SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g $R graft.Verify \
+      /tmp/sf10 "$OUT" $SUBSET > /tmp/sf10cluster_driver.log 2>&1 || true
+    { grep -E "\[verify\]" /tmp/sf10cluster_driver.log || true; } | tail -8
+    CHECK_ORACLE_PROCS=4 CHECK_ORACLE_UNORDERED=1 \
+      CHECK_ORACLE_MEM=24GB CHECK_ORACLE_THREADS=8 \
+      python3 scripts/check_oracle.py /tmp/sf10 "$OUT" \
+      > CORRECTNESS_sf10cluster.txt.partial
+    tail -4 CORRECTNESS_sf10cluster.txt.partial
+    grep -q " 0 failed" CORRECTNESS_sf10cluster.txt.partial
+    mv CORRECTNESS_sf10cluster.txt.partial CORRECTNESS_sf10cluster.txt
     ;;
   counts)
     scripts/r10_counts.sh
