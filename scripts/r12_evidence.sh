@@ -27,7 +27,16 @@ require_corpus() {
 arm_executor_kill() { # trigger delay log outdir
   local trigger="$1" delay="$2" log="$3" outdir="$4"
   (
-    while [ ! -e "$trigger" ]; do sleep 1; done
+    # bounded wait: if the driver dies before the trigger materializes,
+    # the watcher must EXIT (and log) rather than park `wait` forever
+    local waited=0
+    while [ ! -e "$trigger" ]; do
+      sleep 1; waited=$((waited + 1))
+      if [ "$waited" -ge 3600 ]; then
+        echo "# KILL WATCHER TIMEOUT: trigger $trigger never appeared" >> "$log"
+        exit 0
+      fi
+    done
     sleep "$delay"
     local pid
     pid=$(pgrep -f CoarseGrainedExecutorBackend | head -1 || true)
@@ -120,9 +129,13 @@ case "$LEG" in
     KCONF="$KCONF;spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor=1"
     echo "# executor-kill rehearsal (44-query cluster subset, sf0.1):" \
       "master=local-cluster[4,8,8192] conf=$KCONF" > /tmp/killf_log
-    # trigger = the 22nd query dir appearing (mid-catalog)
+    # trigger = the 22nd query dir appearing (mid-catalog); bounded so a
+    # dead driver can't park the leg's `wait` forever
     (
-      while [ "$(ls -1d "$OUT"/*/ 2>/dev/null | wc -l)" -lt 22 ]; do sleep 2; done
+      n=0
+      while [ "$(ls -1d "$OUT"/*/ 2>/dev/null | wc -l)" -lt 22 ]; do
+        sleep 2; n=$((n + 1)); [ "$n" -ge 1800 ] && exit 0
+      done
       touch /tmp/killf_trigger_$$
     ) &
     arm_executor_kill /tmp/killf_trigger_$$ 2 /tmp/killf_log "$OUT"
@@ -237,6 +250,12 @@ PYEOF
     KCONF="spark.excludeOnFailure.enabled=true"
     KCONF="$KCONF;spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor=1"
     KCONF="$KCONF;spark.memory.storageFraction=0.2"
+    # finished queries' checkpoint blocks are only unpersisted when the
+    # DRIVER GCs (ContextCleaner weak refs); the 30-min default periodic
+    # GC let ~tens of GB of dead replicated blocks pile onto executors
+    # across the 278-query session (23 executor OOM deaths in the first
+    # attempt). 30 s keeps the live set = the running query's frames.
+    KCONF="$KCONF;spark.cleaner.periodicGC.interval=30s"
     SPARK_GRAFT_MASTER="local-cluster[4,6,20480]" \
       SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
       SPARK_GRAFT_EXTRA_CONF="$KCONF" \

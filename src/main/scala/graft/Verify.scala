@@ -33,6 +33,8 @@ object Verify {
     // records the retry budget the run survived under
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
       .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
         val Array(k, v) = kv.split("=", 2)
         builder.config(k, v)
       })

@@ -462,33 +462,50 @@ object StatModels {
     * ≤B-row histogram passes over the cached frequency tables. The
     * slope scalar re-enters the residual pass as a literal.
     */
-  def theilsenTrend(spark: SparkSession, d: String): DataFrame = {
+  /** Daily (x = epoch day, y = cents) series — the op checkpoints it;
+    * exposed (with the slope/residual frequency builders below) so the
+    * plan spec can gate the INTERNAL frames: theilsenTrend executes
+    * eagerly and returns a LocalRelation, which the catalog-wide plan
+    * gates cannot see through.
+    */
+  private[graft] def theilsenDaily(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-
-    val daily = Tables.orders(spark, d)
+    Tables.orders(spark, d)
       .groupBy($"o_orderdate".cast("date").as("day"))
       .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
       .select(
         datediff($"day", lit("1970-01-01").cast("date")).cast("long").as("x"),
         $"cents".as("y"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // calendar-bounded; pair + residual consumers
+  }
 
-    val slopes = daily.as("a")
+  private[graft] def theilsenSlopesFreq(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    daily.as("a")
       .join(broadcast(daily.as("b")), $"a.x" > $"b.x")
       .select(
         (($"a.y" - $"b.y") * 1000000L).as("a2"),
         ($"a.x" - $"b.x").as("b2"))
       .select(expr("(a2 - pmod(a2, b2)) div b2").as("s"))
       .groupBy($"s").agg(count(lit(1)).as("cnt"))
-    val (nPairs, slopeMed2) = FreqSelect.med2(slopes, "s", "cnt")
+  }
 
-    val resid = daily
+  private[graft] def theilsenResidFreq(daily: DataFrame,
+      slopeMed2: BigInt): DataFrame = {
+    import daily.sparkSession.implicits._
+    daily
       .select(
         ($"y".cast("decimal(38,0)") * 2000000L -
           lit(new java.math.BigDecimal(slopeMed2.bigInteger)) * $"x").as("r"))
       .groupBy($"r").agg(count(lit(1)).as("cnt"))
-    val (nDays, rMed2) = FreqSelect.med2(resid, "r", "cnt")
+  }
 
+  def theilsenTrend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // calendar-bounded; pair + residual consumers
+    val daily = theilsenDaily(spark, d)
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+    val (nPairs, slopeMed2) = FreqSelect.med2(theilsenSlopesFreq(daily), "s", "cnt")
+    val (nDays, rMed2) = FreqSelect.med2(theilsenResidFreq(daily, slopeMed2), "r", "cnt")
     Seq((nDays, nPairs,
       slopeMed2.toDouble / 2000000.0,
       // r carries 2x(1e6 y) and med2 doubles again -> /4e6 cents

@@ -571,7 +571,10 @@ object StreamScale {
       * chunks late — beyond the watermark, so the engine must DROP it
       * and the count is reported, not silent. Delayable = non-root
       * rows whose removal bridges no >horizon gap (selected
-      * non-adjacently per fingerprint): for that class stream == batch
+      * non-adjacently per fingerprint): for that class — PROVIDED the
+      * arrival delay stays under the horizon (one chunk span < horizon,
+      * required at runtime), so a late row can never find a successor
+      * chain's root already live — stream == batch
       * EXACTLY (DocStreamsSpec pins the class at fixture scale and the
       * late-before-root divergence that motivates excluding roots —
       * Append mode cannot retract an emitted admit). Assertions:
@@ -592,6 +595,18 @@ object StreamScale {
         val b = base.agg(min($"t"), max($"t")).head()
         val (minT, maxT) = (b.getLong(0), b.getLong(1))
         val spanSec = (maxT - minT + chunks) / chunks
+        // stream==twin for the delayable class additionally requires the
+        // arrival delay (one chunk span) to be SHORTER than the horizon:
+        // a successor chain's root sits >= horizon after the late row's
+        // own chain tail, so with span < horizon it always ARRIVES after
+        // the late row and the live cell is still the late row's own
+        // chain. With span >= horizon (too-few chunks) the late row could
+        // land on a successor chain's root — a verdict the event-time
+        // twin never produces. Fail loudly instead of flaking.
+        require(spanSec < H,
+          s"$name: chunk span ${spanSec}s >= horizon ${H}s — raise the " +
+            "chunk count so one-chunk-late arrivals stay inside their own " +
+            "chain's live window")
         // 1.5x the chunk span, corpus-size-free: a 1-chunk-late row is
         // in-watermark by >=0.5 span (worst case wm = t - 0.5 span) and
         // a 3-chunk-late row is beyond it by >=0.5 span (worst case
@@ -672,6 +687,10 @@ object StreamScale {
             i = j
           }
         } finally {
+          // listener events are async: drain the shared bus before
+          // reading the drop counter (the Bench BusDrain discipline)
+          try org.apache.spark.graftbench.BusDrain.drain(spark.sparkContext)
+          catch { case _: Throwable => () }
           q.stop()
           spark.streams.removeListener(listener)
         }

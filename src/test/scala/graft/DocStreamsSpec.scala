@@ -286,6 +286,8 @@ class DocStreamsSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getString(1))).toSet
         assert(got === Set((10L, "admit"), (11L, "drop_dup")),
           s"dropped row leaked a verdict: $got")
+        // listener delivery is async — drain the bus before reading
+        org.apache.spark.graftbench.BusDrain.drain(spark.sparkContext)
         assert(droppedTotal.get() == 1L,
           s"numRowsDroppedByWatermark not wired: ${droppedTotal.get()}")
       } finally {

@@ -455,6 +455,33 @@ class PlanBudgetSpec extends SparkSpec {
     "ts_wavelet_spectrum", // 8-row level-energy rank window
     "vocab_good_turing") // frequency-of-frequencies grid
 
+  test("theilsen internals (eager — invisible to the catalog gates) keep the plan discipline") {
+    // theilsenTrend executes during construction and returns a
+    // LocalRelation, so the catalog-wide gates above cannot see its
+    // distributed stages; gate the INTERNAL frames directly: the pair
+    // join must stay a broadcast NLJ feeding ONE map-side-combined
+    // frequency exchange (plus the daily aggregate's), with no window
+    // and no global sort — the shape FreqSelect's narrowing then scans.
+    // checkpointed, as the op runs it: both pair-join sides read the
+    // materialized daily instead of re-aggregating
+    val daily = relational.StatModels.theilsenDaily(spark, sf)
+      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+    for ((name, df) <- Seq(
+        "slopes_freq" -> relational.StatModels.theilsenSlopesFreq(daily),
+        "resid_freq" -> relational.StatModels.theilsenResidFreq(daily, BigInt(7)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nEx <= 2, s"theilsen $name: $nEx exchanges > 2:\n$plan")
+      assert(!"Sort \\[[^\\]]*\\], true".r.findAllIn(plan).hasNext,
+        s"theilsen $name plans a global sort:\n$plan")
+      val unpart = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.isEmpty, s"theilsen $name has an unpartitioned window")
+    }
+  }
+
   test("no unpartitioned window outside the adjudicated bounded set") {
     // counted on the LOGICAL plan: a tree (traversable under AQE), and
     // physical WindowExec inherits its partitionSpec from here. Every
