@@ -249,6 +249,14 @@ PYEOF
     # share (correctness unaffected; this is the long-session posture).
     KCONF="spark.excludeOnFailure.enabled=true"
     KCONF="$KCONF;spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor=1"
+    # local-cluster runs all 4 executors on ONE node, so node-level
+    # exclusion (default: 2 failed executors exclude the node) would
+    # exclude the whole "cluster" — lift it; executor-level exclusion
+    # above still steers retries off a sick executor (attempt-3 lesson;
+    # the build-OOM class that tripped it is now size-conditioned to
+    # SMJ in code, Skew.shjIfFits)
+    KCONF="$KCONF;spark.excludeOnFailure.stage.maxFailedExecutorsPerNode=100"
+    KCONF="$KCONF;spark.excludeOnFailure.application.maxFailedExecutorsPerNode=100"
     KCONF="$KCONF;spark.memory.storageFraction=0.2"
     # finished queries' checkpoint blocks are only unpersisted when the
     # DRIVER GCs (ContextCleaner weak refs); the 30-min default periodic

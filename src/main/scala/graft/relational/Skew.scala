@@ -63,6 +63,48 @@ object Skew {
       .drop("_salt")
   }
 
+  /** Size-conditional shuffled-hash-join hint (r12 adjudication).
+    *
+    * SHJ is the measured-faster plan for a bounded build side — the
+    * probe stream flows through unsorted — but Spark's SHJ build map
+    * CANNOT SPILL: at the 100× multi-process rehearsal the two hinted
+    * sites below were the last OOM class standing once checkpoints were
+    * sharded (their builds grow with the corpus, and AQE's advisory
+    * coalescing can concentrate a build into few tasks regardless of
+    * the configured shuffle-partition count). So the hint is applied
+    * only while the build's ESTIMATED in-memory footprint fits a
+    * conservative cap; above it the hint is dropped and the planner
+    * falls back to sort-merge — slower, but spillable, which is the
+    * 100 TB posture. Mirrors `autoBroadcastJoinThreshold`'s design: one
+    * size gate, estimated from cheap source metadata, tunable per
+    * session.
+    *
+    * Cap default 256 MB (`spark.graft.shj.maxBuildBytes`): even in the
+    * degenerate case of AQE coalescing the whole build into ONE task,
+    * 256 MB fits the smallest per-task execution share this engine is
+    * run with (8 GB / 8-core executors ≈ 480 MB per task).
+    *
+    * Estimates use parquet byte length from filesystem metadata (no
+    * job) × the site's documented fan-out and inflation factors —
+    * upper bounds, never samples, so the decision is deterministic.
+    */
+  private[relational] def shjBuildCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.shj.maxBuildBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+
+  private def shjIfFits(
+      spark: SparkSession, build: DataFrame, estBuildBytes: Long): DataFrame =
+    if (estBuildBytes <= shjBuildCap(spark)) build.hint("shuffle_hash")
+    else build
+
+  /** On-disk bytes of one source table — filesystem metadata, no job. */
+  private def parquetBytes(
+      spark: SparkSession, d: String, table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
   /** Demo over events with a deliberately hot key (70% of rows): the
     * salted plan's first aggregate fans the hot key over 16 sub-keys.
     * Output equals a plain GROUP BY (the oracle), which is the point —
@@ -84,7 +126,14 @@ object Skew {
     * customer, joined to the full customer table (NOT broadcast — the
     * scenario salting exists for), aggregated per market segment. The
     * dim side is forced into a shuffle join via hints so the salted
-    * (key, salt) distribution actually drives the exchange.
+    * (key, salt) distribution actually drives the exchange — but only
+    * while the replicated build fits ([[shjIfFits]]): the build is the
+    * WHOLE customer table × 16 salt copies, which grows with the
+    * corpus, so above the cap the site reverts to sort-merge (the
+    * salted key distribution still drives the exchange; only the
+    * per-partition join algorithm changes). Estimate = customer parquet
+    * bytes × 6 (≈3× snappy compression × ≈2× UnsafeRow/map overhead)
+    * × 16 salts.
     */
   def skewSaltedJoin(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -92,8 +141,8 @@ object Skew {
       when($"o_orderkey" % 10 < 7, lit(1L)).otherwise($"o_custkey").as("ck"),
       RelQueries.gridScale($"o_totalprice", 100L).as("cents"),
       xxhash64($"o_orderkey").as("rsalt"))
-    val dim = Tables.customer(spark, d)
-      .hint("shuffle_hash")
+    val dimEst = parquetBytes(spark, d, "customer") * 6L * 16L
+    val dim = shjIfFits(spark, Tables.customer(spark, d), dimEst)
       .select($"c_custkey", $"c_mktsegment")
     saltedJoin(fact, $"ck", dim, $"c_custkey", $"rsalt", salts = 16)
       .groupBy($"c_mktsegment")
@@ -183,10 +232,18 @@ object Skew {
         coalesce(sum($"n_local" - $"merged")
           .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"user_id", $"bucket", $"merged", $"offset")
-    // hash join, hash side = the bounded summary table: the event side
-    // streams through unsorted (an SMJ would re-sort all events by
-    // (user, bucket) just to meet a single summary row per group)
-    local.join(stitched.hint("shuffle_hash"), Seq("user_id", "bucket"))
+    // hash join, hash side = the summary table, while it FITS
+    // (shjIfFits): summary rows = |active (user, day) pairs|, which
+    // grows with the corpus, and an SHJ build cannot spill. Estimate
+    // bounds summary rows by event rows (events bytes / ~20 B-per-row
+    // compressed) × ~100 B per in-map summary row → events bytes × 5.
+    // The SMJ fallback is cheap HERE: the event side leaves the phase-1
+    // window already sorted by (user_id, bucket, ts, event_id), whose
+    // prefix satisfies the join ordering, so only the summary side
+    // sorts — the "re-sort all events" tax the hint exists to avoid
+    // never applies to the fallback.
+    val stitchEst = parquetBytes(spark, d, "events") * 5L
+    local.join(shjIfFits(spark, stitched, stitchEst), Seq("user_id", "bucket"))
       .select($"event_id", $"user_id",
         ($"offset" + $"local_sess" - $"merged").as("session_id"))
   }

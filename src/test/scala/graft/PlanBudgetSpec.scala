@@ -406,6 +406,63 @@ class PlanBudgetSpec extends SparkSpec {
       s"salted join keys do not include _salt:\n$joinPlan")
   }
 
+  test("SHJ hints are size-conditional: over the cap the plan reverts to " +
+    "sort-merge with identical results") {
+    // the r12 adjudication: SHJ's build map cannot spill, so the hint
+    // only applies while the estimated build fits spark.graft.shj
+    // .maxBuildBytes; above it the same query must plan a (spillable)
+    // SMJ and produce the same rows. Force the flip by setting the cap
+    // to 0 — the estimate is always positive.
+    def plans(): (String, String) = (
+      relational.Skew.skewSaltedJoin(spark, sf)
+        .queryExecution.executedPlan.toString,
+      relational.Skew.sessionizeBucketed(spark, sf)
+        .queryExecution.executedPlan.toString)
+    val (joinFit, sessFit) = plans()
+    assert(joinFit.contains("ShuffledHashJoin") &&
+      sessFit.contains("ShuffledHashJoin"),
+      "under the default cap at fixture scale both sites must keep SHJ")
+    val fitRows = relational.Skew.skewSaltedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    spark.conf.set("spark.graft.shj.maxBuildBytes", "0")
+    // at fixture scale the freed planner would broadcast the tiny build
+    // side; disable it so the spec exercises the plan a too-big-to-
+    // broadcast build gets at the 100x corpus — sort-merge
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (joinBig, sessBig) = plans()
+      for ((p, name) <- Seq(joinBig -> "skew_salted_join",
+          sessBig -> "sessionize_bucketed")) {
+        assert(!p.contains("ShuffledHashJoin"),
+          s"$name kept a non-spillable SHJ build over the cap:\n$p")
+        assert(p.contains("SortMergeJoin"),
+          s"$name did not fall back to sort-merge over the cap:\n$p")
+      }
+      // the event side of the bucketed sessionize leaves phase 1 sorted
+      // by (user_id, bucket, ts, event_id), whose prefix satisfies the
+      // SMJ's (user_id, bucket) requirement — so the left (event)
+      // branch must carry NO sort on the join keys alone: the only Sort
+      // there is the window's own 4-key one. A 2-key Sort in that
+      // branch would be the planner re-sorting the data-scale stream.
+      val eventBranch = sessBig.linesIterator
+        .dropWhile(!_.contains("SortMergeJoin")).drop(1)
+        .takeWhile(_.trim.startsWith(":")).mkString("\n")
+      assert(eventBranch.contains("Window"),
+        s"expected the event-side window in the SMJ left branch:\n$sessBig")
+      assert("Sort \\[user_id#\\d+L [A-Z ]+, bucket#\\d+ [A-Z ]+\\]".r
+        .findFirstIn(eventBranch).isEmpty,
+        s"SMJ fallback re-sorts the event stream:\n$sessBig")
+      val bigRows = relational.Skew.skewSaltedJoin(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(bigRows.toSeq == fitRows.toSeq,
+        "join strategy flip changed the result")
+    } finally {
+      spark.conf.unset("spark.graft.shj.maxBuildBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("interval-join twins key the join on (user, hour-bucket), not user alone") {
     // the sf1skew fix: a hot user's events must spread across time-keyed
     // join groups. At fixture scale the purchase side broadcasts (no
