@@ -73,11 +73,16 @@ object Skew {
     * coalescing can concentrate a build into few tasks regardless of
     * the configured shuffle-partition count). So the hint is applied
     * only while the build's ESTIMATED in-memory footprint fits a
-    * conservative cap; above it the hint is dropped and the planner
-    * falls back to sort-merge — slower, but spillable, which is the
-    * 100 TB posture. Mirrors `autoBroadcastJoinThreshold`'s design: one
-    * size gate, estimated from cheap source metadata, tunable per
-    * session.
+    * conservative cap; above it the site hints `merge` — sort-merge is
+    * slower, but spillable, which is the 100 TB posture. Over the cap
+    * the hint must be FORCED, not merely dropped: Catalyst's size
+    * estimate for these build subtrees is badly low (a Generate
+    * explode's ×16 fan-out is invisible to the stats), so a freed
+    * planner BROADCASTS the oversized build — measured at the sf10
+    * multi-process gate as a 1 GB UnsafeHashedRelation deserialized
+    * onto every executor, a strictly worse OOM than the SHJ build it
+    * replaced. Mirrors `autoBroadcastJoinThreshold`'s design: one size
+    * gate, estimated from cheap source metadata, tunable per session.
     *
     * Cap default 256 MB (`spark.graft.shj.maxBuildBytes`): even in the
     * degenerate case of AQE coalescing the whole build into ONE task,
@@ -95,7 +100,7 @@ object Skew {
   private def shjIfFits(
       spark: SparkSession, build: DataFrame, estBuildBytes: Long): DataFrame =
     if (estBuildBytes <= shjBuildCap(spark)) build.hint("shuffle_hash")
-    else build
+    else build.hint("merge")
 
   /** On-disk bytes of one source table — filesystem metadata, no job. */
   private def parquetBytes(

@@ -425,17 +425,18 @@ class PlanBudgetSpec extends SparkSpec {
     val fitRows = relational.Skew.skewSaltedJoin(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     spark.conf.set("spark.graft.shj.maxBuildBytes", "0")
-    // at fixture scale the freed planner would broadcast the tiny build
-    // side; disable it so the spec exercises the plan a too-big-to-
-    // broadcast build gets at the 100x corpus — sort-merge
-    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val (joinBig, sessBig) = plans()
       for ((p, name) <- Seq(joinBig -> "skew_salted_join",
           sessBig -> "sessionize_bucketed")) {
         assert(!p.contains("ShuffledHashJoin"),
           s"$name kept a non-spillable SHJ build over the cap:\n$p")
+        // the fallback must FORCE sort-merge: merely un-hinting lets
+        // Catalyst broadcast the build (its stats miss the explode
+        // fan-out) — the 1 GB-per-executor UnsafeHashedRelation OOM
+        // observed at the sf10 multi-process gate
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$name broadcast an over-cap build:\n$p")
         assert(p.contains("SortMergeJoin"),
           s"$name did not fall back to sort-merge over the cap:\n$p")
       }
@@ -457,10 +458,7 @@ class PlanBudgetSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
       assert(bigRows.toSeq == fitRows.toSeq,
         "join strategy flip changed the result")
-    } finally {
-      spark.conf.unset("spark.graft.shj.maxBuildBytes")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
-    }
+    } finally spark.conf.unset("spark.graft.shj.maxBuildBytes")
   }
 
   test("interval-join twins key the join on (user, hour-bucket), not user alone") {
