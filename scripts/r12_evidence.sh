@@ -3,11 +3,11 @@
 # discipline as r10/r11: independent legs, .partial + atomic rename,
 # set -e, per-leg class snapshots.
 #
-# Usage: scripts/r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|counts>
+# Usage: scripts/r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|counts>
 set -euo pipefail
 cd /root/repo
 R=scripts/java_run.sh
-LEG="${1:?usage: r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|counts>}"
+LEG="${1:?usage: r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|counts>}"
 export CLS_SNAP="/tmp/graft_cls_r12_$LEG"
 rm -rf "$CLS_SNAP"
 
@@ -174,11 +174,20 @@ case "$LEG" in
     # VERDICT items 2+3: add the round's new stream legs (checkpoint
     # restart at 100x, disordered arrival at 100x) to the committed
     # uniform-corpus artifact. Finished legs are reused from fragments;
-    # the expected final count comes from the code's own registry
-    # (never a caller literal — the r11 review finding, closed).
+    # the expected final count is DERIVED (legs already in the artifact
+    # + requested legs) — the registry count is wrong for THIS artifact
+    # once a leg lives in its own artifact (doc_admit_kill →
+    # STREAM_kill.json), the r11 streamadd lesson re-applied.
     require_corpus /tmp/sf10
     ART=STREAM_sf10.json
     NEW="doc_admit_restart,session_close_v2_restart,doc_admit_disorder"
+    WANT=$(python3 - "$ART" "$NEW" <<'PYEOF'
+import json, sys
+have = {k for k, v in json.load(open(sys.argv[1])).items() if isinstance(v, dict)}
+new = {s.strip() for s in sys.argv[2].split(",") if s.strip()}
+print(len(have | new))
+PYEOF
+)
     python3 - "$ART" <<'PYEOF'
 import json, sys
 art = sys.argv[1]
@@ -196,7 +205,6 @@ PYEOF
         exit 1
       }
     grep STREAMSCALE /tmp/streamscale_r12.log || true
-    WANT=$($R graft.streaming.StreamScaleLegCount 2>/dev/null | tail -1)
     python3 - "$ART.partial" "$WANT" <<'PYEOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
@@ -278,6 +286,48 @@ PYEOF
     tail -4 CORRECTNESS_sf10cluster.txt.partial
     grep -q " 0 failed" CORRECTNESS_sf10cluster.txt.partial
     mv CORRECTNESS_sf10cluster.txt.partial CORRECTNESS_sf10cluster.txt
+    ;;
+  streamkill)
+    # Executor kill during a LIVE stateful stream at the 100x corpus —
+    # the receipt the batch kill legs leave open: RocksDB state + timers
+    # must reload from the checkpoint onto a SURVIVING executor
+    # mid-query, and the finished sink must still equal the oracled
+    # batch twin. The kill happens IN the leg (ProcessHandle SIGKILL,
+    # pid + UTC + chunk progress recorded in the fragment); the leg
+    # refuses to run single-JVM, so this artifact can never be a
+    # kill-free rerun.
+    require_corpus /tmp/sf10
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    ART=STREAM_kill.json
+    rm -f "$ART.partial" "$ART.partial".leg_*
+    KCONF="spark.task.maxFailures=4"
+    KCONF="$KCONF;spark.excludeOnFailure.enabled=true"
+    KCONF="$KCONF;spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor=1"
+    # single-node local-cluster: node-level exclusion would exclude the
+    # whole "cluster" after the kill's failure burst — lift it (the
+    # sf10cluster posture)
+    KCONF="$KCONF;spark.excludeOnFailure.stage.maxFailedExecutorsPerNode=100"
+    KCONF="$KCONF;spark.excludeOnFailure.application.maxFailedExecutorsPerNode=100"
+    SPARK_GRAFT_MASTER="local-cluster[4,4,8192]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="$KCONF" \
+      SPARK_DRIVER_MEM=16g $R graft.streaming.StreamScale \
+      /tmp/sf10 "$ART.partial" 60 doc_admit_kill \
+      > /tmp/streamkill.log 2>&1 || {
+        echo "STREAMKILL FAILED — tail of /tmp/streamkill.log:" >&2
+        tail -40 /tmp/streamkill.log >&2
+        exit 1
+      }
+    grep STREAMSCALE /tmp/streamkill.log || true
+    python3 - "$ART.partial" <<'PYEOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+leg = d["doc_admit_kill"]
+assert leg["mismatch_rows"] == 0 and leg["batch_match"], leg
+assert leg["kill_pid"] > 0 and leg["kill_utc"], leg
+PYEOF
+    mv "$ART.partial" "$ART"
+    rm -f "$ART.partial".leg_*
     ;;
   counts)
     scripts/r10_counts.sh
