@@ -54,4 +54,29 @@ object Ckpt {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     df.repartition(n).localCheckpoint(true, ReplicatedLevel)
   }
+
+  /** Self-healing cross-query checkpoint memo. A localCheckpoint has NO
+    * lineage to recompute from, and a memoized one outlives the query
+    * that fitted it — if its blocks die in the meantime (an executor
+    * cascade takes both replicas, or session hygiene unpersists
+    * leftovers between queries, as Verify now does), every later
+    * consumer would fail with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    * forever (observed live: the sf10 gate's prefix-jaccard executor
+    * massacre poisoned the mixture queries minutes later). Probe the
+    * cached frame before handing it out and refit on ANY failure: one
+    * cheap head(1) per call buys a memo that can never poison the
+    * session. Only frames SMALL by construction (fit tables, capped
+    * edge lists) belong here — the probe re-runs the fit on a miss.
+    */
+  def cachedCheckpoint[K](
+      cache: scala.collection.concurrent.TrieMap[K, org.apache.spark.sql.DataFrame],
+      key: K)(fit: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cache.get(key).flatMap { cached =>
+      try { cached.head(1); Some(cached) }
+      catch { case _: Throwable => cache.remove(key); None }
+    }.getOrElse {
+      val fitted = fit.localCheckpoint(true, ReplicatedLevel)
+      cache.put(key, fitted)
+      fitted
+    }
 }

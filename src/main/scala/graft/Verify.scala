@@ -52,6 +52,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // Session hygiene between queries: every persisted RDD still
+        // alive here is THIS query's debris (queries share nothing) —
+        // mostly replicated localCheckpoint blocks, which otherwise
+        // linger on executors until the ContextCleaner's weak refs are
+        // GC'd. On multi-process sf10 sessions that lag compounded into
+        // executor heap exhaustion ~250 queries in (three r12 gate
+        // attempts died of it); explicit unpersist makes cleanup
+        // deterministic instead of GC-timed.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -182,9 +182,12 @@ object Curation {
     */
   private val ratesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // self-healing (Ckpt.cachedCheckpoint): the 20-row fit refits itself
+  // if its checkpoint blocks die between queries (executor cascade or
+  // Verify's inter-query unpersist hygiene)
   private def fittedRates(spark: SparkSession, d: String): DataFrame =
-    ratesCache.getOrElseUpdate((spark, d),
-      fitMixtureRates(spark, d).localCheckpoint(true, graft.Ckpt.ReplicatedLevel))
+    graft.Ckpt.cachedCheckpoint(ratesCache, (spark, d))(
+      fitMixtureRates(spark, d))
 
   def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

@@ -39,13 +39,15 @@ object Graph {
   private val edgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def dupEdges(spark: SparkSession, d: String): DataFrame =
-    edgeCache.getOrElseUpdate((spark, d), {
+    // self-healing (Ckpt.cachedCheckpoint): the capped edge list refits
+    // itself if its checkpoint blocks die between queries (executor
+    // cascade or Verify's inter-query unpersist hygiene)
+    graft.Ckpt.cachedCheckpoint(edgeCache, (spark, d)) {
       import spark.implicits._
       graft.text.Dedup.jaccardPairs(spark, d)
         .filter($"jacc" >= 0.5)
         .select($"doc_a".as("a"), $"doc_b".as("b")) // already a < b
-        .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
-    })
+    }
 
   def triangles(spark: SparkSession, d: String): DataFrame =
     // the edge list is referenced three times below; materializing it

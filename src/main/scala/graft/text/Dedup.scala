@@ -716,10 +716,27 @@ object Dedup {
           |  'tok', t)))""".stripMargin))
       .select($"doc_id", $"dt",
         explode(slice($"srt", lit(1), $"plen".cast("int"))).as("p"))
-      .select($"p.tok".as("tok"), struct($"doc_id", $"dt").as("ds"))
+      .select($"p.tok".as("tok"), $"doc_id", $"dt")
+    // Bucket admission BEFORE the heavy collect: bucket sizes come from
+    // a tok-only aggregate (map-side combined, no arrays), and only
+    // tokens whose bucket the cap will keep (2..MaxBucket prefix rows —
+    // the oracle's `count(*) OVER (PARTITION BY tok)` window, verbatim)
+    // reach the collect_list. The post-agg filter this replaces had to
+    // MATERIALIZE every oversized bucket first, and at 100x there are
+    // far more than PrefixHotCap tokens with df > MaxBucket — the ones
+    // beyond the hot fit built df-sized lists of full token arrays only
+    // to be discarded, the executor-OOM class the sf10 multi-process
+    // gate exposed (Collect.serialize / BufferHolder.grow heap death).
+    // The semi join and the groupBy share the tok partitioning, so the
+    // heavy (doc_id, dt) payload still shuffles exactly once.
+    val bucketable = prefixes
+      .groupBy($"tok").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > 1 && $"bsz" <= MaxBucket)
+      .select($"tok")
     prefixes
+      .join(bucketable, Seq("tok"), "left_semi")
       .groupBy($"tok")
-      .agg(collect_list($"ds").as("ds"))
+      .agg(collect_list(struct($"doc_id", $"dt")).as("ds"))
       .filter(size($"ds") > 1 && size($"ds") <= MaxBucket)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
