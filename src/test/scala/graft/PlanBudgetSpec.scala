@@ -20,6 +20,11 @@ class PlanBudgetSpec extends SparkSpec {
 
   /** Queries allowed MORE than the default 2 exchanges, with why. */
   private val exchangeBudget: Map[String, Int] = Map(
+    // SSJoin prefix filter: the tok-only bucket-size count agg (narrow —
+    // no arrays ride it) added so oversized buckets are anti-joined out
+    // BEFORE the heavy collect (the sf10 multi-process OOM fix), plus
+    // the prefix-token collect agg and the post-verify distinct
+    "dedup_prefix_jaccard" -> 3,
     // the PAV minimax unrolled over the checkpointed <=10-row bin
     // table: segment agg + per-(i,j) min agg + per-i max agg — all
     // three exchanges carry <=10^2-row bounded payloads, never data
