@@ -117,6 +117,7 @@ case "$LEG" in
     rm -rf /tmp/vout_cluster
     SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
       SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="spark.executor.memory=7g" \
       SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g $R graft.Verify \
       /root/testdata/sf0.1 /tmp/vout_cluster "$QS" 2>&1 \
       | { grep -E "\[verify\]" || true; } | tail -8
@@ -127,6 +128,7 @@ case "$LEG" in
     mv CORRECTNESS_cluster.txt.partial CORRECTNESS_cluster.txt
     SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
       SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="spark.executor.memory=7g" \
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
       SPARK_GRAFT_REQUIRE_IDLE=1 SPARK_GRAFT_QUERIES="$QS" \
       SPARK_GRAFT_BENCH_OUT=BENCH_cluster.json.partial $R graft.Bench 2>&1 | tail -1
@@ -191,6 +193,7 @@ PYEOF
       rm -rf /tmp/vout_clusterfull
       SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
         SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+        SPARK_GRAFT_EXTRA_CONF="spark.executor.memory=7g" \
         SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g $R graft.Verify \
         /root/testdata/sf0.01 /tmp/vout_clusterfull 2>&1 \
         | { grep -E "\[verify\]" || true; } | tail -8
@@ -226,6 +229,7 @@ PYEOF
     export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
     SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
       SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="spark.executor.memory=7g" \
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
       SPARK_GRAFT_REQUIRE_IDLE=1 \
       SPARK_GRAFT_BENCH_OUT=BENCH_clusterfull.json.partial $R graft.Bench 2>&1 | tail -1

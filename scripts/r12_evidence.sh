@@ -81,6 +81,11 @@ case "$LEG" in
     KCONF="spark.task.maxFailures=4"
     KCONF="$KCONF;spark.excludeOnFailure.enabled=true"
     KCONF="$KCONF;spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor=1"
+    # the worker [n,cores,mem] capacity is NOT the executor heap —
+    # without this, executors silently run at the 1 GB default (the
+    # discovery that ended four sf10 gate attempts; receipts before
+    # r12's executor-memory fix were taken at 1 GB and still passed)
+    KCONF="$KCONF;spark.executor.memory=11g"
     echo "# executor-kill rehearsal (single heavy query, /tmp/sf10):" \
       "master=local-cluster[4,8,12288] conf=$KCONF" > /tmp/kill1_log
     # trigger on bootstrap_ci (runs first, ~60 s of explicit-count
@@ -127,6 +132,7 @@ case "$LEG" in
     KCONF="spark.task.maxFailures=4"
     KCONF="$KCONF;spark.excludeOnFailure.enabled=true"
     KCONF="$KCONF;spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor=1"
+    KCONF="$KCONF;spark.executor.memory=7g"
     echo "# executor-kill rehearsal (44-query cluster subset, sf0.1):" \
       "master=local-cluster[4,8,8192] conf=$KCONF" > /tmp/killf_log
     # trigger = the 22nd query dir appearing (mid-catalog); bounded so a
@@ -230,6 +236,7 @@ PYEOF
     export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
     SPARK_GRAFT_MASTER="local-cluster[4,8,8192]" \
       SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="spark.executor.memory=7g" \
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
       SPARK_GRAFT_REQUIRE_IDLE=1 \
       SPARK_GRAFT_BENCH_OUT=BENCH_clusterfull.json.partial $R graft.Bench 2>&1 | tail -1
@@ -266,6 +273,11 @@ PYEOF
     KCONF="$KCONF;spark.excludeOnFailure.stage.maxFailedExecutorsPerNode=100"
     KCONF="$KCONF;spark.excludeOnFailure.application.maxFailedExecutorsPerNode=100"
     KCONF="$KCONF;spark.memory.storageFraction=0.2"
+    # REAL executor heap (the attempt-5 discovery): spark.executor.memory
+    # defaults to 1 GB regardless of the worker capacity in the master
+    # string — attempts 1-5 all ran 1 GB executors, which is what every
+    # "session decay" death actually was
+    KCONF="$KCONF;spark.executor.memory=18g"
     # finished queries' checkpoint blocks are only unpersisted when the
     # DRIVER GCs (ContextCleaner weak refs); the 30-min default periodic
     # GC let ~tens of GB of dead replicated blocks pile onto executors
@@ -308,6 +320,7 @@ PYEOF
     # sf10cluster posture)
     KCONF="$KCONF;spark.excludeOnFailure.stage.maxFailedExecutorsPerNode=100"
     KCONF="$KCONF;spark.excludeOnFailure.application.maxFailedExecutorsPerNode=100"
+    KCONF="$KCONF;spark.executor.memory=7g"
     SPARK_GRAFT_MASTER="local-cluster[4,4,8192]" \
       SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
       SPARK_GRAFT_EXTRA_CONF="$KCONF" \

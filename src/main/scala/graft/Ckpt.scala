@@ -25,6 +25,26 @@ import org.apache.spark.storage.StorageLevel
   * cluster-deployment concern (where HDFS/S3 exists), not a catalog
   * one.
   */
+/** Shared env-driven session-shaping checks for the rehearsal mains. */
+object GraftEnv {
+  /** `local-cluster[n,cores,mem]`'s mem is the WORKER's advertised
+    * capacity, not the executor heap — executors silently default to
+    * spark.executor.memory = 1g. Four r12 sf10 gate attempts ran "20 GB"
+    * executors that were really 1 GB before this was caught (ps showed
+    * -Xmx1024M), and every "session decay" death was that. Any
+    * multi-process rehearsal must now pin the heap explicitly or fail
+    * here, loudly, before wasting an hour.
+    */
+  def requireExecutorMemoryOnCluster(master: String): Unit =
+    require(!master.startsWith("local-cluster") ||
+        sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+          .exists(_.contains("spark.executor.memory")),
+      s"master=$master without spark.executor.memory: executors would " +
+        "run at the 1 GB default heap (the worker [n,cores,mem] capacity " +
+        "is NOT the executor heap) — pass spark.executor.memory via " +
+        "SPARK_GRAFT_EXTRA_CONF")
+}
+
 object Ckpt {
   /** Overridable for A/B diagnosis of replication cost/robustness
     * (e.g. MEMORY_AND_DISK for the pre-r12 single-replica behavior,

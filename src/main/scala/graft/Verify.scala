@@ -38,6 +38,7 @@ object Verify {
         val Array(k, v) = kv.split("=", 2)
         builder.config(k, v)
       })
+    GraftEnv.requireExecutorMemoryOnCluster(master)
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

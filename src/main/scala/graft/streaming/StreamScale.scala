@@ -135,6 +135,7 @@ object StreamScale {
         val Array(k, v) = kv.split("=", 2)
         builder.config(k, v)
       })
+    graft.GraftEnv.requireExecutorMemoryOnCluster(master)
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
