@@ -3,11 +3,11 @@
 # discipline as r10/r11: independent legs, .partial + atomic rename,
 # set -e, per-leg class snapshots.
 #
-# Usage: scripts/r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|counts>
+# Usage: scripts/r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|straggler|driverkill|counts>
 set -euo pipefail
 cd /root/repo
 R=scripts/java_run.sh
-LEG="${1:?usage: r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|counts>}"
+LEG="${1:?usage: r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|straggler|driverkill|counts>}"
 export CLS_SNAP="/tmp/graft_cls_r12_$LEG"
 rm -rf "$CLS_SNAP"
 
@@ -341,6 +341,94 @@ assert leg["kill_pid"] > 0 and leg["kill_utc"], leg
 PYEOF
     mv "$ART.partial" "$ART"
     rm -f "$ART.partial".leg_*
+    ;;
+  driverkill)
+    # Reference "Coordinator crash" row (README.md:292, T3 51.2 s via
+    # the mr-state.json checkpoint): the DRIVER process is SIGKILLed
+    # mid-catalog and a RESTARTED driver resumes from the filesystem
+    # manifest — parquet's _SUCCESS markers are the completed-task
+    # bitmap (committed LAST via rename, so a query killed mid-write
+    # has no marker and re-runs whole: at-least-once per query,
+    # exactly-once per committed dir). The assembled catalog must
+    # hash-match DuckDB whole, and the restart must actually have
+    # SKIPPED the pre-kill committed queries (logged per query).
+    OUT=/tmp/vout_driverkill
+    LOGD=/tmp/driverkill_log
+    rm -rf "$OUT" "$LOGD"
+    SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g $R graft.Verify \
+      /root/testdata/sf0.1 "$OUT" > /tmp/driverkill_run1.log 2>&1 &
+    VPID=$!
+    # kill at ~half the catalog: completed, in-flight (mid-write), and
+    # unstarted queries all present at the moment of death
+    n=0
+    while [ "$(ls -1d "$OUT"/*/ 2>/dev/null | wc -l)" -lt 139 ]; do
+      sleep 2; n=$((n + 1))
+      [ "$n" -ge 900 ] && { echo "FATAL: half-catalog never reached" >&2; exit 1; }
+      kill -0 "$VPID" 2>/dev/null || { echo "FATAL: driver died early" >&2; exit 1; }
+    done
+    DIRS=$(ls -1d "$OUT"/*/ | wc -l)
+    COMMITTED=$(find "$OUT" -name _SUCCESS | wc -l)
+    echo "# DRIVER KILL pid=$VPID at $(date -u +%FT%TZ)" \
+      "query_dirs=$DIRS committed=$COMMITTED (catalog 278)" > "$LOGD"
+    kill -9 "$VPID" || true
+    wait "$VPID" 2>/dev/null || true
+    SPARK_GRAFT_RESUME=1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
+      $R graft.Verify /root/testdata/sf0.1 "$OUT" \
+      > /tmp/driverkill_run2.log 2>&1
+    SKIPPED=$(grep -c "already committed" /tmp/driverkill_run2.log || true)
+    echo "# RESUME at $(date -u +%FT%TZ): skipped=$SKIPPED already-committed" \
+      "queries, re-ran the remainder (incl. any uncommitted mid-write dir)" >> "$LOGD"
+    cat "$LOGD" > CORRECTNESS_driverkill.txt.partial
+    python3 scripts/check_oracle.py /root/testdata/sf0.1 "$OUT" \
+      >> CORRECTNESS_driverkill.txt.partial
+    tail -4 CORRECTNESS_driverkill.txt.partial
+    grep -q " 0 failed" CORRECTNESS_driverkill.txt.partial
+    [ "$SKIPPED" -ge 1 ]
+    mv CORRECTNESS_driverkill.txt.partial CORRECTNESS_driverkill.txt
+    ;;
+  straggler)
+    # Reference README.md:290 "2 straggler nodes: T1 78.5 / T2 52.3 s"
+    # (speculation quantile 0.8) EXECUTED on Spark: one of 4 executor
+    # JVMs stalls 8 s per task in wc's 32-task counting stage. The two
+    # arms run as separate JVMs (spark.speculation is a SparkConf
+    # switch, not a runtime conf); quantile 0.8 is the reference's own
+    # threshold. PASS = the speculation arm is measurably faster, the
+    # scheduler ran >=1 WINNING speculative copy (listener-counted, not
+    # conf-asserted), the no-speculation arm ran zero, and both arms
+    # equal the clean run's word counts.
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    SCONF="spark.speculation=true;spark.speculation.quantile=0.8"
+    SCONF="$SCONF;spark.speculation.multiplier=1.5"
+    SCONF="$SCONF;spark.speculation.interval=100ms"
+    SPARK_GRAFT_MASTER="local-cluster[4,4,4096]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="spark.speculation=false;spark.executor.memory=3g" \
+      SPARK_DRIVER_MEM=4g $R graft.StragglerRehearsal \
+      /root/testdata/sf0.1 /tmp/straggler_off.json 2>&1 \
+      | { grep STRAGGLER || true; }
+    SPARK_GRAFT_MASTER="local-cluster[4,4,4096]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="$SCONF;spark.executor.memory=3g" \
+      SPARK_DRIVER_MEM=4g $R graft.StragglerRehearsal \
+      /root/testdata/sf0.1 /tmp/straggler_on.json 2>&1 \
+      | { grep STRAGGLER || true; }
+    python3 - <<'PYEOF'
+import json
+off = json.load(open('/tmp/straggler_off.json'))
+on = json.load(open('/tmp/straggler_on.json'))
+assert off['result_match'] and on['result_match'], (off, on)
+assert on['speculative_won'] >= 1, on
+assert off['speculative_launched'] == 0, off
+assert on['wall_sec'] < off['wall_sec'], (on['wall_sec'], off['wall_sec'])
+json.dump({'workload': 'wc over documents(sf0.1), 32-task counting stage, '
+                       '1 of 4 executor JVMs stalls sleep_ms per task',
+           'reference_row': 'README.md:290 T1 78.5 s vs T2 52.3 s, quantile 0.8',
+           'no_speculation': off, 'speculation': on,
+           'speedup': round(off['wall_sec'] / on['wall_sec'], 2)},
+          open('BENCH_straggler.json.partial', 'w'), indent=1)
+PYEOF
+    mv BENCH_straggler.json.partial BENCH_straggler.json
+    cat BENCH_straggler.json
     ;;
   counts)
     scripts/r10_counts.sh
