@@ -388,40 +388,85 @@ PYEOF
     ;;
   straggler)
     # Reference README.md:290 "2 straggler nodes: T1 78.5 / T2 52.3 s"
-    # (speculation quantile 0.8) EXECUTED on Spark: one of 4 executor
-    # JVMs stalls 8 s per task in wc's 32-task counting stage. The two
-    # arms run as separate JVMs (spark.speculation is a SparkConf
-    # switch, not a runtime conf); quantile 0.8 is the reference's own
-    # threshold. PASS = the speculation arm is measurably faster, the
-    # scheduler ran >=1 WINNING speculative copy (listener-counted, not
+    # (speculation quantile 0.8) EXECUTED on Spark: one of 2 worker
+    # NODES stalls 8 s per task in wc's 32-task counting stage. The
+    # topology is a REAL standalone master + two worker JVMs bound to
+    # DISTINCT loopback hostnames (127.0.0.1 / 127.0.0.2): speculative
+    # copies are HOST-excluded (TaskSetManager.dequeueSpeculativeTask
+    # requires !hasAttemptOnHost — verified in the 4.1.2 bytecode), so
+    # a single-host local-cluster marks stragglers speculatable and
+    # then never launches one copy (the r12 dead-end, kept in the
+    # scaladoc). Two hosts on one box is also the faithful shape of the
+    # reference's 2-straggler-NODES row. The two arms run as separate
+    # driver JVMs (spark.speculation is a SparkConf switch, not a
+    # runtime conf); quantile 0.8 is the reference's own threshold.
+    # PASS = the speculation arm is measurably faster, the scheduler
+    # ran >=1 WINNING speculative copy (listener-counted, not
     # conf-asserted), the no-speculation arm ran zero, and both arms
     # equal the clean run's word counts.
     export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    [ -d "$CLS_SNAP" ] || {
+      mkdir -p "$CLS_SNAP"
+      cp -r target/scala-2.13/classes/. "$CLS_SNAP/"
+    }
+    MURL=spark://127.0.0.1:7901
+    WORKD=/tmp/straggler_daemons
+    rm -rf "$WORKD"; mkdir -p "$WORKD"
+    pkill -f "deploy.master.Master --host 127.0.0.1 --port 7901" || true
+    pkill -f "deploy.worker.Worker.*straggler_daemons" || true
+    sleep 1
+    java -cp "/opt/spark/jars/*" -Xmx1g \
+      org.apache.spark.deploy.master.Master --host 127.0.0.1 --port 7901 \
+      --webui-port 8091 > "$WORKD/master.log" 2>&1 &
+    DAEMONS="$!"
+    for i in 1 2; do
+      SPARK_LOCAL_HOSTNAME="127.0.0.$i" \
+        java -cp "/opt/spark/jars/*" -Xmx1g \
+        org.apache.spark.deploy.worker.Worker --host "127.0.0.$i" \
+        --port "$((7901 + i))" --webui-port "$((8091 + i))" \
+        --cores 8 --memory 6g --work-dir "$WORKD/w$i" "$MURL" \
+        > "$WORKD/worker$i.log" 2>&1 &
+      DAEMONS="$DAEMONS $!"
+    done
+    trap 'kill $DAEMONS 2>/dev/null || true' EXIT
+    n=0
+    until [ "$(grep -c "Registering worker" "$WORKD/master.log" || true)" -ge 2 ]; do
+      sleep 1; n=$((n + 1))
+      [ "$n" -ge 60 ] && { echo "FATAL: workers never registered" >&2; exit 1; }
+    done
+    ACONF="spark.executor.memory=3g;spark.executor.cores=8;spark.cores.max=16"
     SCONF="spark.speculation=true;spark.speculation.quantile=0.8"
     SCONF="$SCONF;spark.speculation.multiplier=1.5"
     SCONF="$SCONF;spark.speculation.interval=100ms"
-    SPARK_GRAFT_MASTER="local-cluster[4,4,4096]" \
-      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
-      SPARK_GRAFT_EXTRA_CONF="spark.speculation=false;spark.executor.memory=3g" \
-      SPARK_DRIVER_MEM=4g $R graft.StragglerRehearsal \
-      /root/testdata/sf0.1 /tmp/straggler_off.json 2>&1 \
-      | { grep STRAGGLER || true; }
-    SPARK_GRAFT_MASTER="local-cluster[4,4,4096]" \
-      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
-      SPARK_GRAFT_EXTRA_CONF="$SCONF;spark.executor.memory=3g" \
-      SPARK_DRIVER_MEM=4g $R graft.StragglerRehearsal \
-      /root/testdata/sf0.1 /tmp/straggler_on.json 2>&1 \
-      | { grep STRAGGLER || true; }
+    for arm in off on; do
+      if [ "$arm" = off ]; then ARM_CONF="spark.speculation=false;$ACONF"
+      else ARM_CONF="$SCONF;$ACONF"; fi
+      SPARK_GRAFT_MASTER="$MURL" SPARK_GRAFT_EXPECT_EXECUTORS=2 \
+        SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+        SPARK_GRAFT_EXTRA_CONF="$ARM_CONF" \
+        SPARK_DRIVER_MEM=4g $R graft.StragglerRehearsal \
+        /root/testdata/sf0.1 "/tmp/straggler_$arm.json" \
+        > "/tmp/straggler_$arm.log" 2>&1 || {
+          echo "STRAGGLER $arm arm FAILED — tail of /tmp/straggler_$arm.log:" >&2
+          tail -25 "/tmp/straggler_$arm.log" >&2
+          exit 1
+        }
+      grep STRAGGLER "/tmp/straggler_$arm.log" || true
+    done
+    kill $DAEMONS 2>/dev/null || true
+    trap - EXIT
     python3 - <<'PYEOF'
 import json
 off = json.load(open('/tmp/straggler_off.json'))
 on = json.load(open('/tmp/straggler_on.json'))
 assert off['result_match'] and on['result_match'], (off, on)
+assert on['hosts'] >= 2 and off['hosts'] >= 2, (off, on)
 assert on['speculative_won'] >= 1, on
 assert off['speculative_launched'] == 0, off
 assert on['wall_sec'] < off['wall_sec'], (on['wall_sec'], off['wall_sec'])
 json.dump({'workload': 'wc over documents(sf0.1), 32-task counting stage, '
-                       '1 of 4 executor JVMs stalls sleep_ms per task',
+                       '1 of 2 distinct-hostname worker JVMs stalls '
+                       'sleep_ms per task',
            'reference_row': 'README.md:290 T1 78.5 s vs T2 52.3 s, quantile 0.8',
            'no_speculation': off, 'speculation': on,
            'speedup': round(off['wall_sec'] / on['wall_sec'], 2)},

@@ -45,8 +45,25 @@ import org.apache.spark.sql.SparkSession
   * no "different executor" to speculate onto) rather than degrade to a
   * receipt-shaped no-op.
   *
+  * DISTINCT HOSTNAMES REQUIRED (the r12 discovery, verified in the
+  * Spark 4.1.2 bytecode): `TaskSetManager.dequeueSpeculativeTask` only
+  * offers a speculative copy where `!hasAttemptOnHost(index, host)` —
+  * the copy must land on a different HOST string (TaskInfo.host), not
+  * merely a different executor. Under `local-cluster[n,c,m]` every
+  * executor reports host=localhost, so the scheduler marks stragglers
+  * speculatable and then never launches a single copy (observed:
+  * "Marking task … as speculatable" with launched=0). The evidence leg
+  * therefore stands up a REAL standalone master plus two worker JVMs
+  * bound to distinct loopback aliases (127.0.0.1 / 127.0.0.2 — same
+  * box, two hosts to the scheduler), which is also the faithful shape
+  * of the reference's "2 straggler NODES" row. The speculation arm
+  * refuses to run if all executors share one host.
+  *
   * Usage: StragglerRehearsal <sfDir> <outFile>
-  *   SPARK_GRAFT_MASTER=local-cluster[n,c,m] (required, >=2 executors)
+  *   SPARK_GRAFT_MASTER=spark://host:port (standalone; preferred) or
+  *     local-cluster[n,c,m] (kept for the no-speculation arm only)
+  *   SPARK_GRAFT_EXPECT_EXECUTORS=n (required for spark:// masters —
+  *     there is no executor count to parse out of the master string)
   *   SPARK_GRAFT_EXTRA_CONF carries the speculation arm:
   *     off: "spark.speculation=false;spark.executor.memory=..."
   *     on:  "spark.speculation=true;spark.speculation.quantile=0.8;..."
@@ -78,19 +95,25 @@ object StragglerRehearsal {
     (counts, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Distinct executor ids currently registered, observed from INSIDE
-    * tasks (the only id source that is also what the stall predicate
-    * sees). Retries until `want` executors have joined — local-cluster
-    * registration is async and a probe that runs before the last
-    * executor joins would pick a victim the scheduler then underuses.
+  /** Distinct (executorId, advertisedHost) pairs currently registered,
+    * observed from INSIDE tasks (the id is what the stall predicate
+    * sees; the host is what `dequeueSpeculativeTask` compares, read off
+    * the executor's own BlockManagerId). Retries until `want` executors
+    * have joined — cluster registration is async and a probe that runs
+    * before the last executor joins would pick a victim the scheduler
+    * then underuses.
     */
-  def awaitExecutors(spark: SparkSession, want: Int): Seq[String] = {
+  def awaitExecutors(spark: SparkSession, want: Int): Seq[(String, String)] = {
     val sc = spark.sparkContext
     val deadline = System.nanoTime() + 120L * 1000000000L
-    var ids = Seq.empty[String]
+    var ids = Seq.empty[(String, String)]
     while (ids.size < want && System.nanoTime() < deadline) {
       ids = sc.parallelize(1 to 256, 64)
-        .map(_ => SparkEnv.get.executorId).distinct().collect().toSeq.sorted
+        .map { _ =>
+          val env = SparkEnv.get
+          (env.executorId, env.blockManager.blockManagerId.host)
+        }
+        .distinct().collect().toSeq.sorted
       if (ids.size < want) Thread.sleep(1000)
     }
     require(ids.size >= want,
@@ -101,10 +124,15 @@ object StragglerRehearsal {
   def main(args: Array[String]): Unit = {
     val (sfDir, outFile) = (args(0), args(1))
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "")
-    require(master.startsWith("local-cluster"),
+    require(master.startsWith("local-cluster") || master.startsWith("spark://"),
       s"straggler rehearsal needs real executor JVMs to stall one of " +
-        s"(master='$master') — pass SPARK_GRAFT_MASTER=local-cluster[n,c,m]")
-    val nExec = master.stripPrefix("local-cluster[").split(",")(0).trim.toInt
+        s"(master='$master') — pass SPARK_GRAFT_MASTER=spark://host:port " +
+        s"(standalone, distinct-host workers) or local-cluster[n,c,m]")
+    val nExec =
+      if (master.startsWith("local-cluster"))
+        master.stripPrefix("local-cluster[").split(",")(0).trim.toInt
+      else sys.env.getOrElse("SPARK_GRAFT_EXPECT_EXECUTORS",
+        sys.error("spark:// master: set SPARK_GRAFT_EXPECT_EXECUTORS")).toInt
     require(nExec >= 2, s"need >=2 executors, master=$master")
     val sleepMs = sys.env.getOrElse("SPARK_GRAFT_STRAGGLE_MS", "8000").toLong
     val builder = SparkSession.builder().master(master)
@@ -124,15 +152,34 @@ object StragglerRehearsal {
       })
     GraftEnv.requireExecutorMemoryOnCluster(master)
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     val speculation =
       spark.sparkContext.getConf.getBoolean("spark.speculation", false)
     val quantile =
       spark.sparkContext.getConf.get("spark.speculation.quantile", "0.75")
 
-    val ids = awaitExecutors(spark, nExec)
-    val victim = ids.head
-    val parts = 32
+    val execs = awaitExecutors(spark, nExec)
+    val hosts = execs.map(_._2).distinct.sorted
+    // Speculative copies are HOST-excluded (scaladoc above): with one
+    // host the arm would stall forever marking-but-never-launching.
+    if (speculation) require(hosts.size >= 2,
+      s"speculation arm on a single-host cluster (hosts=${hosts.mkString(",")}): " +
+        "dequeueSpeculativeTask never offers a copy on the original's host — " +
+        "run workers on distinct hostnames (loopback aliases)")
+    val victim = execs.head._1
+    val victimHost = execs.head._2
+    // Task count vs the quantile: speculation waits for
+    // floor(quantile * numTasks) SUCCESSES, and the victim's in-flight
+    // tasks can't succeed until their sleep ends — so the victim's task
+    // share must sit UNDER 1 - quantile or the gate only opens when the
+    // stragglers are about to finish anyway (measured: launched=4,
+    // won=0 at 32 tasks / 8 victim slots = 25%). 48 tasks puts the
+    // victim's one wave at 8/48 = 17% < 20%; the healthy host alone
+    // reaches the 38-success threshold while the victim still has ~6 s
+    // of stall left, so the copies win. The reference's 2-of-10-node
+    // topology satisfies this naturally; quantile 0.8 is kept as theirs.
+    val parts = 48
 
     // Clean run: ground truth AND the JIT/scan warmup for the measured arm.
     val (truth, _) = wordCount(spark, sfDir, parts, victim = "", sleepMs = 0)
@@ -160,15 +207,18 @@ object StragglerRehearsal {
       s"straggler arm diverged from the clean run: ${counts.size} vs " +
         s"${truth.size} words")
     if (speculation) require(won.get() >= 1,
-      "speculation arm: the scheduler never ran a winning speculative " +
-        "copy — the stall did not exercise speculation (check quantile/" +
-        "multiplier vs parts)")
+      s"speculation arm: the scheduler never ran a winning speculative " +
+        s"copy (launched=${launched.get()}, won=${won.get()}, " +
+        s"wall=$wall) — the stall did not exercise speculation " +
+        s"(check quantile/multiplier vs parts)")
     else require(launched.get() == 0,
       s"no-speculation arm launched ${launched.get()} speculative tasks")
 
     val json =
       s"""{"master":"$master","speculation":$speculation,""" +
         s""""env":${Bench.envJson(Bench.machineStamp())},""" +
+        s""""executors":[${execs.map(e => s""""${e._1}@${e._2}"""").mkString(",")}],""" +
+        s""""hosts":${hosts.size},"victim_host":"$victimHost",""" +
         s""""quantile":"$quantile","victim":"$victim","sleep_ms":$sleepMs,""" +
         s""""partitions":$parts,"wall_sec":${math.round(wall * 1000) / 1000.0},""" +
         s""""speculative_launched":${launched.get()},""" +
