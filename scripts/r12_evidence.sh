@@ -475,6 +475,39 @@ PYEOF
     mv BENCH_straggler.json.partial BENCH_straggler.json
     cat BENCH_straggler.json
     ;;
+  decommission)
+    # Graceful drain with shuffle-block MIGRATION — the planned-loss
+    # twin of the kill receipts (spot/preemption at 100 TB): SIGPWR one
+    # executor after the map stage, wait until the scheduler REMOVES it,
+    # only then let reducers fetch (they block on a barrier file before
+    # consuming the lazy shuffle iterator). Success at stage attempt 0
+    # with zero FetchFailed is only possible if the dead executor's map
+    # outputs were migrated to survivors, not recomputed.
+    export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    SPARK_GRAFT_MASTER="local-cluster[3,8,6144]" \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="spark.executor.memory=4g" \
+      SPARK_DRIVER_MEM=6g $R graft.DecommissionRehearsal \
+      /root/testdata/sf0.1 BENCH_decommission.json.partial \
+      > /tmp/decommission.log 2>&1 || {
+        echo "DECOMMISSION FAILED — tail of /tmp/decommission.log:" >&2
+        tail -30 /tmp/decommission.log >&2
+        exit 1
+      }
+    grep DECOMMISSION /tmp/decommission.log || true
+    # the scheduler's own acknowledgment (no SparkListener event carries
+    # it): the StandaloneDriverEndpoint must have RECEIVED the executor's
+    # decommission notice, or the removal was just a plain kill
+    grep -q "decommissioned message" /tmp/decommission.log
+    python3 - <<'PYEOF'
+import json
+d = json.load(open('BENCH_decommission.json.partial'))
+assert d['result_match'] and d['max_stage_attempt'] == 0, d
+assert d['fetch_failed'] == 0, d
+assert d['shuffle_writers'] >= d['executors_before'], d
+PYEOF
+    mv BENCH_decommission.json.partial BENCH_decommission.json
+    ;;
   counts)
     scripts/r10_counts.sh
     ;;
