@@ -503,10 +503,38 @@ PYEOF
 import json
 d = json.load(open('BENCH_decommission.json.partial'))
 assert d['result_match'] and d['max_stage_attempt'] == 0, d
-assert d['fetch_failed'] == 0, d
+assert d['fetch_failed'] == 0 and d['failed_tasks'] == 0, d
 assert d['shuffle_writers'] >= d['executors_before'], d
 PYEOF
     mv BENCH_decommission.json.partial BENCH_decommission.json
+    # Mode 2 — fallback storage: the WHOLE fleet is drained at once (no
+    # live peer), blocks land in shared fallback storage, the master
+    # relaunches fresh executors, and the reduce reads the fallback with
+    # zero recompute — scale-down/scale-up, full fleet replacement.
+    rm -rf /tmp/graft_fallback_*
+    SPARK_GRAFT_MASTER="local-cluster[3,8,6144]" \
+      SPARK_GRAFT_DECOMM_MODE=fallback \
+      SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
+      SPARK_GRAFT_EXTRA_CONF="spark.executor.memory=4g" \
+      SPARK_DRIVER_MEM=6g $R graft.DecommissionRehearsal \
+      /root/testdata/sf0.1 BENCH_decommission_fallback.json.partial \
+      > /tmp/decommission_fb.log 2>&1 || {
+        echo "DECOMMISSION-FALLBACK FAILED — tail:" >&2
+        tail -30 /tmp/decommission_fb.log >&2
+        exit 1
+      }
+    grep DECOMMISSION /tmp/decommission_fb.log || true
+    grep -q "decommissioned message" /tmp/decommission_fb.log
+    python3 - <<'PYEOF'
+import json
+d = json.load(open('BENCH_decommission_fallback.json.partial'))
+assert d['mode'] == 'fallback' and d['result_match'], d
+assert d['max_stage_attempt'] == 0 and d['fetch_failed'] == 0, d
+assert d['failed_tasks'] == 0 and d['fallback_files'] > 0, d
+assert d['removed_count'] >= len(d['victim_pids']) >= 2, d
+PYEOF
+    mv BENCH_decommission_fallback.json.partial BENCH_decommission_fallback.json
+    rm -rf /tmp/graft_fallback_*
     ;;
   counts)
     scripts/r10_counts.sh

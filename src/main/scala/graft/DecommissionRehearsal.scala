@@ -54,6 +54,19 @@ import org.apache.spark.sql.SparkSession
   * Spark's decommission path is the strictly-stronger contract this
   * engine gets on 4.x — planned loss handled with ZERO re-execution.
   *
+  * Two modes (SPARK_GRAFT_DECOMM_MODE):
+  *   - `peer` (default): one executor drains to surviving peers.
+  *   - `fallback`: EVERY executor is signalled at once — no live peer
+  *     exists, so blocks drain to
+  *     `spark.storage.decommission.fallbackStorage.path` (shared
+  *     storage; at 100 TB, the object store), the whole fleet exits,
+  *     the standalone master relaunches FRESH executors, and the
+  *     reduce runs on a fully-replaced fleet reading the fallback —
+  *     the scale-down/scale-up story with zero recompute. Extra
+  *     assertions: post-run executor pids are disjoint from the
+  *     victims', the fallback dir holds the migrated shuffle files,
+  *     and every victim's removal was observed.
+  *
   * Usage: DecommissionRehearsal <sfDir> <outFile>
   *   SPARK_GRAFT_MASTER=local-cluster[n,c,m] (required, >=2 executors —
   *     real processes to signal; same-host peers are valid migration
@@ -89,6 +102,10 @@ object DecommissionRehearsal {
     require(master.startsWith("local-cluster"),
       s"decommission rehearsal needs real executor processes to SIGPWR " +
         s"(master='$master') — pass SPARK_GRAFT_MASTER=local-cluster[n,c,m]")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_DECOMM_MODE", "peer")
+    require(mode == "peer" || mode == "fallback", s"unknown mode $mode")
+    val fallbackDir =
+      s"/tmp/graft_fallback_${ProcessHandle.current().pid()}/"
     val builder = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.decommission.enabled", "true")
@@ -104,6 +121,9 @@ object DecommissionRehearsal {
       .config("spark.executor.decommission.forceKillTimeout", "60s")
       .config("spark.task.maxFailures", "4")
       .config("spark.ui.enabled", "false")
+    if (mode == "fallback")
+      builder.config("spark.storage.decommission.fallbackStorage.path",
+        fallbackDir)
     sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
       builder.config("spark.executor.extraClassPath", cp))
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
@@ -140,6 +160,7 @@ object DecommissionRehearsal {
 
     // Scheduler-eye evidence, recorded around the measured jobs only.
     val removedReason = new AtomicReference[String]("")
+    val removedCount = new AtomicInteger(0)
     val removedAtNanos = new AtomicLong(0)
     val maxStageAttempt = new AtomicInteger(0)
     val fetchFailed = new AtomicInteger(0)
@@ -169,6 +190,7 @@ object DecommissionRehearsal {
       }
       override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
         removedReason.set(e.reason)
+        removedCount.incrementAndGet()
         removedAtNanos.set(System.nanoTime()); ()
       }
       // Shuffle blocks are normally tracked only by the MapOutputTracker
@@ -191,17 +213,25 @@ object DecommissionRehearsal {
     sc.runJob(reduced, (it: Iterator[(Long, Long)]) => it.size, Seq(0))
     val mapDoneSec = (System.nanoTime() - t0) / 1e9
 
-    // Signal the (idle) victim, wait for the scheduler to REMOVE it.
-    val victim = executorPids().head
+    // Signal the (idle) victim(s), wait for the scheduler to REMOVE them.
+    // peer mode: one victim drains to live peers. fallback mode: the
+    // WHOLE fleet is signalled — no live peer exists, blocks drain to
+    // fallback storage, and the master must relaunch fresh executors.
+    val victims =
+      if (mode == "fallback") executorPids() else Seq(executorPids().head)
     val sigUtc = java.time.Instant.now().toString
     sigSentNanos.set(System.nanoTime())
-    new ProcessBuilder("kill", "-PWR", victim.toString)
-      .inheritIO().start().waitFor()
+    victims.foreach { pid =>
+      new ProcessBuilder("kill", "-PWR", pid.toString)
+        .inheritIO().start().waitFor()
+    }
     val tSig = System.nanoTime()
-    while (removedAtNanos.get() == 0 && System.nanoTime() - tSig < 180e9.toLong)
+    while (removedCount.get() < victims.size &&
+        System.nanoTime() - tSig < 180e9.toLong)
       Thread.sleep(100)
-    require(removedAtNanos.get() > 0,
-      "scheduler never removed the decommissioned executor")
+    require(removedCount.get() >= victims.size,
+      s"scheduler removed ${removedCount.get()}/${victims.size} " +
+        "decommissioned executors")
     val removedUtc = java.time.Instant.now().toString
     val drainSec = (System.nanoTime() - tSig) / 1e9
 
@@ -219,8 +249,21 @@ object DecommissionRehearsal {
     val matches = gotBuckets == truthBuckets && gotSum == truthSum
     require(matches, s"decommissioned run diverged: buckets " +
       s"$gotBuckets/$truthBuckets sum $gotSum/$truthSum")
-    require(victim > 0 && !execsAfter.contains(victim),
-      s"victim $victim still alive after decommission (execs=$execsAfter)")
+    require(victims.forall(v => !execsAfter.contains(v)),
+      s"victims $victims not all gone after decommission (execs=$execsAfter)")
+    val fallbackFiles =
+      if (mode == "fallback") {
+        import scala.jdk.CollectionConverters._
+        val n = java.nio.file.Files.walk(Paths.get(fallbackDir))
+          .iterator().asScala.count(p => Files.isRegularFile(p))
+        // the WHOLE fleet was replaced: job B ran on executors that
+        // never held a map output, reading only the fallback
+        require(execsAfter.nonEmpty &&
+            execsAfter.intersect(victims).isEmpty,
+          s"fleet not replaced (before=$victims after=$execsAfter)")
+        require(n > 0, s"fallback dir $fallbackDir holds no migrated files")
+        n
+      } else 0L
     // The graceful self-exit after migration surfaces as the worker's
     // "Command exited with code 0" (observed); a force-kill safety-net
     // exit reports "Executor killed by driver."; some paths say
@@ -256,8 +299,11 @@ object DecommissionRehearsal {
       .map { case (k, v) => s""""${k.replaceAll("[\"\\\\]", "")}":$v""" }
       .mkString("{", ",", "}")
     val json =
-      s"""{"master":"$master","env":${Bench.envJson(Bench.machineStamp())},""" +
-        s""""victim_pid":$victim,"sigpwr_utc":"$sigUtc",""" +
+      s"""{"master":"$master","mode":"$mode",""" +
+        s""""env":${Bench.envJson(Bench.machineStamp())},""" +
+        s""""victim_pids":[${victims.mkString(",")}],"sigpwr_utc":"$sigUtc",""" +
+        s""""removed_count":${removedCount.get()},""" +
+        s""""fallback_files":$fallbackFiles,""" +
         s""""removed_utc":"$removedUtc",""" +
         s""""removal_reason":"${removedReason.get().replaceAll("[\"\\\\]", "")}",""" +
         s""""executors_before":${execsBefore.size},""" +
@@ -274,7 +320,8 @@ object DecommissionRehearsal {
         s""""buckets":$gotBuckets,"total":$gotSum,"result_match":$matches,""" +
         s""""wall_sec":${math.round(wall * 1000) / 1000.0}}"""
     Files.write(Paths.get(outFile), json.getBytes("UTF-8"))
-    println(s"DECOMMISSION victim=$victim removed='${removedReason.get()}' " +
+    println(s"DECOMMISSION mode=$mode victims=${victims.mkString(",")} " +
+      s"removed='${removedReason.get()}' " +
       s"stageAttemptMax=${maxStageAttempt.get()} " +
       s"fetchFailed=${fetchFailed.get()} failedTasks=${failedTasks.get()} " +
       s"migratedBlockUpdates=${migratedBlocks.get()} match=$matches " +
