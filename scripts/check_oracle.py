@@ -43,6 +43,10 @@ def fresh_con(sf_dir):
     # per-PID spill dir: concurrent DuckDB instances sharing one
     # temp_directory delete each other's duckdb_temp_storage files and
     # abort with an IOException (observed at the r10 sf10skew gate)
+    # DuckDB creates only the leaf temp dir — a wiped /tmp (fresh boot)
+    # otherwise fails every spilling oracle with "Failed to create
+    # directory" (observed at the r12 sf10cluster gate)
+    os.makedirs("/tmp/duckspill", exist_ok=True)
     con.execute(f"SET temp_directory='/tmp/duckspill/{os.getpid()}'")
     # 32 threads amplify per-operator reservation on the explode-heavy
     # oracles enough to trip the limit nondeterministically
