@@ -76,6 +76,11 @@ def check_one(args):
         return False, [f"FAIL  {name}: {e}"]
     finally:
         con.close()
+        # dead-pid spill dirs otherwise accumulate across gate runs
+        # (2.2 GB observed) and shrink the headroom concurrent heavy
+        # oracles spill into
+        import shutil
+        shutil.rmtree(f"/tmp/duckspill/{os.getpid()}", ignore_errors=True)
     if list(got.columns) != list(want.columns):
         return False, [
             f"FAIL  {name}: columns {list(got.columns)} vs {list(want.columns)}"]

@@ -247,13 +247,17 @@ PYEOF
     # ACROSS 4 executor processes — the r11 clusterfull gate (sf0.01)
     # and the r10/r11 sf10 gates (single-JVM) composed. Optional 2nd
     # arg: comma-separated query subset (the failure-re-run path).
-    # Fatter, narrower executors than the sf0.1 legs: Verify's
-    # coalesce(1) result stages funnel whole sf10 results through ONE
-    # task, so per-task memory (exec mem / cores) is the binding
-    # constraint, not core count.
-    require_corpus /tmp/sf10
+    # Optional 3rd arg: corpus dir (default /tmp/sf10; pass
+    # /tmp/sf10skew for the skewed composition cell — artifact name
+    # follows the corpus). Fatter, narrower executors than the sf0.1
+    # legs: Verify's coalesce(1) result stages funnel whole sf10
+    # results through ONE task, so per-task memory (exec mem / cores)
+    # is the binding constraint, not core count.
+    CORPUS="${3:-/tmp/sf10}"
+    require_corpus "$CORPUS"
     export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
-    OUT=/tmp/vout_sf10cluster
+    TAG="$(basename "$CORPUS")cluster"
+    OUT="/tmp/vout_$TAG"
     SUBSET="${2:-}"
     # excludeOnFailure: the kill-leg posture — a dying executor must not
     # absorb all 4 retries. storageFraction 0.2: a 278-query session
@@ -289,15 +293,15 @@ PYEOF
       SPARK_GRAFT_EXTRA_CONF="$KCONF" \
       SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
       SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g $R graft.Verify \
-      /tmp/sf10 "$OUT" $SUBSET > /tmp/sf10cluster_driver.log 2>&1 || true
-    { grep -E "\[verify\]" /tmp/sf10cluster_driver.log || true; } | tail -8
+      "$CORPUS" "$OUT" $SUBSET > "/tmp/${TAG}_driver.log" 2>&1 || true
+    { grep -E "\[verify\]" "/tmp/${TAG}_driver.log" || true; } | tail -8
     CHECK_ORACLE_PROCS=4 CHECK_ORACLE_UNORDERED=1 \
       CHECK_ORACLE_MEM=24GB CHECK_ORACLE_THREADS=8 \
-      python3 scripts/check_oracle.py /tmp/sf10 "$OUT" \
-      > CORRECTNESS_sf10cluster.txt.partial
-    tail -4 CORRECTNESS_sf10cluster.txt.partial
-    grep -q " 0 failed" CORRECTNESS_sf10cluster.txt.partial
-    mv CORRECTNESS_sf10cluster.txt.partial CORRECTNESS_sf10cluster.txt
+      python3 scripts/check_oracle.py "$CORPUS" "$OUT" \
+      > "CORRECTNESS_$TAG.txt.partial"
+    tail -4 "CORRECTNESS_$TAG.txt.partial"
+    grep -q " 0 failed" "CORRECTNESS_$TAG.txt.partial"
+    mv "CORRECTNESS_$TAG.txt.partial" "CORRECTNESS_$TAG.txt"
     ;;
   streamkill)
     # Executor kill during a LIVE stateful stream at the 100x corpus —
