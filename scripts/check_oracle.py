@@ -177,6 +177,14 @@ def check_one(args):
 
 
 def main(sf_dir, out_dir):
+    # sweep dead-pid spill dirs at startup: the per-query cleanup in
+    # check_one never runs for OOM-killed children or aborted gate runs,
+    # which are exactly the runs that spill most (2.2 GB observed)
+    import shutil
+    for d in glob.glob("/tmp/duckspill/*"):
+        pid = os.path.basename(d)
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(d, ignore_errors=True)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # resume support: skip queries already 'ok' in a previous (partial)
     # report — CHECK_ORACLE_SKIP=<path to that report>. Only ok lines

@@ -3,11 +3,11 @@
 # discipline as r10/r11: independent legs, .partial + atomic rename,
 # set -e, per-leg class snapshots.
 #
-# Usage: scripts/r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|straggler|driverkill|counts>
+# Usage: scripts/r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|straggler|driverkill|decommission|counts>
 set -euo pipefail
 cd /root/repo
 R=scripts/java_run.sh
-LEG="${1:?usage: r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|straggler|driverkill|counts>}"
+LEG="${1:?usage: r12_evidence.sh <killone|killfull|sf10gate|streamadd12|benchlocal|clusterbench|sf10cluster|streamkill|straggler|driverkill|decommission|counts>}"
 export CLS_SNAP="/tmp/graft_cls_r12_$LEG"
 rm -rf "$CLS_SNAP"
 
@@ -393,7 +393,9 @@ PYEOF
   straggler)
     # Reference README.md:290 "2 straggler nodes: T1 78.5 / T2 52.3 s"
     # (speculation quantile 0.8) EXECUTED on Spark: one of 2 worker
-    # NODES stalls 8 s per task in wc's 32-task counting stage. The
+    # NODES stalls 8 s per task in wc's 48-task counting stage (the
+    # victim's one wave must hold <20% of the tasks or the 0.8-quantile
+    # success gate opens too late for copies to win). The
     # topology is a REAL standalone master + two worker JVMs bound to
     # DISTINCT loopback hostnames (127.0.0.1 / 127.0.0.2): speculative
     # copies are HOST-excluded (TaskSetManager.dequeueSpeculativeTask
@@ -468,7 +470,7 @@ assert on['hosts'] >= 2 and off['hosts'] >= 2, (off, on)
 assert on['speculative_won'] >= 1, on
 assert off['speculative_launched'] == 0, off
 assert on['wall_sec'] < off['wall_sec'], (on['wall_sec'], off['wall_sec'])
-json.dump({'workload': 'wc over documents(sf0.1), 32-task counting stage, '
+json.dump({'workload': 'wc over documents(sf0.1), 48-task counting stage, '
                        '1 of 2 distinct-hostname worker JVMs stalls '
                        'sleep_ms per task',
            'reference_row': 'README.md:290 T1 78.5 s vs T2 52.3 s, quantile 0.8',
@@ -482,11 +484,14 @@ PYEOF
   decommission)
     # Graceful drain with shuffle-block MIGRATION — the planned-loss
     # twin of the kill receipts (spot/preemption at 100 TB): SIGPWR one
-    # executor after the map stage, wait until the scheduler REMOVES it,
-    # only then let reducers fetch (they block on a barrier file before
-    # consuming the lazy shuffle iterator). Success at stage attempt 0
-    # with zero FetchFailed is only possible if the dead executor's map
-    # outputs were migrated to survivors, not recomputed.
+    # executor while idle (two jobs over one shuffle: job A computes a
+    # single reduce partition to materialize the map outputs), wait
+    # until the scheduler REMOVES it, and only then run the full reduce
+    # as job B — every job-B task launches post-removal with fresh map
+    # statuses. Success at stage attempt 0 with zero FetchFailed is only
+    # possible if the dead executor's map outputs were migrated to
+    # survivors, not recomputed. (A barrier file inside the reduce tasks
+    # CANNOT gate the fetch — dead end #1 in the rehearsal's scaladoc.)
     export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
     SPARK_GRAFT_MASTER="local-cluster[3,8,6144]" \
       SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
@@ -535,7 +540,7 @@ d = json.load(open('BENCH_decommission_fallback.json.partial'))
 assert d['mode'] == 'fallback' and d['result_match'], d
 assert d['max_stage_attempt'] == 0 and d['fetch_failed'] == 0, d
 assert d['failed_tasks'] == 0 and d['fallback_files'] > 0, d
-assert d['removed_count'] >= len(d['victim_pids']) >= 2, d
+assert len(d['removed_ids']) >= len(d['victim_pids']) >= 2, d
 PYEOF
     mv BENCH_decommission_fallback.json.partial BENCH_decommission_fallback.json
     rm -rf /tmp/graft_fallback_*

@@ -124,13 +124,7 @@ object Bench {
       builder.config("spark.executor.extraClassPath", cp))
     // generic conf passthrough (semicolon-separated k=v), the Verify
     // discipline — the cluster benches pin spark.executor.memory here
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
-      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        require(kv.contains("="),
-          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-      })
+    GraftEnv.applyExtraConf(builder)
     GraftEnv.requireExecutorMemoryOnCluster(master)
     advisoryMb.foreach(mb => builder.config(
       "spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m"))

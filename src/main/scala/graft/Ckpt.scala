@@ -36,13 +36,25 @@ object GraftEnv {
     * here, loudly, before wasting an hour.
     */
   def requireExecutorMemoryOnCluster(master: String): Unit =
-    require(!master.startsWith("local-cluster") ||
+    require(!(master.startsWith("local-cluster") ||
+          master.startsWith("spark://")) ||
         sys.env.get("SPARK_GRAFT_EXTRA_CONF")
           .exists(_.contains("spark.executor.memory")),
       s"master=$master without spark.executor.memory: executors would " +
         "run at the 1 GB default heap (the worker [n,cores,mem] capacity " +
-        "is NOT the executor heap) — pass spark.executor.memory via " +
-        "SPARK_GRAFT_EXTRA_CONF")
+        "— or a standalone worker's --memory — is NOT the executor " +
+        "heap) — pass spark.executor.memory via SPARK_GRAFT_EXTRA_CONF")
+
+  /** The one home for the SPARK_GRAFT_EXTRA_CONF=`k=v;k=v` contract —
+    * previously copy-pasted into five rehearsal mains.
+    */
+  def applyExtraConf(builder: org.apache.spark.sql.SparkSession.Builder): Unit =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="), s"conf entry '$kv' is not k=v")
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
 }
 
 object Ckpt {

@@ -126,12 +126,7 @@ object DecommissionRehearsal {
         fallbackDir)
     sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
       builder.config("spark.executor.extraClassPath", cp))
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
-      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        require(kv.contains("="), s"conf entry '$kv' is not k=v")
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-      })
+    GraftEnv.applyExtraConf(builder)
     GraftEnv.requireExecutorMemoryOnCluster(master)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(
@@ -160,7 +155,12 @@ object DecommissionRehearsal {
 
     // Scheduler-eye evidence, recorded around the measured jobs only.
     val removedReason = new AtomicReference[String]("")
-    val removedCount = new AtomicInteger(0)
+    // DISTINCT executor ids, not an event counter: ExecutorRemoved fires
+    // ~2x per executor (observed: removed_count 2 for 1 victim, 6 for
+    // 3), so a counter gate can open before every victim is actually
+    // gone — in fallback mode that would let job B fetch from a
+    // still-live victim and void the "reads only the fallback" claim
+    val removedIds = ConcurrentHashMap.newKeySet[String]()
     val removedAtNanos = new AtomicLong(0)
     val maxStageAttempt = new AtomicInteger(0)
     val fetchFailed = new AtomicInteger(0)
@@ -190,7 +190,7 @@ object DecommissionRehearsal {
       }
       override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
         removedReason.set(e.reason)
-        removedCount.incrementAndGet()
+        removedIds.add(e.executorId)
         removedAtNanos.set(System.nanoTime()); ()
       }
       // Shuffle blocks are normally tracked only by the MapOutputTracker
@@ -226,14 +226,14 @@ object DecommissionRehearsal {
         .inheritIO().start().waitFor()
     }
     val tSig = System.nanoTime()
-    while (removedCount.get() < victims.size &&
+    while (removedIds.size() < victims.size &&
         System.nanoTime() - tSig < 180e9.toLong)
       Thread.sleep(100)
-    require(removedCount.get() >= victims.size,
-      s"scheduler removed ${removedCount.get()}/${victims.size} " +
+    require(removedIds.size() >= victims.size,
+      s"scheduler removed ${removedIds.size()}/${victims.size} " +
         "decommissioned executors")
     val removedUtc = java.time.Instant.now().toString
-    val drainSec = (System.nanoTime() - tSig) / 1e9
+    val drainSec = (removedAtNanos.get() - tSig) / 1e9
 
     // Job B: the full reduce, reusing the shuffle — every task launches
     // after the removal, so its map statuses are post-migration.
@@ -254,8 +254,14 @@ object DecommissionRehearsal {
     val fallbackFiles =
       if (mode == "fallback") {
         import scala.jdk.CollectionConverters._
-        val n = java.nio.file.Files.walk(Paths.get(fallbackDir))
-          .iterator().asScala.count(p => Files.isRegularFile(p))
+        // a missing dir must reach the require's diagnostic below, not
+        // surface as a bare NoSuchFileException from Files.walk
+        val n = if (!Files.exists(Paths.get(fallbackDir))) 0L
+        else {
+          val stream = java.nio.file.Files.walk(Paths.get(fallbackDir))
+          try stream.iterator().asScala.count(p => Files.isRegularFile(p)).toLong
+          finally stream.close()
+        }
         // the WHOLE fleet was replaced: job B ran on executors that
         // never held a map output, reading only the fallback
         require(execsAfter.nonEmpty &&
@@ -302,7 +308,8 @@ object DecommissionRehearsal {
       s"""{"master":"$master","mode":"$mode",""" +
         s""""env":${Bench.envJson(Bench.machineStamp())},""" +
         s""""victim_pids":[${victims.mkString(",")}],"sigpwr_utc":"$sigUtc",""" +
-        s""""removed_count":${removedCount.get()},""" +
+        s""""removed_ids":[${removedIds.asScala.toSeq.sorted.map(i =>
+          s""""$i"""").mkString(",")}],""" +
         s""""fallback_files":$fallbackFiles,""" +
         s""""removed_utc":"$removedUtc",""" +
         s""""removal_reason":"${removedReason.get().replaceAll("[\"\\\\]", "")}",""" +

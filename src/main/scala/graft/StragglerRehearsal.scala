@@ -144,12 +144,7 @@ object StragglerRehearsal {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
       builder.config("spark.executor.extraClassPath", cp))
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
-      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        require(kv.contains("="), s"conf entry '$kv' is not k=v")
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-      })
+    GraftEnv.applyExtraConf(builder)
     GraftEnv.requireExecutorMemoryOnCluster(master)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(

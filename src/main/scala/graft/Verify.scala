@@ -31,13 +31,7 @@ object Verify {
     // generic conf passthrough (semicolon-separated k=v): the executor-kill
     // rehearsal pins spark.task.maxFailures explicitly so the artifact
     // records the retry budget the run survived under
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
-      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        require(kv.contains("="),
-          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-      })
+    GraftEnv.applyExtraConf(builder)
     GraftEnv.requireExecutorMemoryOnCluster(master)
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")

@@ -128,13 +128,7 @@ object StreamScale {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
       builder.config("spark.executor.extraClassPath", cp))
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
-      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        require(kv.contains("="),
-          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-      })
+    graft.GraftEnv.applyExtraConf(builder)
     graft.GraftEnv.requireExecutorMemoryOnCluster(master)
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
