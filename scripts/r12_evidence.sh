@@ -300,6 +300,53 @@ PYEOF
       python3 scripts/check_oracle.py "$CORPUS" "$OUT" \
       > "CORRECTNESS_$TAG.txt.partial"
     tail -4 "CORRECTNESS_$TAG.txt.partial"
+    # The catalog's 4 heaviest DuckDB oracles (the PQ distance tables
+    # and two pair pipelines) spill 20-50 GB EACH at a 24 GB budget;
+    # when the pool schedules them concurrently their spill peaks stack
+    # past /tmp and fail with "No space left" — an ORACLE-side infra
+    # collision, not a mismatch. Re-check any disk-starved failures
+    # SOLO at a RAM-sized budget and splice the verdicts (the re-check
+    # reads the SAME Spark output dirs; provenance annotated in-place).
+    if grep -qE "^FAIL .*(No space left|duckspill)" "CORRECTNESS_$TAG.txt.partial"; then
+      RQ=$(grep -E "^FAIL .*(No space left|duckspill)" "CORRECTNESS_$TAG.txt.partial" \
+        | sed 's/^FAIL  //;s/:.*//' | paste -sd,)
+      echo "# re-checking disk-starved oracles solo: $RQ"
+      RD=/tmp/vout_recheck_$TAG
+      rm -rf "$RD"; mkdir -p "$RD"
+      for q in ${RQ//,/ }; do ln -s "$OUT/$q" "$RD/$q"; done
+      cp "$OUT/oracle_sql.json" "$RD/"
+      CHECK_ORACLE_PROCS=1 CHECK_ORACLE_UNORDERED=1 \
+        CHECK_ORACLE_MEM=90GB CHECK_ORACLE_THREADS=16 \
+        python3 scripts/check_oracle.py "$CORPUS" "$RD" \
+        > "/tmp/recheck_$TAG.txt"
+      python3 - "CORRECTNESS_$TAG.txt.partial" "/tmp/recheck_$TAG.txt" <<'PYEOF'
+import sys, re
+main_f, re_f = sys.argv[1], sys.argv[2]
+rechecked = {}
+for l in open(re_f):
+    if l.startswith("ok    "):
+        rechecked[l.split()[1]] = l.rstrip("\n")
+out, fixed = [], []
+ok = fail = 0
+for l in open(main_f).read().splitlines():
+    m = re.match(r"FAIL  (\S+?):.*(No space left|duckspill)", l)
+    if m and m.group(1) in rechecked:
+        out.append(rechecked[m.group(1)] + "  # re-checked solo after spill-peak collision")
+        fixed.append(m.group(1))
+    elif re.match(r"\d+ ok, \d+ failed", l.strip()):
+        continue  # recomputed below
+    else:
+        out.append(l)
+for l in out:
+    if l.startswith("ok    "): ok += 1
+    elif l.startswith("FAIL"): fail += 1
+out.append("")
+out.append(f"{ok} ok, {fail} failed")
+open(main_f, "w").write("\n".join(out) + "\n")
+print(f"spliced {len(fixed)} re-checked verdicts: {','.join(fixed)}")
+PYEOF
+      rm -rf "$RD"
+    fi
     grep -q " 0 failed" "CORRECTNESS_$TAG.txt.partial"
     mv "CORRECTNESS_$TAG.txt.partial" "CORRECTNESS_$TAG.txt"
     ;;
