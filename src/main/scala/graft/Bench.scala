@@ -69,6 +69,18 @@ object Bench {
 
   val IdleLoadMax = 2.0
 
+  /** The scale factor a committed bench artifact records (its contract
+    * line's `"sf":"…"` field), or None if the file is absent/unstamped.
+    * Factored out of main so BenchFormatSpec can pin the guard without
+    * running a benchmark.
+    */
+  def existingSf(path: String): Option[String] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val first = try src.getLines().next() finally src.close()
+      """"sf":"([^"]+)"""".r.findFirstMatchIn(first).map(_.group(1))
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     // Idle guard: a 1-min load above ~2 at start means another heavy
     // job is (or just was) on the box and every timing will inflate
@@ -96,6 +108,25 @@ object Bench {
       }
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Cross-sf overwrite guard: the r12 end-of-round snapshot clobbered
+    // the committed idle sf0.1 flagship with an sf0.001 smoke run —
+    // the artifact then contradicted SURVEY §9's numbers. Every contract
+    // line stamps its `"sf":dir`, so a run at a DIFFERENT scale than the
+    // artifact it would overwrite is refused up front (before the
+    // multi-minute catalog run), unless SPARK_GRAFT_BENCH_FORCE=1 or the
+    // run targets its own file via SPARK_GRAFT_BENCH_OUT.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    if (!sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")) {
+      existingSf(outFile).foreach { prev =>
+        if (prev != sfDir) {
+          System.err.println(
+            s"*** BENCH REFUSED: $outFile records sf=$prev but this run is " +
+              s"sf=$sfDir — set SPARK_GRAFT_BENCH_OUT to a new file or " +
+              s"SPARK_GRAFT_BENCH_FORCE=1 to overwrite ***")
+          sys.exit(2)
+        }
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the cluster-scale lever under measurement in the sf3 rehearsal:
     // per-task agg/sort state divides across shuffle partitions, so the
@@ -198,7 +229,6 @@ object Bench {
     // The FULL record also lands in a committed file, so the driver's
     // 2000-char tail is a redundant copy: byte-counter noise adjudication
     // ("timing moved, bytes identical") works from the repo alone.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (contract + "\n" + summaryLine(results, sfDir) + "\n")

@@ -207,6 +207,36 @@ object DecommissionRehearsal {
     }
     sc.addSparkListener(listener)
 
+    // In-JVM capture of the scheduler's decommission acknowledgment
+    // ("Received executor N decommissioned message", WARN from
+    // StandaloneDriverEndpoint). r12's removal-reason gate accepted
+    // "exited with code 0" / "killed by driver" — neither is
+    // decommission-specific, so only the evidence leg's EXTERNAL grep
+    // over the driver log tied removal to an actual drain. A log4j2
+    // appender on the root logger makes the committed artifact
+    // self-contained: the ack is recorded AND required below.
+    val ackLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    locally {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.LoggerContext
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+          "graftDecommAck", null, null, true,
+          org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+        override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+          val m = e.getMessage.getFormattedMessage
+          if (m != null && m.toLowerCase.contains("decommission") &&
+              ackLines.size < 64) {
+            ackLines.add(
+              s"${e.getLoggerName.split('.').last}: $m"); ()
+          }
+        }
+      }
+      app.start()
+      ctx.getConfiguration.getRootLogger.addAppender(app, null, null)
+      ctx.updateLoggers()
+    }
+
     val t0 = System.nanoTime()
     // Job A: one reduce partition — materializes ALL map outputs.
     val reduced = shuffleSum(spark, sfDir, 1024)
@@ -284,6 +314,17 @@ object DecommissionRehearsal {
     require(reasonOk,
       s"executor removal reason was '${removedReason.get()}' — neither the " +
         "decommission nor its force-kill completion (did the SIGPWR land?)")
+    // The decommission-SPECIFIC gate: the driver endpoint must have
+    // acknowledged the executor's decommissioning notice. Without this a
+    // clean non-decommission exit would satisfy reasonOk above.
+    val ackLine = {
+      import scala.jdk.CollectionConverters._
+      ackLines.asScala.find(_.toLowerCase.contains("decommissioned message"))
+    }
+    require(ackLine.nonEmpty,
+      s"driver never logged the 'decommissioned message' acknowledgment — " +
+        s"removal was not an actual drain (captured: " +
+        s"${ackLines.size()} decommission log lines)")
     require(maxStageAttempt.get() == 0,
       s"stage resubmission happened (max attempt ${maxStageAttempt.get()}) " +
         "— map outputs were recomputed, not migrated")
@@ -313,6 +354,8 @@ object DecommissionRehearsal {
         s""""fallback_files":$fallbackFiles,""" +
         s""""removed_utc":"$removedUtc",""" +
         s""""removal_reason":"${removedReason.get().replaceAll("[\"\\\\]", "")}",""" +
+        s""""driver_decommission_ack":${ackLine.nonEmpty},""" +
+        s""""ack_line":"${ackLine.getOrElse("").replaceAll("[\"\\\\]", "")}",""" +
         s""""executors_before":${execsBefore.size},""" +
         s""""executors_after":${execsAfter.size},""" +
         s""""max_stage_attempt":${maxStageAttempt.get()},""" +

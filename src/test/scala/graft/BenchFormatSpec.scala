@@ -81,4 +81,25 @@ class BenchFormatSpec extends AnyFunSuite {
       "queries map must follow taskMetrics or tail capture loses per-query seconds")
     assert(line.startsWith("{\"metric\":\"total\""))
   }
+
+  test("cross-sf overwrite guard reads the recorded sf from a flagship artifact") {
+    // The r12 snapshot slip: an sf0.001 smoke run overwrote the committed
+    // idle sf0.1 flagship. existingSf is the detector Bench.main refuses on.
+    val f = java.io.File.createTempFile("bench_guard", ".json")
+    f.deleteOnExit()
+    val line = Bench.contractLine(fakeResults(3), metricNames, "/root/testdata/sf0.1")
+    java.nio.file.Files.write(f.toPath,
+      (line + "\n" + Bench.summaryLine(fakeResults(3), "/root/testdata/sf0.1") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Bench.existingSf(f.getPath).contains("/root/testdata/sf0.1"))
+    // a run at a different sf must be detectable as a mismatch
+    assert(Bench.existingSf(f.getPath).exists(_ != "/root/testdata/sf0.001"))
+    // absent file → no guard (first run always writes)
+    assert(Bench.existingSf("/nonexistent/bench.json").isEmpty)
+    // the COMMITTED flagship must record sf0.1 — the artifact SURVEY §9
+    // describes; an sf0.001 smoke run here is the exact r12 defect.
+    if (new java.io.File("BENCH_local.json").exists)
+      assert(Bench.existingSf("BENCH_local.json").contains("/root/testdata/sf0.1"),
+        "committed BENCH_local.json must be the idle sf0.1 flagship")
+  }
 }
