@@ -266,7 +266,7 @@ object Classifier {
   def isotonicCalibration(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val cal = qualityCalibration(spark, d)
-      .select($"bin", $"n", $"n_label_pos").localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .select($"bin", $"n", $"n_label_pos").transform(graft.Ckpt.cut)
     val segs = cal.select($"bin".as("j"))
       .crossJoin(cal.select($"bin".as("k"))).filter($"j" <= $"k")
       .join(cal, $"bin".between($"j", $"k"))

@@ -101,7 +101,7 @@ object Curation {
       .withColumn("norm", TextAnalysis.normText($"text"))
       .withColumn("en_hits", TextAnalysis.hits($"t", langProfile("en")))
       .drop("text")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val gated = Seq("de", "fr", "es")
       .foldLeft(docs) { (df, l) =>
         df.filter($"en_hits" >= TextAnalysis.hits($"t", langProfile(l)))

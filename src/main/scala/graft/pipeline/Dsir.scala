@@ -78,7 +78,7 @@ object Dsir {
         sum(when($"lang" === TargetLang, 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
       .coalesce(1)
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val totals = buckets.agg(
       sum($"ct").as("t_tot"), sum($"cr").as("r_tot"))
     // per-bucket smoothed log-ratio, rounded onto the 1e-4 grid — the

@@ -49,7 +49,7 @@ object BloomPrune {
     val build = Tables.orders(spark, d)
       .filter($"o_orderpriority" === "1-URGENT")
       .select($"o_orderkey".as("_k")).distinct()
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val probe = Tables.lineitem(spark, d)
       .select($"l_orderkey".as("_k")).distinct()
 

@@ -39,7 +39,7 @@ object Dependence {
       .groupBy($"event_type".as("x"), hour($"ts").cast("long").as("y"))
       .agg(count(lit(1)).as("n_xy"))
       .coalesce(1)
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // ≤ |types|·24 rows at ANY corpus size
+      .transform(graft.Ckpt.cut) // ≤ |types|·24 rows at ANY corpus size
     val mx = cells.groupBy($"x").agg(sum($"n_xy").as("n_x"))
     val my = cells.groupBy($"y").agg(sum($"n_xy").as("n_y"))
     val tot = cells.agg(sum($"n_xy").as("n"),

@@ -72,7 +72,7 @@ object Experiment {
         sum(when($"day" <= $"mid", $"cents").otherwise(0L)).as("x"),
         sum(when($"day" > $"mid", $"cents").otherwise(0L)).as("y"))
       .select(($"user_id" % 2).as("arm"), $"x", $"y")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // two consumers below; users scanned once
+      .transform(graft.Ckpt.cut) // two consumers below; users scanned once
     val pooled = perUser.agg(
       count(lit(1)).as("n"), dec($"x").as("sx"), dec($"y").as("sy"),
       // decimal-first multiply, matching the oracle's CAST(x AS
@@ -169,7 +169,7 @@ object Experiment {
       .filter($"event_type" === "purchase")
       .groupBy(($"user_id" % 2).as("arm"), to_date($"ts").as("day"))
       .agg(sum(round($"value" * 100, 0).cast("long")).as("cents"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // calendar-bounded; bounds + cells read it
+      .transform(graft.Ckpt.cut) // calendar-bounded; bounds + cells read it
     val bounds = daily.agg(
       date_add(min($"day"),
         (datediff(max($"day"), min($"day")) / 2).cast("int")).as("mid"))
@@ -319,7 +319,7 @@ object Experiment {
     val freq = Tables.events(spark, d)
       .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
       .groupBy($"event_type", $"c").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // grid-bounded; global + per-group consumers
+      .transform(graft.Ckpt.cut) // grid-bounded; global + per-group consumers
     val global = freq.groupBy($"c").agg(sum($"cnt").as("t"))
     val wc = Window.orderBy($"c") // bounded cent grid — the StatModels
     // window-without-partition discipline

@@ -42,7 +42,7 @@ object FreqSelect {
     val freq = freq0
       .select(col(vCol).cast("decimal(38,0)").as("v"),
         col(cntCol).cast("long").as("cnt"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val head = freq.agg(sum(col("cnt")), min(col("v")), max(col("v"))).head()
     require(!head.isNullAt(0) && head.getLong(0) > 0,
       "orderStats over an empty frequency table")

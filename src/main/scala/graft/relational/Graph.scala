@@ -114,14 +114,14 @@ object Graph {
       // iteration round would spawn that many near-empty tasks (measured
       // ~4 s of pure task overhead at 32 partitions vs ~1 s at 1).
       .coalesce(1)
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     // out-weight per source; w and outw are both exact-grid values, so
     // p = w/outw is the same double on every engine
     val outw = edges.groupBy($"src").agg(sum(RelQueries.gridScale($"w", 10000L)).as("ow"))
     val trans = edges.join(outw, "src")
       .select($"src", $"dst",
         (RelQueries.gridScale($"w", 10000L).cast("double") / $"ow".cast("double")).as("p"))
-      .coalesce(1).localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .coalesce(1).transform(graft.Ckpt.cut)
     // The contracted matrix is <= 625 rows REGARDLESS of input scale —
     // the 100 TB scan above is the distributed phase; the power
     // iteration on the contraction belongs on the driver (the same
@@ -262,11 +262,11 @@ object Graph {
     import spark.implicits._
     val e = dupEdges(spark, d)
     // undirected: both orientations, materialized once for all rounds
-    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).transform(graft.Ckpt.cut)
     val seeds = Tables.documents(spark, d)
       .filter($"lang" === SeedLang)
       .select($"doc_id".as("doc"), lit(0L).as("hops"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     var visited = seeds
     var frontier = seeds.select($"doc")
     var k = 1L
@@ -275,8 +275,8 @@ object Graph {
         .select(und("b").as("doc")).distinct()
         .join(visited.select($"doc"), Seq("doc"), "left_anti")
         .select($"doc", lit(k).as("hops"))
-        .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
-      visited = visited.union(next).localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+        .transform(graft.Ckpt.cut)
+      visited = visited.union(next).transform(graft.Ckpt.cut)
       frontier = next.select($"doc")
       k += 1
     }
@@ -345,7 +345,7 @@ object Graph {
       .withColumn("tot", sum($"cnt").over(wf))
       .select($"from_type", $"to_type", $"cnt", $"tot",
         expr("(cnt * 1000000) div tot").as("p6"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // k x k bounded; 16 iteration consumers
+      .transform(graft.Ckpt.cut) // k x k bounded; 16 iteration consumers
   }
 
   /** The exact-BIGINT e6 power iteration: (t, v) after
@@ -354,7 +354,7 @@ object Graph {
   private def stationaryE6(tr: DataFrame): DataFrame = {
     import tr.sparkSession.implicits._
     val types = tr.select($"from_type".as("t"))
-      .union(tr.select($"to_type".as("t"))).distinct().localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .union(tr.select($"to_type".as("t"))).distinct().transform(graft.Ckpt.cut)
     val nT = types.agg(count(lit(1)).as("n"))
     var v = types.crossJoin(broadcast(nT))
       .select($"t", expr("1000000 div n").cast("long").as("v"))
@@ -442,7 +442,7 @@ object Graph {
     */
   def kcoreOfEdges(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+    val und = e.union(e.select($"b".as("a"), $"a".as("b"))).transform(graft.Ckpt.cut)
     val deg0 = und.groupBy($"a").agg(count(lit(1)).as("degree"))
     var adj = und
     var res = deg0.select($"a", $"degree", lit(1L).as("coreness"))
@@ -452,7 +452,7 @@ object Graph {
           .filter($"dg" >= k).select($"a")
         adj = adj.join(keep, "a")
           .join(keep.select($"a".as("b")), "b")
-          .select($"a", $"b").localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+          .select($"a", $"b").transform(graft.Ckpt.cut)
       }
       val inK = adj.select($"a").distinct().withColumn("ink", lit(1L))
       res = res.join(inK, Seq("a"), "left")

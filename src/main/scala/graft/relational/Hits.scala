@@ -43,7 +43,7 @@ object Hits {
       .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 100, 0)
         .cast("long")).as("w"))
       .coalesce(1)
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // ≤ 625 rows at ANY input scale
+      .transform(graft.Ckpt.cut) // ≤ 625 rows at ANY input scale
     // sorted (src, dst): collect() order follows partition/grouping
     // order, which is not stable across runs — a fixed edge order
     // fixes the Scala-side accumulation sequence so the 1e-12 grid

@@ -152,7 +152,7 @@ object Layout {
       .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate"))
         .cast("long").as("m"))
       .agg(count(lit(1)).as("s"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // calendar-bounded; fold + join-back consumers
+      .transform(graft.Ckpt.cut) // calendar-bounded; fold + join-back consumers
     val cap = sizes.agg(
       greatest(max($"s"), expr("(sum(s) + 5) div 6")).as("cap"))
     val asg = sizes

@@ -273,7 +273,7 @@ object Skew {
     import spark.implicits._
     def famReport(name: String, keys: DataFrame): DataFrame = {
       val freq = keys.groupBy($"k").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // key-domain-bounded; two consumers
+        .transform(graft.Ckpt.cut) // key-domain-bounded; two consumers
       val g = freq.agg(
         sum($"cnt").as("n"), count(lit(1)).as("n_keys"),
         max($"cnt").as("max_cnt"))

@@ -100,7 +100,7 @@ object StatAudit {
     val cells = Tables.documents(spark, d)
       .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
       .coalesce(1)
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // bounded grid; four consumers, one corpus scan
+      .transform(graft.Ckpt.cut) // bounded grid; four consumers, one corpus scan
     val rowm = cells.groupBy($"source").agg(sum($"n").as("row_n"))
     val colm = cells.groupBy($"lang").agg(sum($"n").as("col_n"))
     val tot = cells.agg(sum($"n").as("total"))

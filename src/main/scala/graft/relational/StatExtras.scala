@@ -150,7 +150,7 @@ object StatExtras {
     val perCust = Tables.orders(spark, d)
       .groupBy($"o_custkey")
       .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // totals + terms read it once each
+      .transform(graft.Ckpt.cut) // totals + terms read it once each
     val tot = perCust.agg(dec($"cents").as("x_tot"), count(lit(1)).as("n"))
     val share = dbl($"cents") / dbl($"x_tot")
     perCust.crossJoin(broadcast(tot))
@@ -196,7 +196,7 @@ object StatExtras {
     import org.apache.spark.sql.expressions.Window
     val rates = graft.pipeline.QualityRules.gopherRules(spark, d)
       .select($"source", $"n_docs", $"n_pass")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // bounded |sources| table
+      .transform(graft.Ckpt.cut) // bounded |sources| table
     // moments of the raw rates in deterministic source order: grid the
     // per-source rate first so the fold adds exact integers
     val withRate = rates

@@ -59,7 +59,7 @@ object StatModels {
     val freq = Tables.events(spark, d)
       .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
       .groupBy($"event_type", $"c").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // domain-bounded; three consumers, one scan
+      .transform(graft.Ckpt.cut) // domain-bounded; three consumers, one scan
     val meds = medianFromFreq(freq).withColumnRenamed("med2", "med2")
     val dev = freq.join(broadcast(meds), "event_type")
       .select($"event_type", abs(lit(2L) * $"c" - $"med2").as("c"), $"cnt")
@@ -177,7 +177,7 @@ object StatModels {
     val st = Tables.documents(spark, d)
       .select($"source", explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
       .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val srcTot = st.groupBy($"source").agg(sum($"c_st").as("c_s"))
     val tokTot = st.groupBy($"tok").agg(sum($"c_st").as("c_t"))
     val corpus = srcTot.agg(sum($"c_s").as("c_tot"))
@@ -327,7 +327,7 @@ object StatModels {
         max($"o_orderdate".cast("date")).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val bounds = per.agg(
       max($"last_order").as("anchor"),
       percentile($"frequency", lit(1.0 / 3)).as("f1"),
@@ -411,7 +411,7 @@ object StatModels {
       .groupBy($"l_suppkey")
       .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 100, 0)
         .cast("long")).as("cents"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val g = per.agg(
       count(lit(1)).as("n_suppliers"),
       sum($"cents".cast("decimal(38,0)")).as("tot"),
@@ -503,7 +503,7 @@ object StatModels {
     import spark.implicits._
     // calendar-bounded; pair + residual consumers
     val daily = theilsenDaily(spark, d)
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val (nPairs, slopeMed2) = FreqSelect.med2(theilsenSlopesFreq(daily), "s", "cnt")
     val (nDays, rMed2) = FreqSelect.med2(theilsenResidFreq(daily, slopeMed2), "r", "cnt")
     Seq((nDays, nPairs,
@@ -891,7 +891,7 @@ object StatModels {
     val st = Tables.documents(spark, d)
       .select($"source", explode(graft.text.TextAnalysis.toks($"text")).as("tok"))
       .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val srcTot = st.groupBy($"source").agg(sum($"c_st").as("c_s"))
     val tokTot = st.groupBy($"tok").agg(sum($"c_st").as("c_t"))
     val corpus = srcTot.agg(sum($"c_s").as("c_tot"))
@@ -1089,7 +1089,7 @@ object StatModels {
       .select($"n_chars".as("x"),
         size(graft.text.TextAnalysis.toks($"text")).cast("long").as("y"))
       .groupBy($"x", $"y").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     def rank2(col0: String): DataFrame = {
       val w = Window.orderBy(col(col0))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1549,7 +1549,7 @@ object StatModels {
         $"o_orderkey")
       .orderBy($"cents".desc, $"o_orderkey".asc)
       .limit(HillK + 1)
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // k+1 rows; threshold + sum consumers
+      .transform(graft.Ckpt.cut) // k+1 rows; threshold + sum consumers
     val xk = top.agg(min($"cents").as("xk"))
     // rows at the threshold contribute ln(1) = 0, so summing over all
     // k+1 rows and dividing by k IS the Hill sum — no tie-exclusion

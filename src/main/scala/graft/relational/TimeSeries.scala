@@ -236,7 +236,7 @@ object TimeSeries {
       .withColumn("dev",
         count(lit(1)).over(wAll) * $"cents" - sum($"cents").over(wAll))
       .select($"day", $"dev")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // calendar-bounded; three consumers, one fan-out
+      .transform(graft.Ckpt.cut) // calendar-bounded; three consumers, one fan-out
     val den = devs.agg(
       sum($"dev".cast("decimal(38,0)") * $"dev").as("den"))
     val pairs = devs.as("a")
@@ -447,7 +447,7 @@ object TimeSeries {
       .agg(
         sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"),
         count(lit(1)).as("cnt"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // calendar-bounded; both join sides, one scan
+      .transform(graft.Ckpt.cut) // calendar-bounded; both join sides, one scan
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val g = daily.as("a")
       .join(broadcast(daily.as("b")),
@@ -741,7 +741,7 @@ object TimeSeries {
     val counts = Tables.events(spark, d)
       .groupBy(to_date($"ts").as("day"), $"event_type")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // calendar x type bounded; spine + join uses
+      .transform(graft.Ckpt.cut) // calendar x type bounded; spine + join uses
     val daySpine = counts.select($"day").distinct()
     val types = counts.select($"event_type").distinct()
     val grid = daySpine.crossJoin(broadcast(types))

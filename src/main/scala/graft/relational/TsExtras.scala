@@ -123,7 +123,7 @@ object TsExtras {
       .groupBy(date_trunc("hour", $"ts").as("hour"))
       .agg(count(lit(1)).as("cnt"))
       .coalesce(1)
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // calendar-bounded (~hours in the corpus span)
+      .transform(graft.Ckpt.cut) // calendar-bounded (~hours in the corpus span)
     val indexed = hourly
       .withColumn("i", row_number().over(Window.orderBy($"hour")) - 1L)
     val scales = HurstScales.toDF("m")
@@ -145,7 +145,7 @@ object TsExtras {
       // truncate off-grid under a long cast)
       .withColumn("lxi", round(log($"m".cast("double")) * 1e6, 0).cast("long"))
       .withColumn("lyi", round(log($"var_bm") * 1e6, 0).cast("long"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // ≤6 rows; fit + presentation consumers
+      .transform(graft.Ckpt.cut) // ≤6 rows; fit + presentation consumers
     val fit = perScale.agg(
       count(lit(1)).as("ns"), sum($"lxi").as("sx"), sum($"lyi").as("sy"),
       sum($"lxi" * $"lyi").as("sxy"), sum($"lxi" * $"lxi").as("sxx"))

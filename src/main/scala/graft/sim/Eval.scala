@@ -34,7 +34,7 @@ object Eval {
     // materialized 50-row frame instead of replaying the exact scan
     val ex = Similarity.knnExact(spark, d)
       .select($"query_id", $"neighbor_id")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     def leg(m: DataFrame, name: String): DataFrame =
       ex.join(
         broadcast(m.select($"query_id", $"neighbor_id", lit(1L).as("hit"))),

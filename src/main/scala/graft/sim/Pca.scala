@@ -73,7 +73,7 @@ object Pca {
       graft.functions.DotProduct.register(spark)
       val e = Tables.embeddings(spark, d)
         .select(col("embedding").cast("array<double>").as("v"))
-        .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // 9 passes read one materialized scan
+        .transform(graft.Ckpt.cut) // 9 passes read one materialized scan
       // pass 0: exact-grid per-dim mean (64 BIGINT sums, one global agg)
       val meanAggs = (0 until Dim).map(i =>
         sum(round(element_at($"v", i + 1) * 1000000, 0).cast("long")).as(s"m$i"))

@@ -245,7 +245,7 @@ object Similarity {
     val assigned = e
       .withColumn("cell", nearestCell)
       .select($"cell", $"vec_id", $"label".cast("long").as("label"), $"v", $"norm")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val keep = assigned.groupBy($"cell")
       .agg(count(lit(1)).as("csz"))
       .filter($"csz" <= MaxCellBlock)
@@ -306,7 +306,7 @@ object Similarity {
     val scored = capped.join(broadcast(centsDf), "cell")
       .withColumn("ccos", round(expr("dot_f64(v, cv)") / ($"norm" * $"cnorm"), 4))
       .select($"cell", $"vec_id", $"v", $"norm", $"ccos")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val a = scored.select($"cell".as("ca"), $"vec_id".as("vec_a"), $"v".as("av"),
       $"norm".as("an"), $"ccos".as("ccos_a"))
     val b = scored.select($"cell".as("cb"), $"vec_id".as("vec_b"), $"v".as("bv"),
@@ -1242,7 +1242,7 @@ object Similarity {
         row_number().over(w.orderBy($"rel_e4".desc, $"vec_id")))
       .filter($"rk" <= MmrShortlist)
       .select($"query_id", $"vec_id", $"rel_e4", $"v", $"norm")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // consumed by the pair matrix + every unrolled step
+      .transform(graft.Ckpt.cut) // consumed by the pair matrix + every unrolled step
     val pairs = shortlist
       .select($"query_id", $"vec_id".as("a_id"), $"v".as("av"), $"norm".as("an"))
       .join(shortlist.select($"query_id", $"vec_id".as("b_id"),
@@ -1250,7 +1250,7 @@ object Similarity {
       .filter($"a_id" =!= $"b_id")
       .withColumn("s_e4", e4("av, bv", "an", "bn"))
       .select($"query_id", $"a_id", $"b_id", $"s_e4")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val cands = shortlist.select($"query_id", $"vec_id", $"rel_e4")
     var selected = cands
       .withColumn("rn",
@@ -1258,7 +1258,7 @@ object Similarity {
       .filter($"rn" === 1)
       .select($"query_id", $"vec_id", $"rel_e4",
         ($"rel_e4" * 7L).as("mmr_w"), lit(1L).as("mmr_rank"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     for (t <- 2 to MmrK) {
       val sel = selected.select($"query_id", $"vec_id")
       val pick = cands
@@ -1273,7 +1273,7 @@ object Similarity {
         .filter($"rn" === 1)
         .select($"query_id", $"vec_id", $"rel_e4", $"mmr_w",
           lit(t.toLong).as("mmr_rank"))
-      selected = selected.unionByName(pick.localCheckpoint(true, graft.Ckpt.ReplicatedLevel))
+      selected = selected.unionByName(pick.transform(graft.Ckpt.cut))
     }
     selected
   }
@@ -1310,7 +1310,7 @@ object Similarity {
       .groupBy($"half", $"dim")
       .agg(sum(round($"v" * 1000000, 0).cast("long")).as("s"),
         count(lit(1)).as("n"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // 2 x dims cells
+      .transform(graft.Ckpt.cut) // 2 x dims cells
     val a = cells.filter($"half" === 0L)
       .select($"dim", $"s".as("sa"), $"n".as("na"))
     val b = cells.filter($"half" === 1L)

@@ -78,7 +78,7 @@ object StreamScale {
     "session_agg", "dedup_watermark", "interval_join", "interval_join_outer",
     "ewma_v2", "drift_monitor", "session_close_v2", "rolling_avg_ttl",
     "doc_admit", "doc_admit_restart", "session_close_v2_restart",
-    "doc_admit_disorder", "doc_admit_kill")
+    "doc_admit_disorder", "doc_admit_kill", "doc_admit_disorder_kill")
 
   /** Legs that only mean anything with REAL executor processes to kill:
     * a run-ALL invocation on a single-JVM master skips them with a
@@ -86,7 +86,8 @@ object StreamScale {
     * a hard error instead (an explicitly-requested kill receipt must
     * never silently degrade to a kill-free run).
     */
-  val ClusterOnlyLegs: Set[String] = Set("doc_admit_kill")
+  val ClusterOnlyLegs: Set[String] =
+    Set("doc_admit_kill", "doc_admit_disorder_kill")
 
   /** JSON string-escape (the Verify.q discipline) for anything
     * interpolated into a fragment: conf keys/values AND the sf_dir /
@@ -484,7 +485,7 @@ object StreamScale {
           .foldLeft(Long.MaxValue)(math.min)
         val got = spark.read.parquet(sink)
         val twin = DocStreams.dedupAdmitChain(spark, sfDir)
-          .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+          .transform(graft.Ckpt.cut)
         val mism = got.as("g").join(twin.as("t"), Seq("doc_id"), "full_outer")
           .filter(!(col("g.verdict") <=> col("t.verdict") &&
             col("g.matched_to") <=> col("t.matched_to")))
@@ -608,8 +609,44 @@ object StreamScale {
       * verdicts == the batch twin over accepted rows, and
       * numRowsDroppedByWatermark == the planted far count.
       */
-    def runDocAdmitDisorder(name: String): Option[String] = {
+    // THIS session's executors only: under local-cluster the Workers
+    // run inside the driver JVM, so its executor processes are this
+    // process's direct children — scoping by parent pid keeps the
+    // kill away from any OTHER Spark job on the box (the smoke run
+    // that motivated this killed a concurrent session's executor and
+    // measured nothing). Shared by both kill legs.
+    def executorPids(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      val self = ProcessHandle.current().pid()
+      ProcessHandle.allProcesses().iterator().asScala
+        .filter(h => h.parent()
+          .map[Boolean](p => p.pid() == self).orElse(false))
+        .filter(h => h.info().commandLine()
+          .map[Boolean](_.contains("CoarseGrainedExecutorBackend"))
+          .orElse(false))
+        .map(_.pid()).toSeq.sorted
+    }
+
+    /** The disorder leg, optionally composed with a mid-replay executor
+      * SIGKILL (`killMidReplay` — the r12 verdict's loss × disorder
+      * composition): the two guarantees the kill-free legs prove
+      * separately must hold SIMULTANEOUSLY through a state reload —
+      * sink == accepted-rows twin (no double-emits, no lost admits)
+      * AND numRowsDroppedByWatermark == planted beyond-watermark rows
+      * (the reloaded state must neither resurrect nor re-drop them).
+      */
+    def runDocAdmitDisorder(
+        name: String, killMidReplay: Boolean = false): Option[String] = {
       gate(name).foreach(return _)
+      if (killMidReplay && executorPids().size < 2 && onlyLegs.isEmpty) {
+        println(s"STREAMSCALE $name skipped (cluster-only leg; " +
+          s"master=$master has no executor JVMs)")
+        return None
+      }
+      if (killMidReplay) require(executorPids().size >= 2,
+        s"$name needs >=2 executor JVMs to kill one and survive " +
+          s"(found ${executorPids().size}; master=$master — pass " +
+          "SPARK_GRAFT_MASTER=local-cluster[n,c,m])")
       withConf(rocksdbConf) {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import org.apache.spark.sql.expressions.Window
@@ -668,7 +705,7 @@ object StreamScale {
               .otherwise(0L))
           .withColumn("perm", xxhash64($"doc_id", lit("perm")))
           .select($"doc_id", $"fp", $"t", $"arrival_chunk", $"perm", $"kind")
-          .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+          .transform(graft.Ckpt.cut)
         val staged: Array[(Long, String, Long, Long)] = sel
           .orderBy($"arrival_chunk", $"perm", $"doc_id")
           .select($"doc_id", $"fp", $"t", $"arrival_chunk")
@@ -701,10 +738,41 @@ object StreamScale {
                 e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
         }
         spark.streams.addListener(listener)
+        // the scheduler's own view of the loss (killMidReplay only):
+        // the artifact must prove Spark OBSERVED a removal, not just
+        // that an OS kill was issued
+        val removals = new java.util.concurrent.atomic.AtomicInteger
+        val lossListener = new org.apache.spark.scheduler.SparkListener {
+          override def onExecutorRemoved(
+              e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit = {
+            removals.incrementAndGet(); ()
+          }
+        }
+        if (killMidReplay) spark.sparkContext.addSparkListener(lossListener)
+        val totalGroups = staged.iterator.map(_._4).distinct.length
+        val halfGroup = math.max(1, totalGroups / 2)
+        var killPid = -1L
+        var killUtc = ""
         val series = new Series
         try {
           var i = 0
+          var groupIdx = 0
           while (i < staged.length) {
+            if (killMidReplay && groupIdx == halfGroup) {
+              // arm the kill BEFORE feeding the half-way chunk so it
+              // lands while processAllAvailable is blocked on the
+              // running micro-batch — mid-batch, not between batches
+              // (the runDocAdmitKill discipline)
+              val victim = executorPids().head
+              val killer = new Thread(() => {
+                Thread.sleep(500)
+                killUtc = java.time.Instant.now().toString
+                ProcessHandle.of(victim).ifPresent(_.destroyForcibly()); ()
+              }, s"$name-killer")
+              killer.setDaemon(true)
+              killPid = victim
+              killer.start()
+            }
             val c = staged(i)._4
             var j = i
             while (j < staged.length && staged(j)._4 == c) j += 1
@@ -712,6 +780,7 @@ object StreamScale {
               .map(r => (r._1, r._2, r._3)))
             q.processAllAvailable(); series.record(q)
             i = j
+            groupIdx += 1
           }
         } finally {
           // listener events are async: drain the shared bus before
@@ -720,12 +789,21 @@ object StreamScale {
           catch { case _: Throwable => () }
           q.stop()
           spark.streams.removeListener(listener)
+          if (killMidReplay) spark.sparkContext.removeSparkListener(lossListener)
+        }
+        if (killMidReplay) {
+          require(killPid > 0 && !executorPids().contains(killPid),
+            s"$name: kill never landed (pid=$killPid, " +
+              s"after=${executorPids()})")
+          require(removals.get() >= 1,
+            s"$name: the scheduler never observed an executor removal — " +
+              "the kill did not land on this session's cluster")
         }
         val got = spark.read.parquet(sink)
         val accepted = sel.filter($"kind" =!= "far")
           .select($"doc_id", $"fp", $"t")
         val twin = DocStreams.admitChainOf(accepted)
-          .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+          .transform(graft.Ckpt.cut)
         val mism = got.as("g").join(twin.as("t"), Seq("doc_id"), "full_outer")
           .filter(!(col("g.verdict") <=> col("t.verdict") &&
             col("g.matched_to") <=> col("t.matched_to")))
@@ -737,11 +815,18 @@ object StreamScale {
             s"(rows $gotRows/$twinRows, mismatches $mism)")
         require(dropped.get() == farCount,
           s"$name: watermark dropped ${dropped.get()} rows, planted $farCount")
+        val killInfo =
+          if (!killMidReplay) ""
+          else s""""master":"${jqs(master)}","kill_pid":$killPid,""" +
+            s""""kill_utc":"${jqs(killUtc)}","kill_after_chunks":$halfGroup,""" +
+            s""""executor_removals_observed":${removals.get()},"""
         println(s"STREAMSCALE $name batches=${series.rows.length} " +
           s"late=$lateCount far=$farCount dropped=${dropped.get()} " +
+          (if (killMidReplay) s"killedPid=$killPid at=$killUtc " else "") +
           s"rows=$gotRows mismatches=$mism hash=$gotHash")
         writeFrag(name,
           s""""$name":{"sf_dir":"${jqs(sfDir)}","chunks_cfg":$chunks,""" +
+            killInfo +
             s""""wm_delay_sec":$wmDelaySec,"late_rows":$lateCount,""" +
             s""""far_rows":$farCount,"dropped_by_watermark":${dropped.get()},""" +
             s""""verdict_rows":$gotRows,"twin_rows":$twinRows,""" +
@@ -767,23 +852,6 @@ object StreamScale {
       */
     def runDocAdmitKill(name: String): Option[String] = {
       gate(name).foreach(return _)
-      // THIS session's executors only: under local-cluster the Workers
-      // run inside the driver JVM, so its executor processes are this
-      // process's direct children — scoping by parent pid keeps the
-      // kill away from any OTHER Spark job on the box (the smoke run
-      // that motivated this killed a concurrent session's executor and
-      // measured nothing)
-      def executorPids(): Seq[Long] = {
-        import scala.jdk.CollectionConverters._
-        val self = ProcessHandle.current().pid()
-        ProcessHandle.allProcesses().iterator().asScala
-          .filter(h => h.parent()
-            .map[Boolean](p => p.pid() == self).orElse(false))
-          .filter(h => h.info().commandLine()
-            .map[Boolean](_.contains("CoarseGrainedExecutorBackend"))
-            .orElse(false))
-          .map(_.pid()).toSeq.sorted
-      }
       withConf(rocksdbConf) {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -862,7 +930,7 @@ object StreamScale {
             "the kill did not land on this session's cluster")
         val got = spark.read.parquet(sink)
         val twin = DocStreams.dedupAdmitChain(spark, sfDir)
-          .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+          .transform(graft.Ckpt.cut)
         val mism = got.as("g").join(twin.as("t"), Seq("doc_id"), "full_outer")
           .filter(!(col("g.verdict") <=> col("t.verdict") &&
             col("g.matched_to") <=> col("t.matched_to")))
@@ -922,7 +990,7 @@ object StreamScale {
       ("drift_monitor",
         () => runLeg("drift_monitor", e => Drift.driftStream(e,
           Drift.baselineOf(spark, sfDir)
-            .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)))),
+            .transform(graft.Ckpt.cut)))),
       // transformWithState twins at rehearsal volume (r9 verdict item
       // 6). The timer-driven session closer holds OPEN sessions only —
       // each event-time timer fires as the watermark passes gap past a
@@ -967,7 +1035,9 @@ object StreamScale {
       ("session_close_v2_restart",
         () => runSessionCloseRestart("session_close_v2_restart")),
       ("doc_admit_disorder", () => runDocAdmitDisorder("doc_admit_disorder")),
-      ("doc_admit_kill", () => runDocAdmitKill("doc_admit_kill")))
+      ("doc_admit_kill", () => runDocAdmitKill("doc_admit_kill")),
+      ("doc_admit_disorder_kill", () => runDocAdmitDisorder(
+        "doc_admit_disorder_kill", killMidReplay = true)))
     // the single-registry assertion (r11 advice): the driven leg names
     // must BE the registry — a leg added to one list and not the other
     // fails here, before any artifact is written

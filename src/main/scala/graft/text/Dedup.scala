@@ -170,7 +170,7 @@ object Dedup {
     // estimated Jaccard — so a pair colliding in several bands costs
     // one estimate, not several. More exchanges than the ride-along
     // formulation, but each moves a small table or narrow rows.
-    val sigs = signatures(spark, d).localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+    val sigs = signatures(spark, d).transform(graft.Ckpt.cut)
     val bands = sigs.select(
       $"doc_id",
       posexplode(transform(
@@ -223,7 +223,7 @@ object Dedup {
       .select($"doc_id", ($"source" === IncrementalSource).as("is_new"))
     // signatures() groups by doc_id, so this join reuses its exchange;
     // only the narrow flag frame shuffles
-    val sigs = signatures(spark, d).join(flags, "doc_id").localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+    val sigs = signatures(spark, d).join(flags, "doc_id").transform(graft.Ckpt.cut)
     val bands = sigs.select(
       $"doc_id", $"is_new",
       posexplode(transform(
@@ -905,7 +905,7 @@ object Dedup {
     import spark.implicits._
     val toks = Tables.documents(spark, d)
       .select($"doc_id", TextAnalysis.toks($"text").as("t"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     val ranges = spanExtentsOf(toks)
       .groupBy($"doc_b".as("doc_id"))
       .agg(collect_list(struct(
@@ -1159,9 +1159,9 @@ object Dedup {
     import spark.implicits._
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val truth = jaccardPairs(spark, d).filter($"jacc" >= 0.5)
-      .select($"doc_a", $"doc_b").localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .select($"doc_a", $"doc_b").transform(graft.Ckpt.cut)
     val cand = minhashPairs(spark, d)
-      .select($"doc_a", $"doc_b").localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .select($"doc_a", $"doc_b").transform(graft.Ckpt.cut)
     val nT = truth.agg(count(lit(1)).as("n_truth"))
     val nC = cand.agg(count(lit(1)).as("n_cand"))
     val nH = truth.join(cand, Seq("doc_a", "doc_b"))

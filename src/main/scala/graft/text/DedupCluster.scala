@@ -87,7 +87,7 @@ object DedupCluster {
           Tables.documents(spark, d).withColumn("t", TextAnalysis.toks($"text")))
           .filter($"jacc" >= JaccThreshold)
           .select($"doc_a", $"doc_b")
-          .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // materialize once: the count gate + chosen path both read it
+          .transform(graft.Ckpt.cut) // materialize once: the count gate + chosen path both read it
         val labeled =
           if (edges.count() <= DriverEdgeLimit) clustersOfEdgesLocal(edges)
           else clustersOfEdges(edges)
@@ -172,7 +172,7 @@ object DedupCluster {
       .persist()
     var labels = und.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel)
+      .transform(graft.Ckpt.cut)
     // Fixpoint detection without a compare join: labels are monotonically
     // non-increasing (min over a set containing the own label), so the
     // label sum strictly decreases on every changing round — equal sums
@@ -199,7 +199,7 @@ object DedupCluster {
       val jumped = prop.select($"id".as("pid"), $"label".as("plabel"))
       val next = prop.join(jumped, prop("label") === jumped("pid"))
         .select($"id", $"plabel".as("label"))
-        .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // cut lineage; also materializes for the check
+        .transform(graft.Ckpt.cut) // cut lineage; also materializes for the check
       val s = labelSum(next)
       labels = next
       converged = s == prev

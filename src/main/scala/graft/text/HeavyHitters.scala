@@ -264,7 +264,7 @@ object HeavyHitters {
         when($"w" === 0, lit(27)).otherwise(lit(27) - length(bin($"w"))))
       .groupBy($"mon", $"day", $"bucket")
       .agg(max($"rho").as("maxrho"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // <= days x 64 cells; three consumers
+      .transform(graft.Ckpt.cut) // <= days x 64 cells; three consumers
     // unlike the raw-regime [[hllDataflowDistinct]], the rollup carries
     // Flajolet §4's small-range LINEAR COUNTING branch (est ≤ 2.5m and
     // empty buckets exist ⇒ m·ln(m/V)) — a month can be tiny, and the
@@ -400,7 +400,7 @@ object HeavyHitters {
         concat($"user_id".cast("string"), lit("@"),
           to_date($"ts").cast("string")).as("k"))
       .distinct()
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // user-day-bounded; three consumers, one scan
+      .transform(graft.Ckpt.cut) // user-day-bounded; three consumers, one scan
     val cells = dk
       .withColumn("h", Dedup.md5Prefix32($"k", 1))
       .withColumn("bucket", expr("h div 67108864"))
@@ -409,7 +409,7 @@ object HeavyHitters {
         when($"w" === 0, lit(27)).otherwise(lit(27) - length(bin($"w"))))
       .groupBy($"event_type", $"bucket")
       .agg(max($"rho").as("maxrho"))
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // <= 2 x 64 cells; per-type and union consumers
+      .transform(graft.Ckpt.cut) // <= 2 x 64 cells; per-type and union consumers
     def sCol = (sum(expr(
       "shiftleft(CAST(1 AS BIGINT), CAST(27 - maxrho AS INT))")) +
       (lit(HllBuckets) - count(lit(1))) * lit(134217728L)).as("s")

@@ -84,7 +84,7 @@ object Phrases {
       // phrase group = running count of stopword boundaries seen so far
       .withColumn("grp", sum($"is_stop").over(wDoc))
       .filter($"is_stop" === 0L)
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // feeds lengths, word stats, scores, and the
+      .transform(graft.Ckpt.cut) // feeds lengths, word stats, scores, and the
     // winners' string assembly — one window pass, four consumers
     val plens = toks
       .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("plen"))

@@ -282,7 +282,7 @@ object TextAnalysis {
       .select($"doc_id",
         concat_ws(" ", $"tok", $"g2", $"g3").as("gram"))
       .distinct()
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // (doc, gram) distinct; owner agg + join-back
+      .transform(graft.Ckpt.cut) // (doc, gram) distinct; owner agg + join-back
     val owner = grams.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
     grams.join(owner, "gram")
       .groupBy($"doc_id")
@@ -336,7 +336,7 @@ object TextAnalysis {
       .filter($"g3".isNotNull)
       .select($"source", concat_ws(" ", $"tok", $"g2", $"g3").as("gram"))
       .distinct()
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // vocab-bounded; totals + pair join consumers
+      .transform(graft.Ckpt.cut) // vocab-bounded; totals + pair join consumers
     val tot = sg.groupBy($"source").agg(count(lit(1)).as("n_grams"))
     val inter = sg.as("a")
       .join(sg.as("b"),

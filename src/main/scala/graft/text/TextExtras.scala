@@ -204,7 +204,7 @@ object TextExtras {
     val st = Tables.documents(spark, d)
       .select($"source", explode(TextAnalysis.toks($"text")).as("tok"))
       .distinct()
-      .localCheckpoint(true, graft.Ckpt.ReplicatedLevel) // vocab-bounded; pair + size consumers
+      .transform(graft.Ckpt.cut) // vocab-bounded; pair + size consumers
     val sizes = st.groupBy($"source").agg(count(lit(1)).as("v"))
     val inter = st.as("a")
       .join(st.as("b"),
