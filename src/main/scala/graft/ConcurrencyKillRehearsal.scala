@@ -22,15 +22,7 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
   */
 object ConcurrencyKillRehearsal {
 
-  def rowHash(df: DataFrame): String = {
-    val cols = df.columns.toSeq.map(c =>
-      coalesce(col(c).cast("string"), lit("\u0000null")))
-    df.select(sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("h"))
-      .head() match {
-      case r if r.isNullAt(0) => "0"
-      case r => r.getDecimal(0).toBigInteger.toString
-    }
-  }
+  def rowHash(df: DataFrame): String = RowHash.of(df)
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outFile) = (args(0), args(1))

@@ -421,15 +421,7 @@ object StreamScale {
       * in DECIMAL(38,0) (no overflow wrap), nulls spelled explicitly so
       * a null column can never alias a shifted value.
       */
-    def rowHash(df: DataFrame): String = {
-      val cols = df.columns.toSeq.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0000null")))
-      df.select(sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("h"))
-        .head() match {
-        case r if r.isNullAt(0) => "0"
-        case r => r.getDecimal(0).toBigInteger.toString
-      }
-    }
+    def rowHash(df: DataFrame): String = graft.RowHash.of(df)
 
     def writeFrag(name: String, frag: String): Some[String] = {
       java.nio.file.Files.write(legPath(name),
