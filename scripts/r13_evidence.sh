@@ -258,9 +258,17 @@ for f in sorted(glob.glob("BENCH_*.json")):
     date = git("log", "--format=%cI", "-n1", "--", f)
     if not commit:
         print(f"{f}: uncommitted — skipped"); continue
-    tree = git("ls-tree", "--name-only", commit)
-    rnd = sum(1 for l in tree.splitlines()
-              if l.startswith("CORRECTNESS_r") and l.endswith(".json")) + 1
+    import re
+    m = re.match(r"BENCH_r(\d+)\.json$", f)
+    if m:
+        # driver round-close artifacts commit WITH their round's
+        # CORRECTNESS file, so the tree-count heuristic reads one high —
+        # the filename is authoritative for them
+        rnd = int(m.group(1))
+    else:
+        tree = git("ls-tree", "--name-only", commit)
+        rnd = sum(1 for l in tree.splitlines()
+                  if l.startswith("CORRECTNESS_r") and l.endswith(".json")) + 1
     lines = [l for l in raw.splitlines() if l.strip()]
     # query count as recorded: the summary line's "n", else the queries map
     n_then = None
