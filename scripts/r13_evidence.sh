@@ -27,11 +27,20 @@ require_corpus() {
 arm_two_executor_kill() { # trigger delay log
   local trigger="$1" delay="$2" log="$3"
   (
+    # Bounded wait on the trigger AND on driver liveness: a misconfigured
+    # cluster (e.g. an excludeOnFailure validation error) keeps a driver
+    # with zero executors alive briefly then exits — without the
+    # liveness check the first kill2 attempt parked the leg's `wait` for
+    # the full hour after a 30 s failure.
     local waited=0
     while [ -z "$(ls -A "$trigger" 2>/dev/null)" ]; do
       sleep 1; waited=$((waited + 1))
       if [ "$waited" -ge 3600 ]; then
         echo "# KILL2 WATCHER TIMEOUT: $trigger stayed empty" >> "$log"
+        exit 0
+      fi
+      if [ "$waited" -ge 30 ] && ! pgrep -f "graft[.]Verify" >/dev/null; then
+        echo "# KILL2 WATCHER: driver gone before any checkpoint — exiting" >> "$log"
         exit 0
       fi
     done
