@@ -140,8 +140,87 @@ object HealthMerge {
         timestamp_micros($"st.lastUpdateMicros").as("last_update"))
   }
 
+  /** The gossip DISSEMINATION LOOP itself (SURVEY §2.1-O13), the piece
+    * [[healthTable]] deliberately leaves out: the reference's protocol
+    * picks a STATIC fanout-3 neighbor set per worker once at startup
+    * (mr/gossip.go:132-154), then every tick pushes its whole health
+    * table to those neighbors, each receiver merging recency-wins
+    * (gossipLoop mr/gossip.go:165-177; Merge :81-104). The reference's
+    * transport is a stub (`callWorker` returns false, mr/gossip.go:
+    * 269-271), so the loop's observable semantics ARE its data
+    * semantics: after R rounds, node i knows entry e iff e's origin
+    * reaches i within R hops of the fixed out-degree-3 digraph, and
+    * knows the LATEST version among those that reached it.
+    *
+    * Re-expressed data-parallel: state = (node, about, entry) rows; one
+    * round = push (state ⋈ neighbor edges, a broadcast join — the edge
+    * table is cluster-sized) then merge (groupBy (node, about):
+    * last_update-wins register + max suspicion, the same LWW ×
+    * max-counter lattice product as [[aggregator]] and with seeds whose
+    * last_updates are globally unique, so every merge order agrees).
+    * Rounds are a FIXED unrolled loop (R=4 ≈ diameter of a fanout-3
+    * graph at these sizes), not a data-dependent fixpoint.
+    *
+    * Scale bound: the node universe is the CLUSTER, not the corpus —
+    * the reference gossips across its ~10 workers, not its records —
+    * so nodes are capped at 256 (suppliers seed identities; sf0.001
+    * yields exactly the reference's 10). State is ≤ nodes² rows by
+    * construction at ANY corpus size; the per-round exchanges are the
+    * R merge shuffles, each over a cluster-sized frame.
+    *
+    * Each node seeds a FRESH entry about itself (alive, last_update
+    * 1e6+node) and a STALE conflicting entry about its ring successor
+    * (suspect, last_update 5e5+node): dissemination must both spread
+    * facts AND resolve conflicts — n_latest counts receivers whose
+    * LWW winner is the fresh version.
+    */
+  def gossipRounds(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // supplier keys are 0-based contiguous; the node universe is the
+    // first min(count, 256) of them, so N is the modulus and every
+    // node can be selected as a peer
+    val all = Tables.supplier(spark, d)
+      .select($"s_suppkey".cast("long").as("node"))
+    val n = math.min(
+      all.agg(max($"node")).head().getLong(0) + 1L, 256L)
+    val nodes = all.filter($"node" < n)
+    val peers = nodes.select($"node", explode(array((0 until 3).map(k =>
+        pmod($"node" * 48271L + lit(k.toLong * 69621L), lit(n))): _*))
+      .as("peer"))
+      .filter($"peer" =!= $"node")
+    val fresh = nodes.select($"node", $"node".as("about"),
+      lit(0L).as("status"), ($"node" % 4).as("susp"),
+      (lit(1000000L) + $"node").as("last_update"))
+    val stale = nodes.select($"node",
+      pmod($"node" + 1L, lit(n)).as("about"),
+      lit(1L).as("status"), (($"node" + 3) % 5).as("susp"),
+      (lit(500000L) + $"node").as("last_update"))
+    var state = fresh.union(stale)
+    for (_ <- 1 to 4) {
+      val pushed = state.join(broadcast(peers), "node")
+        .select($"peer".as("node"), $"about", $"status", $"susp", $"last_update")
+      // lineage cut per round (the graph_kcore discipline): the union
+      // references `state` twice, so an uncut loop DOUBLES the plan
+      // each round — 2^R subtree copies, 2^R-1 exchanges, and the
+      // whole prefix recomputed at every level. Cut, each round is one
+      // cluster-bounded shuffle and the final plan stays narrow.
+      state = graft.Ckpt.cut(state.union(pushed)
+        .groupBy($"node", $"about")
+        .agg(
+          max_by($"status", $"last_update").as("status"),
+          max($"susp").as("susp"),
+          max($"last_update").as("last_update")))
+    }
+    state.groupBy($"about")
+      .agg(
+        count(lit(1)).as("nodes_knowing"),
+        sum(when($"last_update" >= 1000000L, 1L).otherwise(0L)).as("n_latest"),
+        max($"susp").as("max_susp_seen"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gossip_health" -> (healthTable _))
+    "gossip_health" -> (healthTable _),
+    "gossip_rounds" -> (gossipRounds _))
 
   val oracles: Map[String, String] = Map(
     "gossip_health" ->
@@ -165,5 +244,48 @@ object HealthMerge {
         |            THEN 2 ELSE status END AS BIGINT) AS status,
         |       max_susp AS suspicion,
         |       last_update
-        |FROM ranked WHERE rn = 1""".stripMargin)
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "gossip_rounds" -> {
+      // one unrolled push+merge round (the recursive CTE cannot express
+      // the per-round argmax fold, so R=4 is spelled out)
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT node, about,
+           |         arg_max(status, last_update) AS status,
+           |         max(susp) AS susp,
+           |         max(last_update) AS last_update
+           |  FROM (SELECT * FROM $prev
+           |        UNION ALL
+           |        SELECT p.peer AS node, s.about, s.status, s.susp, s.last_update
+           |        FROM $prev s JOIN peers p ON p.node = s.node)
+           |  GROUP BY node, about)""".stripMargin
+      s"""WITH nn AS (
+         |  SELECT least(max(CAST(s_suppkey AS BIGINT)) + 1, 256) AS n FROM supplier),
+         |nodes AS (
+         |  SELECT CAST(s_suppkey AS BIGINT) AS node FROM supplier
+         |  WHERE s_suppkey < (SELECT n FROM nn)),
+         |peers AS (
+         |  SELECT node,
+         |         (node * 48271 + k * 69621) % (SELECT n FROM nn) AS peer
+         |  FROM nodes, (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS k)
+         |  WHERE (node * 48271 + k * 69621) % (SELECT n FROM nn) <> node),
+         |r0 AS (
+         |  SELECT node, node AS about, CAST(0 AS BIGINT) AS status,
+         |         CAST(node % 4 AS BIGINT) AS susp,
+         |         CAST(1000000 + node AS BIGINT) AS last_update
+         |  FROM nodes
+         |  UNION ALL
+         |  SELECT node, (node + 1) % (SELECT n FROM nn), 1,
+         |         (node + 3) % 5, 500000 + node
+         |  FROM nodes),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")},
+         |${round("r3", "r4")}
+         |SELECT about,
+         |       CAST(count(*) AS BIGINT) AS nodes_knowing,
+         |       CAST(sum(CASE WHEN last_update >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_latest,
+         |       max(susp) AS max_susp_seen
+         |FROM r4 GROUP BY about ORDER BY about""".stripMargin
+    })
 }

@@ -263,4 +263,55 @@ class KvGossipSpec extends SparkSpec {
     }.toSet
     assert(got === want)
   }
+
+  test("gossip_rounds == a sequential per-node gossip simulation (mr/gossip.go loop)") {
+    // Independent reimplementation: plain-Scala maps, one node at a
+    // time, 4 push rounds over the SAME static fanout-3 neighbor
+    // digraph — the naive-recompute discipline. sf0.001 yields N=10,
+    // the reference's own worker count.
+    val n = 10L // sf0.001 suppliers are keys 0..9
+    val nodes = (0L until n).toList
+    val peers: Map[Long, Seq[Long]] = nodes.map { i =>
+      i -> (0 until 3).map(k => (i * 48271L + k * 69621L) % n)
+        .filter(_ != i)
+    }.toMap
+    // state(node)(about) = (status, susp, lastUpdate)
+    type Entry = (Long, Long, Long)
+    var state: Map[Long, Map[Long, Entry]] = nodes.map { i =>
+      val fresh = i -> ((0L, i % 4, 1000000L + i): Entry)
+      val stale = ((i + 1) % n) -> ((1L, (i + 3) % 5, 500000L + i): Entry)
+      // a node can seed a stale entry about ITSELF only if (i+1)%n == i
+      // (impossible for n >= 2), so the two seeds never collide
+      i -> Map(fresh, stale)
+    }.toMap
+    def merge(mine: Entry, theirs: Entry): Entry = {
+      val lww = if (theirs._3 > mine._3) theirs else mine
+      (lww._1, math.max(mine._2, theirs._2), lww._3)
+    }
+    for (_ <- 1 to 4) {
+      val pushes = for {
+        i <- nodes; p <- peers(i); (about, e) <- state(i)
+      } yield (p, about, e)
+      state = pushes.foldLeft(state) { case (st, (p, about, e)) =>
+        val tbl = st(p)
+        st.updated(p, tbl.updated(about,
+          tbl.get(about).map(merge(_, e)).getOrElse(e)))
+      }
+    }
+    val want = state.values.flatten
+      .groupBy(_._1)
+      .map { case (about, es) =>
+        (about,
+          es.size.toLong,
+          es.count(_._2._3 >= 1000000L).toLong,
+          es.map(_._2._2).max)
+      }.toSet
+    val got = HealthMerge.gossipRounds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    // dissemination sanity: with fanout 3 and 4 rounds on 10 nodes,
+    // every fact must have spread beyond its origin
+    assert(got.forall(_._2 >= 2), s"a fact never left its origin: $got")
+  }
 }
