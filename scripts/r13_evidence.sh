@@ -23,9 +23,12 @@ require_corpus() {
 # wait `delay` seconds, then SIGKILL TWO executor JVMs with per-pid
 # timestamps — the same-second double loss that replicated
 # localCheckpoint structurally cannot survive (both replica holders can
-# die together) and reliable checkpoint() must.
-arm_two_executor_kill() { # trigger delay log
-  local trigger="$1" delay="$2" log="$3"
+# die together) and reliable checkpoint() must. Victims are scoped to
+# CHILDREN of the given driver pid (the Execs.childExecutorPids
+# discipline): an unscoped pgrep once killed a concurrent session's
+# executors and measured nothing.
+arm_two_executor_kill() { # trigger delay log driver_pid
+  local trigger="$1" delay="$2" log="$3" drv="$4"
   (
     # Bounded wait on the trigger AND on driver liveness: a misconfigured
     # cluster (e.g. an excludeOnFailure validation error) keeps a driver
@@ -39,25 +42,25 @@ arm_two_executor_kill() { # trigger delay log
         echo "# KILL2 WATCHER TIMEOUT: $trigger stayed empty" >> "$log"
         exit 0
       fi
-      if [ "$waited" -ge 30 ] && ! pgrep -f "graft[.]Verify" >/dev/null; then
-        echo "# KILL2 WATCHER: driver gone before any checkpoint — exiting" >> "$log"
+      if ! kill -0 "$drv" 2>/dev/null; then
+        echo "# KILL2 WATCHER: driver $drv gone before any checkpoint — exiting" >> "$log"
         exit 0
       fi
     done
     sleep "$delay"
     local pids n before
-    pids=$(pgrep -f CoarseGrainedExecutorBackend | head -2 | tr '\n' ' ' || true)
+    pids=$(pgrep -P "$drv" -f CoarseGrainedExecutorBackend | head -2 | tr '\n' ' ' || true)
     n=$(echo "$pids" | wc -w)
-    before=$(pgrep -fc CoarseGrainedExecutorBackend || true)
+    before=$(pgrep -cP "$drv" -f CoarseGrainedExecutorBackend || true)
     if [ "$n" -ge 2 ]; then
       for p in $pids; do
         kill -9 "$p"
-        echo "# KILL pid=$p at $(date -u +%FT%T.%3NZ) executors_before=$before" >> "$log"
+        echo "# KILL pid=$p (child of driver $drv) at $(date -u +%FT%T.%3NZ) executors_before=$before" >> "$log"
       done
       sleep 30
-      echo "# executors 30s after double kill: $(pgrep -fc CoarseGrainedExecutorBackend || echo 0)" >> "$log"
+      echo "# executors 30s after double kill: $(pgrep -cP "$drv" -f CoarseGrainedExecutorBackend || echo 0)" >> "$log"
     else
-      echo "# KILL2 FAILED: only $n executor processes found" >> "$log"
+      echo "# KILL2 FAILED: only $n executor processes found under driver $drv" >> "$log"
     fi
   ) &
 }
@@ -104,8 +107,8 @@ case "$LEG" in
     # trigger: the first reliable checkpoint landing on the shared path
     # — the kills come AFTER a lineage cut exists, so the post-kill
     # recovery must read checkpoint files, not recompute a lineage that
-    # no longer exists
-    arm_two_executor_kill "$CKPT_DIR" 3 /tmp/kill2_log
+    # no longer exists. The driver runs in background so its pid scopes
+    # the watcher's victim selection to THIS session's executors.
     SPARK_GRAFT_MASTER="local-cluster[4,8,12288]" \
       SPARK_GRAFT_EXECUTOR_CP="$CLS_SNAP" \
       SPARK_GRAFT_EXTRA_CONF="$KCONF" \
@@ -113,10 +116,17 @@ case "$LEG" in
       SPARK_GRAFT_RELIABLE_CKPT=1 \
       SPARK_GRAFT_CKPT_DIR="$CKPT_DIR" \
       SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g $R graft.Verify \
-      /tmp/sf10 "$OUT" "$QS" > /tmp/kill2_driver.log 2>&1 || true
+      /tmp/sf10 "$OUT" "$QS" > /tmp/kill2_driver.log 2>&1 &
+    DRV=$!
+    arm_two_executor_kill "$CKPT_DIR" 3 /tmp/kill2_log "$DRV"
+    wait "$DRV" || true
     { grep -E "\[verify\]" /tmp/kill2_driver.log || true; } | tail -8
     wait # the watcher must have fired and logged before we assemble
     grep -c "# KILL pid=" /tmp/kill2_log | grep -q "^2$"
+    # the SCHEDULER must have observed the losses, not just the OS kill
+    grep -m2 "Lost executor" /tmp/kill2_driver.log \
+      | sed 's/^/# scheduler: /' >> /tmp/kill2_log
+    grep -q "Lost executor" /tmp/kill2_driver.log
     # provenance: the run really swapped to reliable checkpoints
     echo "# reliable checkpoint rdd dirs written: $(ls -d "$CKPT_DIR"/*/rdd-* 2>/dev/null | wc -l)" >> /tmp/kill2_log
     cat /tmp/kill2_log > CORRECTNESS_kill2.txt.partial
@@ -125,6 +135,9 @@ case "$LEG" in
       >> CORRECTNESS_kill2.txt.partial || true
     tail -6 CORRECTNESS_kill2.txt.partial
     grep -q " 0 failed" CORRECTNESS_kill2.txt.partial
+    # carry the full-catalog reliable-mode gate footer across re-runs
+    grep "^# full-catalog reliable-mode gate" CORRECTNESS_kill2.txt \
+      >> CORRECTNESS_kill2.txt.partial 2>/dev/null || true
     mv CORRECTNESS_kill2.txt.partial CORRECTNESS_kill2.txt
     rm -rf "$CKPT_DIR"
     ;;
@@ -303,7 +316,10 @@ for f in sorted(glob.glob("BENCH_*.json")):
         single = False
     if single:
         whole["artifact_header"] = header
-        open(f, "w").write(json.dumps(whole, indent=1) + "\n")
+        # COMPACT separators, one line: Bench.existingSf reads the
+        # first line with a `"sf":"…"` (no-space) regex, and the
+        # cross-sf overwrite guard must keep seeing labeled artifacts
+        open(f, "w").write(json.dumps(whole, separators=(",", ":")) + "\n")
     else:
         open(f, "a").write(json.dumps(header) + "\n")
     print(f"{f}: labeled round={rnd} n_then={n_then} commit={commit}")

@@ -40,7 +40,10 @@ import java.nio.file.{Files, Paths}
 object AqeSkewRehearsal {
 
   /** Sum of the named skew metric over every AQEShuffleRead in the
-    * FINAL (post-execution) adaptive plan, sub-queries included.
+    * FINAL (post-execution) adaptive plan. Descends through adaptive
+    * roots and query-stage LEAVES; does NOT look inside subquery
+    * expressions (`plan.subqueries` is private[sql]) — fine for the
+    * receipt's top-level join, a stated limit of the helper.
     */
   def skewMetric(plan: SparkPlan, metric: String): Long = {
     def walk(p: SparkPlan): Long = p match {

@@ -45,17 +45,7 @@ object ConcurrencyKillRehearsal {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def executorPids(): Seq[Long] = {
-      import scala.jdk.CollectionConverters._
-      val self = ProcessHandle.current().pid()
-      ProcessHandle.allProcesses().iterator().asScala
-        .filter(h => h.parent()
-          .map[Boolean](p => p.pid() == self).orElse(false))
-        .filter(h => h.info().commandLine()
-          .map[Boolean](_.contains("CoarseGrainedExecutorBackend"))
-          .orElse(false))
-        .map(_.pid()).toSeq.sorted
-    }
+    def executorPids(): Seq[Long] = Execs.childExecutorPids()
     require(executorPids().size >= 2,
       s"need >=2 executor processes, found ${executorPids().size}")
 
@@ -94,11 +84,16 @@ object ConcurrencyKillRehearsal {
     val killAt = math.max(1, selected.size / 4)
     val killPid = new AtomicLong(-1)
     @volatile var killUtc = ""
+    // lanes completed at the MOMENT of the kill: the artifact must
+    // prove work was still in flight — a kill landing after the last
+    // lane finished exercises nothing
+    val completedAtKill = new AtomicInteger(-1)
     val killer = new Thread(() => {
       while (completed.get() < killAt) Thread.sleep(50)
       val victim = executorPids().head
       killPid.set(victim)
       killUtc = java.time.Instant.now().toString
+      completedAtKill.set(completed.get())
       ProcessHandle.of(victim).ifPresent(_.destroyForcibly()); ()
     }, "conc-killer")
     killer.setDaemon(true)
@@ -127,8 +122,15 @@ object ConcurrencyKillRehearsal {
 
     val errs = results.filter(_._2.startsWith("ERROR:"))
     val mism = results.filter { case (n, h, _) => !h.startsWith("ERROR:") && serial(n) != h }
+    // close the race with the killer's final poll: all lanes are done
+    // here, so the trigger condition holds — wait for the thread to
+    // finish its kill before inspecting its outputs
+    killer.join(30000)
     require(killPid.get() > 0 && killUtc.nonEmpty,
       "kill never armed — did the run finish before a quarter completed?")
+    require(completedAtKill.get() < selected.size,
+      s"kill landed after all ${selected.size} lanes completed — " +
+        "nothing was in flight; raise the query count")
     require(!executorPids().contains(killPid.get()),
       s"victim ${killPid.get()} still alive")
     require(removals.get() >= 1,
@@ -148,6 +150,7 @@ object ConcurrencyKillRehearsal {
         s""""master":"$master","n":${results.size},""" +
         s""""kill_pid":${killPid.get()},"kill_utc":"$killUtc",""" +
         s""""kill_after_completed":$killAt,""" +
+        s""""completed_at_kill":${completedAtKill.get()},""" +
         s""""executor_removals_observed":${removals.get()},""" +
         s""""lanes_completed":${results.size},"mismatches":0,""" +
         s""""wall_s":${math.round(wall * 1000) / 1000.0},""" +

@@ -601,23 +601,7 @@ object StreamScale {
       * verdicts == the batch twin over accepted rows, and
       * numRowsDroppedByWatermark == the planted far count.
       */
-    // THIS session's executors only: under local-cluster the Workers
-    // run inside the driver JVM, so its executor processes are this
-    // process's direct children — scoping by parent pid keeps the
-    // kill away from any OTHER Spark job on the box (the smoke run
-    // that motivated this killed a concurrent session's executor and
-    // measured nothing). Shared by both kill legs.
-    def executorPids(): Seq[Long] = {
-      import scala.jdk.CollectionConverters._
-      val self = ProcessHandle.current().pid()
-      ProcessHandle.allProcesses().iterator().asScala
-        .filter(h => h.parent()
-          .map[Boolean](p => p.pid() == self).orElse(false))
-        .filter(h => h.info().commandLine()
-          .map[Boolean](_.contains("CoarseGrainedExecutorBackend"))
-          .orElse(false))
-        .map(_.pid()).toSeq.sorted
-    }
+    def executorPids(): Seq[Long] = graft.Execs.childExecutorPids()
 
     /** The disorder leg, optionally composed with a mid-replay executor
       * SIGKILL (`killMidReplay` — the r12 verdict's loss × disorder
@@ -744,7 +728,7 @@ object StreamScale {
         val totalGroups = staged.iterator.map(_._4).distinct.length
         val halfGroup = math.max(1, totalGroups / 2)
         var killPid = -1L
-        var killUtc = ""
+        @volatile var killUtc = ""
         val series = new Series
         try {
           var i = 0
@@ -888,7 +872,7 @@ object StreamScale {
         val series = new Series
         val half = math.max(1, groups.length / 2)
         var killPid = -1L
-        var killUtc = ""
+        @volatile var killUtc = ""
         try {
           groups.zipWithIndex.foreach { case (g, i) =>
             if (i == half) {
