@@ -28,11 +28,20 @@ object BasketRules {
 
   def basketRules(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    // three consumers (N, item counts, pair counts), none of which
-    // reuses the orderkey partitioning — sharded so the replicated
-    // blocks stay bounded at the 100x corpus (Ckpt.sharded's scaladoc
-    // has the measured OOM this prevents)
-    val baskets = graft.Ckpt.sharded(Tables.lineitem(spark, d)
+    // three consumers (N, item counts, pair counts) share one
+    // checkpointed basket frame whose replicated blocks must stay
+    // bounded at the 100x corpus (Ckpt.sharded's scaladoc has the
+    // measured OOM this prevents). r13: the block bound now comes from
+    // an explicit-count KEYED repartition UNDER the aggregate instead
+    // of Ckpt.sharded's round-robin pass ABOVE it — the aggregate's
+    // required clustering is already satisfied, so the plan carries ONE
+    // exchange where sharded paid two (agg exchange + re-shard), and
+    // AQE never coalesces a user-specified count, so the checkpointed
+    // frame keeps shuffle.partitions-many task-sized blocks at any
+    // corpus size (same bound, one fewer data-scale shuffle).
+    val shards = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val baskets = graft.Ckpt.cut(Tables.lineitem(spark, d)
+      .repartition(shards, $"l_orderkey")
       .groupBy($"l_orderkey")
       .agg(slice(array_sort(collect_set($"l_partkey")), 1, Analytics.MaxBasket)
         .as("basket")))

@@ -64,15 +64,29 @@ object BloomPrune {
       .select($"_k", expr(s"pos div $W").as("word"),
         expr(s"shiftleft(1L, CAST(pos % $W AS INT))").as("mask"))
 
-    // 512-row packed filter — bounded regardless of build cardinality
+    // 512-row packed filter — bounded regardless of build cardinality.
+    // r13: the packed words are pulled to the driver (512 longs — the
+    // filter is SIZED to be held whole; this is the guide's manual
+    // bloom-filter shape, build-then-broadcast) and re-enter the probe
+    // side as ONE array literal, so the probe pass is a single narrow
+    // projection: no 3-way position explode, no filter join, no
+    // re-group of 3x the probe keys. Bit arithmetic is unchanged, so
+    // pass/fail per key — and the oracle hash — are identical.
     val bloom = posCols(build)
       .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+    val words = new Array[Long]((M / W).toInt)
+    bloom.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val wordsLit = typedlit(words.toSeq)
 
-    val passed = posCols(probe)
-      .join(broadcast(bloom), Seq("word"), "left")
-      .groupBy($"_k")
-      .agg(min(coalesce($"bits".bitwiseAND($"mask") =!= 0L, lit(false)))
-        .as("pass"))
+    def bitSet(off: Int): Column = expr(
+      s"""(element_at(ws, CAST((CAST(conv(substring(h, $off, 4), 16, 10) AS BIGINT) % $M) div $W AS INT) + 1)
+         | & shiftleft(1L, CAST((CAST(conv(substring(h, $off, 4), 16, 10) AS BIGINT) % $M) % $W AS INT))) != 0L"""
+        .stripMargin)
+    val passed = probe
+      .withColumn("h", md5($"_k".cast("string")))
+      .withColumn("ws", wordsLit)
+      .withColumn("pass", bitSet(1) && bitSet(5) && bitSet(9))
+      .select($"_k", $"pass")
 
     // exact FP accounting: bloom-pass ∧ not-in-build = false positive
     val verdict = passed

@@ -350,21 +350,41 @@ object Graph {
 
   /** The exact-BIGINT e6 power iteration: (t, v) after
     * [[MarkovIters]] steps from the uniform start.
+    *
+    * Runs ON THE DRIVER over the collected k×k matrix — the
+    * [[pagerankNations]] contract-then-iterate precedent applied to the
+    * other contracted chain: the transition matrix is domain-bounded
+    * (k = event types, k² rows at ANY corpus size), and the in-plan
+    * 16-round join/aggregate chain this replaces spent its whole wall
+    * on job scheduling and per-round codegen for k-row frames (the
+    * r13 bench measured ~2.5 s/query of pure fixed cost; the driver
+    * replay is microseconds). Exactness is unchanged BY CONSTRUCTION:
+    * every step is v'(t) = Σ_s (v(s)·p6(s,t)) div 1e6 on nonnegative
+    * Longs — the identical floor divisions and an order-free integer
+    * sum, the arithmetic GraphTimeSeriesSpec's "exact Long replay"
+    * test already pins against the DataFrame spelling. Types with no
+    * in-edge from a live state drop from v exactly as the inner join
+    * dropped them. For a chain that does NOT contract (page-level
+    * graphs), the in-plan loop is the swap — see the git history.
     */
   private def stationaryE6(tr: DataFrame): DataFrame = {
     import tr.sparkSession.implicits._
-    val types = tr.select($"from_type".as("t"))
-      .union(tr.select($"to_type".as("t"))).distinct().transform(graft.Ckpt.cut)
-    val nT = types.agg(count(lit(1)).as("n"))
-    var v = types.crossJoin(broadcast(nT))
-      .select($"t", expr("1000000 div n").cast("long").as("v"))
+    val edges = tr.select($"from_type", $"to_type", $"p6").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+      .toSeq.distinct.sorted
+    val n = types.length.toLong
+    var v: Map[String, Long] = types.iterator.map(_ -> 1000000L / n).toMap
     for (_ <- 1 to MarkovIters) {
-      v = v.join(tr, v("t") === tr("from_type"))
-        .groupBy($"to_type")
-        .agg(sum(expr("(v * p6) div 1000000")).as("v"))
-        .select($"to_type".as("t"), $"v")
+      val nxt = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case (s, t, p6) =>
+        v.get(s).foreach { vs =>
+          nxt.update(t, nxt.getOrElse(t, 0L) + (vs * p6) / 1000000L)
+        }
+      }
+      v = nxt.toMap
     }
-    v
+    v.toSeq.sortBy(_._1).toDF("t", "v")
   }
 
   def markovStationary(spark: SparkSession, d: String): DataFrame = {
@@ -446,6 +466,14 @@ object Graph {
     val deg0 = und.groupBy($"a").agg(count(lit(1)).as("degree"))
     var adj = und
     var res = deg0.select($"a", $"degree", lit(1L).as("coreness"))
+    // NOTE (r13 optimization round): a count()-based fixpoint early-exit
+    // was prototyped and MEASURED OUT — on the sf0.1 dup graph (70,390
+    // directed edges) every one of the 12 unrolled rounds still removes
+    // edges (70,390 → 68,786, probe data in OPTIMIZATION_r13.md), so the
+    // exit never fires and its per-round count job is pure overhead
+    // (+0.9 s). The fixed unrolling itself is the ORACLE contract
+    // (coreness at partial convergence must match the unrolled SQL), so
+    // the round count is not a tunable.
     for (k <- 2 to KcoreMax) {
       for (_ <- 1 to KcorePeelRounds) {
         val keep = adj.groupBy($"a").agg(count(lit(1)).as("dg"))

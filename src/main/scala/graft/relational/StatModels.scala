@@ -480,13 +480,22 @@ object StatModels {
 
   private[graft] def theilsenSlopesFreq(daily: DataFrame): DataFrame = {
     import daily.sparkSession.implicits._
-    daily.as("a")
+    // (value, 1) rows, NOT a grouped frequency table: the e6 slope grid
+    // is ~all-distinct (2,890,779 distinct of 2,890,810 pairs at the
+    // 6.5-year fixture — measured), so the former groupBy(s) was a full
+    // pair-set exchange that compressed nothing. FreqSelect only needs
+    // (v, cnt) rows; cnt=1 keeps the multiset identical and drops the
+    // only data-sized shuffle in the query. The calendar-bounded daily
+    // side round-robins across the cores first (one ≤2.4k-row exchange)
+    // so the pair fan-out — and every FreqSelect pass over its
+    // checkpoint — stays parallel instead of inheriting the aggregate's
+    // AQE-coalesced single partition.
+    daily.repartition(daily.sparkSession.sparkContext.defaultParallelism).as("a")
       .join(broadcast(daily.as("b")), $"a.x" > $"b.x")
       .select(
         (($"a.y" - $"b.y") * 1000000L).as("a2"),
         ($"a.x" - $"b.x").as("b2"))
-      .select(expr("(a2 - pmod(a2, b2)) div b2").as("s"))
-      .groupBy($"s").agg(count(lit(1)).as("cnt"))
+      .select(expr("(a2 - pmod(a2, b2)) div b2").as("s"), lit(1L).as("cnt"))
   }
 
   private[graft] def theilsenResidFreq(daily: DataFrame,
