@@ -1250,32 +1250,44 @@ object Similarity {
       .filter($"a_id" =!= $"b_id")
       .withColumn("s_e4", e4("av, bv", "an", "bn"))
       .select($"query_id", $"a_id", $"b_id", $"s_e4")
-      .transform(graft.Ckpt.cut)
     val cands = shortlist.select($"query_id", $"vec_id", $"rel_e4")
-    var selected = cands
-      .withColumn("rn",
-        row_number().over(w.orderBy($"rel_e4".desc, $"vec_id")))
-      .filter($"rn" === 1)
-      .select($"query_id", $"vec_id", $"rel_e4",
-        ($"rel_e4" * 7L).as("mmr_w"), lit(1L).as("mmr_rank"))
-      .transform(graft.Ckpt.cut)
-    for (t <- 2 to MmrK) {
-      val sel = selected.select($"query_id", $"vec_id")
-      val pick = cands
-        .join(sel, Seq("query_id", "vec_id"), "left_anti")
-        .join(pairs.withColumnRenamed("a_id", "vec_id"), Seq("query_id", "vec_id"))
-        .join(sel.withColumnRenamed("vec_id", "b_id"), Seq("query_id", "b_id"))
-        .groupBy($"query_id", $"vec_id", $"rel_e4")
-        .agg(max($"s_e4").as("ms_e4"))
-        .withColumn("mmr_w", $"rel_e4" * 7L - $"ms_e4" * 3L)
-        .withColumn("rn",
-          row_number().over(w.orderBy($"mmr_w".desc, $"vec_id")))
-        .filter($"rn" === 1)
-        .select($"query_id", $"vec_id", $"rel_e4", $"mmr_w",
-          lit(t.toLong).as("mmr_rank"))
-      selected = selected.unionByName(pick.transform(graft.Ckpt.cut))
+    // The greedy itself runs ON THE DRIVER over the collected shortlist
+    // (≤ NumQueries × MmrShortlist = 160 candidate rows and ≤ S² pair
+    // rows per query at ANY corpus size — the pagerankNations /
+    // stationaryE6 contract-then-iterate precedent): the distributed
+    // phase is the corpus-scale scoring scan + shortlist ranking above;
+    // the MmrK−1 unrolled pick rounds this replaces each paid a
+    // join/window/checkpoint pipeline on ≤160-row frames (pure fixed
+    // cost, ~1.3 s of the query's 2 s). All quantities stay on the e4
+    // BIGINT grid (mmr_w = rel·7 − ms·3), max/argmax with the identical
+    // (mmr_w DESC, vec_id ASC) tie order, so the driver replay is
+    // value-identical to the DataFrame unrolling the oracle mirrors.
+    val candRows = cands.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairRows = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val simOf = pairRows.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toMap }
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    candRows.groupBy(_._1).foreach { case (qid, cs) =>
+      val ordered = cs.sortBy(c => (-c._3, c._2)).toList
+      var sel = List(ordered.head)
+      out += ((qid, ordered.head._2, ordered.head._3, ordered.head._3 * 7L, 1L))
+      for (t <- 2 to MmrK) {
+        val remaining = ordered.filterNot(c => sel.exists(_._2 == c._2))
+        if (remaining.nonEmpty) {
+          val best = remaining.map { c =>
+            val sims = simOf.getOrElse((qid, c._2), Map.empty[Long, Long])
+            val ms = sel.map(s => sims(s._2)).max
+            (c, c._3 * 7L - ms * 3L)
+          }.sortBy { case (c, mw) => (-mw, c._2) }.head
+          sel ::= best._1
+          out += ((qid, best._1._2, best._1._3, best._2, t.toLong))
+        }
+      }
     }
-    selected
+    out.result()
+      .toDF("query_id", "vec_id", "rel_e4", "mmr_w", "mmr_rank")
   }
 
   /** Embedding-distribution drift between the two vec_id-parity halves
