@@ -60,11 +60,18 @@ object Decontam {
     */
   def flagContaminated(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val grams = gramsOf(spark, d)
-    val bench = grams.filter($"source" === BenchSource)
-      .select($"g").distinct()
-    val train = grams.filter($"source" =!= BenchSource)
-      .select($"doc_id", $"g").distinct()
+    // ONE gram pipeline for both sides: the former per-side
+    // filter-then-distinct branches each re-planned the full
+    // posexplode/window gram build (the filters sit below the distinct
+    // exchanges, so ReuseExchange cannot collapse them). One distinct
+    // over (doc_id, is_bench, g) has the same granularity for the
+    // train side and a superset for the bench side (re-distincted on g
+    // — a types-bounded frame), so the two legs below are unchanged.
+    val dg = gramsOf(spark, d)
+      .select($"doc_id", ($"source" === BenchSource).as("is_bench"), $"g")
+      .distinct()
+    val bench = dg.filter($"is_bench").select($"g").distinct()
+    val train = dg.filter(!$"is_bench").select($"doc_id", $"g")
     val perDoc = train.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"))
     val hits = train.join(broadcast(bench), "g")

@@ -45,15 +45,22 @@ object SplitAudit {
       sum($"n_train").as("n_train"),
       sum($"n_eval").as("n_eval"),
       sum($"n_train" * $"n_eval").as("exact_cross_pairs"))
-    // shared-content leg: distinct hashed 8-grams per split
-    val grams = Decontam.gramsOf(spark, d)
+    // shared-content leg: distinct hashed 8-grams per split. ONE pass:
+    // per-gram presence flags from a single g-keyed aggregate — the
+    // former spelling planned the gram window pipeline TWICE (one per
+    // split's filter-then-distinct branch; the filters sit below the
+    // exchanges, so ReuseExchange cannot collapse them) and then joined
+    // the two gram sets back together. max(is_eval)/max(1−is_eval) over
+    // one aggregate give the same two type-sets: Σ in_eval = distinct
+    // eval grams, Σ in_eval·in_train = distinct grams present in both.
+    val gflags = Decontam.gramsOf(spark, d)
       .withColumn("is_eval", when(splitOf($"doc_id") <= 1L, 1L).otherwise(0L))
-    val evalGrams = grams.filter($"is_eval" === 1L).select($"g").distinct()
-    val trainGrams = grams.filter($"is_eval" === 0L).select($"g").distinct()
-      .withColumn("in_train", lit(1L))
-    val leak = evalGrams.join(trainGrams, Seq("g"), "left")
-      .agg(count(lit(1)).as("eval_gram_types"),
-        sum(coalesce($"in_train", lit(0L))).as("leaked_gram_types"))
+      .groupBy($"g")
+      .agg(max($"is_eval").as("in_eval"),
+        max(lit(1L) - $"is_eval").as("in_train"))
+    val leak = gflags.agg(
+      sum($"in_eval").as("eval_gram_types"),
+      sum($"in_eval" * $"in_train").as("leaked_gram_types"))
     exact.crossJoin(broadcast(leak))
       .select($"n_train", $"n_eval", $"exact_cross_pairs",
         $"eval_gram_types", $"leaked_gram_types",

@@ -72,8 +72,13 @@ object Experiment {
         sum(when($"day" <= $"mid", $"cents").otherwise(0L)).as("x"),
         sum(when($"day" > $"mid", $"cents").otherwise(0L)).as("y"))
       .select(($"user_id" % 2).as("arm"), $"x", $"y")
-      .transform(graft.Ckpt.cut) // two consumers below; users scanned once
-    val pooled = perUser.agg(
+    // ONE rollup pass computes the pooled (grand-total) and per-arm
+    // moment rows together — the former spelling checkpointed the full
+    // per-user frame and ran two separate aggregate jobs over it (r13;
+    // sums are identical integers/decimals, the rollup's total row IS
+    // the pooled aggregate). The 3-row rollup result is checkpointed so
+    // its two consumers below don't re-plan the user exchange.
+    val g = perUser.rollup($"arm").agg(
       count(lit(1)).as("n"), dec($"x").as("sx"), dec($"y").as("sy"),
       // decimal-first multiply, matching the oracle's CAST(x AS
       // DECIMAL(38,0)) * y: a LONG*LONG product silently wraps in
@@ -81,8 +86,10 @@ object Experiment {
       dec($"x".cast("decimal(38,0)") * $"y").as("sxy"),
       dec($"x".cast("decimal(38,0)") * $"x").as("sxx"),
       dec($"y".cast("decimal(38,0)") * $"y").as("syy"))
-    val arms = perUser.groupBy($"arm").agg(
-      count(lit(1)).as("n_arm"), dec($"x").as("sx_a"), dec($"y").as("sy_a"))
+      .transform(graft.Ckpt.cut) // ≤3 rows; pooled + arm consumers
+    val pooled = g.filter($"arm".isNull).drop("arm")
+    val arms = g.filter($"arm".isNotNull).select(
+      $"arm", $"n".as("n_arm"), $"sx".as("sx_a"), $"sy".as("sy_a"))
     val covN = dbl($"n") * dbl($"sxy") - dbl($"sx") * dbl($"sy")
     val varxN = dbl($"n") * dbl($"sxx") - dbl($"sx") * dbl($"sx")
     val varyN = dbl($"n") * dbl($"syy") - dbl($"sy") * dbl($"sy")

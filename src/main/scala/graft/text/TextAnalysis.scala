@@ -282,9 +282,14 @@ object TextAnalysis {
       .select($"doc_id",
         concat_ws(" ", $"tok", $"g2", $"g3").as("gram"))
       .distinct()
-      .transform(graft.Ckpt.cut) // (doc, gram) distinct; owner agg + join-back
-    val owner = grams.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
-    grams.join(owner, "gram")
+    // first-owner via a PARTITIONED window min on one gram exchange —
+    // the former owner-aggregate + gram-keyed join-back paid two
+    // exchanges of the gram stream plus the checkpoint that fed them
+    // both (r13; identical first_doc per gram, partitioned by the
+    // vocab-cardinality gram so no single-task window)
+    grams
+      .withColumn("first_doc", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"gram")))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

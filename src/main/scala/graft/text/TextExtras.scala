@@ -166,9 +166,16 @@ object TextExtras {
       .select($"doc_id",
         conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
-    val df = grams.groupBy($"h")
-      .agg(count(lit(1)).as("gdf"))
-    val perDoc = grams.join(df, "h")
+    // per-gram document frequency as a PARTITIONED window count instead
+    // of a groupBy(h) + join-back: the window reads the distinct gram
+    // stream once on an h exchange and emits gdf in place, where the
+    // former spelling paid the h aggregate AND a second h exchange of
+    // the gram stream to probe it (r13; one exchange fewer, identical
+    // counts — partitioned by the high-cardinality gram hash, so no
+    // single-task window anywhere).
+    val wh = Window.partitionBy($"h")
+    val perDoc = grams
+      .withColumn("gdf", count(lit(1)).over(wh))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when($"gdf" > 1, 1L).otherwise(0L)).as("n_shared"))
