@@ -33,21 +33,15 @@ object Graph {
     * no hub exists by design.
     */
   /** The >= 0.5 Jaccard edge list, checkpointed once per (session, dir)
-    * — [[triangles]] and [[reachHops]] in one catalog pass share the
-    * materialization instead of each replaying the pair pipeline.
+    * — [[triangles]], [[kcore]] and [[reachHops]] in one catalog pass
+    * share the materialization instead of each replaying the pair
+    * pipeline. r13: the registry itself now lives in
+    * [[graft.text.Dedup.jaccardEdges]] so dedup_blocking_eval's truth
+    * set shares the same single fit (self-healing cachedCheckpoint as
+    * before).
     */
-  private val edgeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
   private def dupEdges(spark: SparkSession, d: String): DataFrame =
-    // self-healing (Ckpt.cachedCheckpoint): the capped edge list refits
-    // itself if its checkpoint blocks die between queries (executor
-    // cascade or Verify's inter-query unpersist hygiene)
-    graft.Ckpt.cachedCheckpoint(edgeCache, (spark, d)) {
-      import spark.implicits._
-      graft.text.Dedup.jaccardPairs(spark, d)
-        .filter($"jacc" >= 0.5)
-        .select($"doc_a".as("a"), $"doc_b".as("b")) // already a < b
-    }
+    graft.text.Dedup.jaccardEdges(spark, d)
 
   def triangles(spark: SparkSession, d: String): DataFrame =
     // the edge list is referenced three times below; materializing it

@@ -82,6 +82,26 @@ object Dedup {
         ($"inter".cast("double") / $"uni").as("jacc"))
   }
 
+  /** The ≥ 0.5 blocked-Jaccard edge list (a < b), fitted once per
+    * (session, dir) and shared by EVERY in-session consumer of the same
+    * bucket-capped frame — the graph family (kcore / triangles /
+    * reach_hops via [[graft.relational.Graph]]) and the blocking
+    * evaluation's truth set. r13: the registry moved here from Graph so
+    * dedup_blocking_eval (alphabetically first in a catalog pass) pays
+    * the one fit the graph queries then reuse, instead of the two
+    * modules fitting the identical frame once each. Self-healing
+    * ([[graft.Ckpt.cachedCheckpoint]]): refits if the blocks die.
+    */
+  private val edgeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  def jaccardEdges(spark: SparkSession, d: String): DataFrame =
+    graft.Ckpt.cachedCheckpoint(edgeCache, (spark, d)) {
+      import spark.implicits._
+      jaccardPairs(spark, d)
+        .filter($"jacc" >= 0.5)
+        .select($"doc_a".as("a"), $"doc_b".as("b")) // already a < b
+    }
+
   // ---- MinHash LSH ----
 
   val NumHashes = 64
@@ -158,7 +178,20 @@ object Dedup {
     * (arrays group/join fine on both engines) — no engine-private hash
     * anywhere in the pipeline.
     */
-  def minhashPairs(spark: SparkSession, d: String): DataFrame = {
+  /** Candidate-pair frame cache: the final (doc_a, doc_b, est_jaccard)
+    * set is band/bucket-capped (never corpus²), so one catalog pass
+    * fits it once for its two consumers (the dedup_minhash_pairs query
+    * and [[blockingEval]]'s candidate side) — the [[jaccardEdges]]
+    * discipline applied to the LSH tier (r13).
+    */
+  private val minhashPairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  def minhashPairs(spark: SparkSession, d: String): DataFrame =
+    graft.Ckpt.cachedCheckpoint(minhashPairCache, (spark, d)) {
+      minhashPairsUncached(spark, d)
+    }
+
+  private def minhashPairsUncached(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     // Signatures are computed ONCE and MATERIALIZED (localCheckpoint —
     // the in-session analog of the signature table a production run
@@ -1158,10 +1191,15 @@ object Dedup {
   def blockingEval(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    val truth = jaccardPairs(spark, d).filter($"jacc" >= 0.5)
-      .select($"doc_a", $"doc_b").transform(graft.Ckpt.cut)
+    // both sides read the SHARED fitted frames (jaccardEdges /
+    // minhashPairs registries) — already checkpointed there, so the
+    // per-call Ckpt.cut this replaces was a second materialization of
+    // each (r13); the graph family and dedup_minhash_pairs reuse the
+    // same fits later in the catalog pass.
+    val truth = jaccardEdges(spark, d)
+      .select($"a".as("doc_a"), $"b".as("doc_b"))
     val cand = minhashPairs(spark, d)
-      .select($"doc_a", $"doc_b").transform(graft.Ckpt.cut)
+      .select($"doc_a", $"doc_b")
     val nT = truth.agg(count(lit(1)).as("n_truth"))
     val nC = cand.agg(count(lit(1)).as("n_cand"))
     val nH = truth.join(cand, Seq("doc_a", "doc_b"))
