@@ -428,7 +428,20 @@ object Dedup {
     */
   val MaxHamming = 3
 
-  def simhashPairs(spark: SparkSession, d: String): DataFrame = {
+  /** Shared fit (r13): the hamming-verified pair set is chunk-bucket-
+    * capped (never corpus²), and one catalog pass consumes it twice —
+    * [[editPairs]]' candidate stream (alphabetically first) and the
+    * dedup_simhash_pairs query itself — the [[minhashPairs]] registry
+    * discipline.
+    */
+  private val simhashPairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  def simhashPairs(spark: SparkSession, d: String): DataFrame =
+    graft.Ckpt.cachedCheckpoint(simhashPairCache, (spark, d)) {
+      simhashPairsUncached(spark, d)
+    }
+
+  private def simhashPairsUncached(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     // Same bucketed-pairs shape as minhash: group by 16-bit chunk, cap the
     // bucket, generate pairs inside the bucket — never a raw self-join
