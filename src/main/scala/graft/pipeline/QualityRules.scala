@@ -125,11 +125,15 @@ object QualityRules {
     * paper's, enforced as a·x ≤ b·y integer forms — no FP anywhere
     * before the final 6dp pass_rate.
     *
-    * Scale shape: line stats are IN-ROW list algebra (no shuffle); the
-    * two gram sizes ride ONE tagged explode → (doc_id, sz, gram)
-    * map-side-combined count → per-doc agg → doc_id join back to the
-    * line frame → the |sources|-row rollup. Gram traffic is
-    * volume-linear (the minhash-shingle precedent), never pairs.
+    * Scale shape: EVERYTHING is in-row — line stats are list algebra
+    * and the gram statistics run inside the native
+    * [[graft.functions.RepetitionStats]] expression (gram frequencies
+    * never cross documents, so the per-doc aggregate is per-row by
+    * construction); the only shuffle is the |sources|-row rollup. The
+    * r12 spelling shipped every gram occurrence through a tagged
+    * explode → (doc_id, sz, gram) count → per-doc agg → join back: a
+    * corpus-scale exchange of the token stream ×7 plus two hash
+    * aggregates, removed outright (guide §2.4 / §1.2).
     */
   def gopherRepetition(spark: SparkSession, d: String): DataFrame =
     gopherRepetitionOf(Tables.documents(spark, d))
@@ -139,44 +143,26 @@ object QualityRules {
     */
   def gopherRepetitionOf(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    // guarded in-row n-gram list: sequence(1, size-n+1) is only valid
-    // when size >= n (Spark's sequence DESCENDS when stop < start)
-    def grams(n: Int): Column =
-      when(size($"t") >= n,
-        expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(t, i, $n)))"))
-        .otherwise(expr("array()").cast("array<string>"))
+    graft.functions.RepetitionStats.register(documents.sparkSession)
     val base = documents
       .withColumn("t", graft.text.TextAnalysis.toks($"text"))
       .withColumn("ls", filter(split($"text", "\n"), x => x =!= ""))
     def sumLen(c: String): Column =
       coalesce(aggregate(col(c), lit(0L), (acc, x) => acc + length(x).cast("long")),
         lit(0L))
-    val lineStats = base.select(
-      $"doc_id", $"source",
+    val perDoc = base.select(
+      $"source",
       length($"text").cast("long").as("n_chars"),
       size($"ls").cast("long").as("n_lines"),
       (size($"ls") - size(array_distinct($"ls"))).cast("long").as("n_dup_lines"),
       (sumLen("ls") - coalesce(
         aggregate(array_distinct($"ls"), lit(0L),
           (acc, x) => acc + length(x).cast("long")), lit(0L)))
-        .as("dup_line_chars"))
-    val gramStats = base
-      .select($"doc_id", explode(concat(
-        transform(grams(2), g => struct(lit(2L).as("sz"), g.as("g"))),
-        transform(grams(5), g => struct(lit(5L).as("sz"), g.as("g"))))).as("x"))
-      .select($"doc_id", $"x.sz".as("sz"), $"x.g".as("g"))
-      .groupBy($"doc_id", $"sz", $"g")
-      .agg(count(lit(1)).as("f"))
-      .groupBy($"doc_id")
-      .agg(
-        (max(when($"sz" === 2L,
-          $"f" * lit(1000000000000L) + $"f" * length($"g").cast("long")))
-          % 1000000000000L).as("top2_chars"),
-        sum(when($"sz" === 5L && $"f" > 1L,
-          ($"f" - 1L) * length($"g").cast("long"))).as("dup5_chars"))
-    val perDoc = lineStats
-      .join(gramStats, Seq("doc_id"), "left_outer")
+        .as("dup_line_chars"),
+      expr("repetition_stats(t)").as("rs"))
+      .select($"source", $"n_chars", $"n_lines", $"n_dup_lines",
+        $"dup_line_chars",
+        $"rs.top2_chars".as("top2_chars"), $"rs.dup5_chars".as("dup5_chars"))
       .select($"source",
         when(lit(10L) * $"n_dup_lines" <= lit(3L) * $"n_lines", 1L)
           .otherwise(0L).as("p1"),

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{BpeMerge, FittedExpr}
+import graft.functions.{BpeMergeSeq, FittedExpr}
 
 /** Distributed BPE vocabulary learning — the tokenizer-construction step
   * of a training-data pipeline (Sennrich et al. 2016, the subword
@@ -101,8 +101,15 @@ object Bpe {
             val (l, r, c) =
               (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
             merges += ((l, r, c))
-            cur = cur.withColumn("s", FittedExpr.bind(
-              spark, "bpe_merge", es => BpeMerge(es.head, l, r), $"s"))
+            // one expression carrying the whole table so far, rebuilt on
+            // the BASE frame: round k's plan shape (and generated code)
+            // is identical to round 1's — only the reference object
+            // grows — so rounds 2+ hit the codegen cache instead of
+            // compiling a k-deep nested merge chain (BpeMergeSeq
+            // scaladoc; the fold spelling recompiled every round)
+            val table = merges.result().map(m => (m._1, m._2))
+            cur = base.withColumn("s", FittedExpr.bind(
+              spark, "bpe_merge_seq", es => BpeMergeSeq(es.head, table), $"s"))
           }
           k += 1
         }
@@ -128,9 +135,10 @@ object Bpe {
     */
   def bpeVocab(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val seg = learn(spark, d).foldLeft(chars($"w")) { case (col, (l, r, _)) =>
-      FittedExpr.bind(spark, "bpe_merge", es => BpeMerge(es.head, l, r), col)
-    }
+    val table = learn(spark, d).map(m => (m._1, m._2))
+    val seg =
+      FittedExpr.bind(spark, "bpe_merge_seq", es => BpeMergeSeq(es.head, table),
+        chars($"w"))
     words(spark, d).drop("s")
       .select($"w".as("word"), $"f", array_join(seg, " ").as("seg"))
   }

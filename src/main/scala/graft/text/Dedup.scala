@@ -654,17 +654,13 @@ object Dedup {
     */
   def winnowFingerprints(tokenized: DataFrame): DataFrame = {
     import tokenized.sparkSession.implicits._
-    val kgrams = when(size($"t") >= WinnowK,
-      transform(sequence(lit(0), size($"t") - WinnowK),
-        i => md5Prefix32(array_join(slice($"t", i + 1, lit(WinnowK)), " "), 1)))
-      .otherwise(array().cast("array<bigint>"))
-    val minima = when(size($"kh") >= WinnowW,
-      array_distinct(transform(sequence(lit(0), size($"kh") - WinnowW),
-        j => array_min(slice($"kh", j + 1, lit(WinnowW))))))
-      .otherwise(array().cast("array<bigint>"))
-    tokenized
-      .withColumn("kh", kgrams)
-      .select($"doc_id", explode(minima).as("fp"))
+    // the k-gram hash stream + window minima + distinct run fused inside
+    // the native WinnowFps expression: the r12 spelling's two chained
+    // higher-order-function lambdas were CodegenFallback — every k-gram
+    // walked an interpreted md5 expression tree per element (the r1
+    // gram-spelling measurement, ~2 s of a ~3 s query at sf0.1)
+    graft.functions.WinnowFps.register(tokenized.sparkSession, WinnowK, WinnowW)
+    tokenized.select($"doc_id", explode(expr("winnow_fps(t)")).as("fp"))
   }
 
   def winnowPairs(spark: SparkSession, d: String): DataFrame = {
@@ -1050,9 +1046,14 @@ object Dedup {
     * exactly the excerpt/quotation duplication a curation pipeline
     * must catch.
     *
-    * Shape: grams build array-native (transform over the token array —
-    * no positional window, zero exchange before the distinct); each
-    * shared distinct gram lands in EXACTLY one hash bucket, so the
+    * Shape: the per-doc DISTINCT gram-hash set builds inside the native
+    * [[graft.functions.DistinctGramHashes]] expression (one codegen'd
+    * pass — no positional window, no interpreted gram lambda, and the
+    * set size rides in-row as n_doc), so the scan explodes directly
+    * into the bucket group: ZERO exchanges before groupBy(h). The r12
+    * spelling paid a corpus-scale (doc_id, h) distinct exchange plus a
+    * doc-partitioned window for n_doc — both removed (guide §2.4).
+    * Each shared distinct gram lands in EXACTLY one hash bucket, so the
     * per-pair bucket-count IS the intersection size (bucket caps drop
     * corpus-hot grams — the winnowing n_shared caveat, documented
     * recall, never precision). Doc gram-set sizes ride inside the
@@ -1061,18 +1062,12 @@ object Dedup {
     */
   def containmentPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    graft.functions.DistinctGramHashes.register(spark, ContainK)
     val gn = Tables.documents(spark, d)
       .select($"doc_id", TextAnalysis.toks($"text").as("t"))
-      .select($"doc_id", explode(expr(
-        s"""CASE WHEN size(t) >= $ContainK THEN
-           |  transform(sequence(1, size(t) - ${ContainK - 1}),
-           |            i -> concat_ws(' ', slice(t, i, $ContainK)))
-           |ELSE array() END""".stripMargin)).as("g"))
-      .select($"doc_id",
-        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
-      .withColumn("n_doc", count(lit(1)).over(wDoc))
+      .select($"doc_id", expr(s"distinct_gram_hashes$ContainK(t)").as("hs"))
+      .select($"doc_id", size($"hs").cast("long").as("n_doc"),
+        explode($"hs").as("h"))
     gn.groupBy($"h")
       .agg(collect_list(struct($"doc_id", $"n_doc")).as("ds"))
       .filter(size($"ds") > 1 && size($"ds") <= MaxBucket)
