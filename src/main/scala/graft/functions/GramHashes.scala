@@ -45,6 +45,23 @@ private[functions] object GramMd5 {
     bytesToLongBE(d) >>> 32
   }
 
+  /** Both 32-bit md5-prefix words of ONE token packed into a long:
+    * `(conv(substring(md5(t), 9, 8), 16, 10) << 32) |
+    *  conv(substring(md5(t), 1, 8), 16, 10)` — hex chars [1,8] are
+    * digest bytes 0-3, chars [9,16] bytes 4-7; one digest serves both.
+    */
+  def packedHash64(t: UTF8String): Long = {
+    val m = md.get()
+    m.reset()
+    m.update(t.getBytes)
+    val d = m.digest()
+    val lo = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    val hi = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+    (hi << 32) | lo
+  }
+
   private def digest(arr: Array[UTF8String], i: Int, n: Int): Array[Byte] = {
     val m = md.get()
     m.reset()

@@ -134,43 +134,35 @@ object Dedup {
       sequence(lit(0), size(t) - 3),
       i => concat_ws(" ", slice(t, i + 1, lit(3))))
 
-  /** doc_id + 64-long minhash signature. Shingles are formed by
-    * exploding tokens once and taking two lead()s per document — the
-    * array-lambda formulation (`transform(sequence(...), slice+concat)`)
-    * is interpreted per element and was the measured hotspot (~2s of a
-    * ~3s query at sf0.1); explode+window+hash+agg all run in
-    * codegen/unsafe-row paths; the 64 permutation minima accumulate in
-    * ONE native [[graft.functions.MinHashAgg]] long[64] buffer (map-side
-    * combined). The window and the aggregate both partition on doc_id,
-    * so the whole signature computation is ONE shuffle. Shingles are
-    * deliberately NOT deduplicated per document:
-    * a permutation minimum is identical over a multiset and its set, so
-    * dedup would cost work and change nothing.
+  /** doc_id + 64-long minhash signature, computed IN-ROW by the native
+    * [[graft.functions.MinHashSig]] expression (shingle → 32-bit
+    * md5-prefix hash → 64 permutation minima, one fused pass inside the
+    * scan projection). The signature is a per-document value, so the r12
+    * posexplode/lead-window/[[graft.functions.MinHashAgg]] pipeline's
+    * one corpus-scale doc_id exchange — the whole token stream shuffled
+    * and per-doc sorted just to reassemble consecutive triples — carried
+    * data whose every consumer was per-row; removed outright (guide
+    * §2.4). The base hash stays the cross-engine [[md5Prefix32]] grid
+    * (what makes the pipeline ORACLE-able — xxhash64 had no DuckDB
+    * twin), and shingles stay deliberately NOT deduplicated per
+    * document: a permutation minimum is identical over a multiset and
+    * its set, so dedup would cost work and change nothing.
     */
   def signatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    val exploded = Tables.documents(spark, d)
+    registerMinhashSig(spark)
+    Tables.documents(spark, d)
       .withColumn("t", TextAnalysis.toks($"text"))
       .filter(size($"t") >= 3)
-      .select($"doc_id", posexplode($"t").as(Seq("pos", "tok")))
-      .withColumn("t1", lead($"tok", 1).over(wd))
-      .withColumn("t2", lead($"tok", 2).over(wd))
-      .filter($"t2".isNotNull) // drop the two incomplete trailing shingles
-      .withColumn("s", concat_ws(" ", $"tok", $"t1", $"t2"))
-      // cross-engine base hash ([[md5Prefix32]]) is what makes the whole
-      // MinHash pipeline ORACLE-able — xxhash64 had no DuckDB twin
-      .withColumn("h", md5Prefix32($"s", 1))
+      .select($"doc_id", expr("minhash_sig(t)").as("sig"))
+  }
+
+  private def registerMinhashSig(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_agg",
-      exprs => graft.functions.MinHashAgg(
+      "minhash_sig",
+      exprs => graft.functions.MinHashSig(
         exprs.head, perms.map(_._1).toArray, perms.map(_._2).toArray, MinhashPrime),
       "built-in")
-    exploded
-      .groupBy($"doc_id")
-      .agg(expr("minhash_agg(h)").as("sig"))
-  }
 
   /** Candidate pairs via banded LSH + signature-estimated Jaccard.
     * DuckDB-oracled (see [[minhashOracle]]): the base hash is an md5
@@ -252,11 +244,17 @@ object Dedup {
     */
   def incrementalMinhashPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val flags = Tables.documents(spark, d)
-      .select($"doc_id", ($"source" === IncrementalSource).as("is_new"))
-    // signatures() groups by doc_id, so this join reuses its exchange;
-    // only the narrow flag frame shuffles
-    val sigs = signatures(spark, d).join(flags, "doc_id").transform(graft.Ckpt.cut)
+    // is_new rides the signature scan itself (same documents row — the
+    // r12 spelling joined a separate flag frame back on doc_id because
+    // the aggregate-built signatures had already lost the source column;
+    // the in-row signature keeps the whole row available)
+    registerMinhashSig(spark)
+    val sigs = Tables.documents(spark, d)
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", ($"source" === IncrementalSource).as("is_new"),
+        expr("minhash_sig(t)").as("sig"))
+      .transform(graft.Ckpt.cut)
     val bands = sigs.select(
       $"doc_id", $"is_new",
       posexplode(transform(
@@ -401,20 +399,19 @@ object Dedup {
     */
   def simhashDocs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    graft.functions.SimHashAgg.register(spark)
+    // in-row since r13: distinct tokens, the packed two-word md5 hash
+    // (one digest yields both 32-bit words — the SQL spelling ran md5
+    // twice per token), 64 bit balances and the sign vector all run
+    // inside the native SimHashSig scan projection; the r12
+    // explode(array_distinct)/SimHashAgg pipeline shuffled the
+    // distinct-token stream on doc_id only to compute this per-document
+    // value (guide §2.4 — same removal as the minhash signatures).
+    // hi may set the sign bit; bits extract with >>> so that is harmless.
+    graft.functions.SimHashSig.register(spark)
     Tables.documents(spark, d)
       .withColumn("t", TextAnalysis.toks($"text"))
       .filter(size($"t") >= 1)
-      .select($"doc_id", explode(array_distinct($"t")).as("tok"))
-      // both 32-bit words packed into ONE long so a single SimHashAgg
-      // pass (64 balance updates, one 512 B buffer) covers all 64 bits —
-      // two half-aggregates would double the per-token work for bits
-      // that are provably zero. hi may set the sign bit; SimHashAgg
-      // extracts bits with >>> so that is harmless.
-      .withColumn("h",
-        shiftleft(md5Prefix32($"tok", 9), 32).bitwiseOR(md5Prefix32($"tok", 1)))
-      .groupBy($"doc_id")
-      .agg(expr("simhash_agg(h)").as("sim"))
+      .select($"doc_id", expr("simhash_sig(t)").as("sim"))
       .select($"doc_id",
         $"sim".bitwiseAND(0xFFFFFFFFL).as("sim_lo"),
         shiftrightunsigned($"sim", 32).as("sim_hi"))

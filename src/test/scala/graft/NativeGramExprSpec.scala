@@ -117,6 +117,66 @@ class NativeGramExprSpec extends SparkSpec {
     assert(top2_5 === Some(3L * 11L), s"doc 5 top2 was $top2_5")
   }
 
+  test("MinHashSig == posexplode/lead-window/MinHashAgg pipeline (bit-for-bit)") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .union(docs.filter(length($"text") > 0)
+        .select(($"doc_id" + 900000L).as("doc_id"), $"text")) // no id collision
+    val inRow = {
+      val toksD = corpus.withColumn("t", TextAnalysis.toks($"text"))
+        .filter(size($"t") >= 3)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_sig_test",
+        es => graft.functions.MinHashSig(es.head,
+          Dedup.permConstants.map(_._1).toArray,
+          Dedup.permConstants.map(_._2).toArray, Dedup.MinhashPrime),
+        "built-in")
+      toksD.select($"doc_id", expr("minhash_sig_test(t)").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    }
+    val viaAgg = {
+      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_agg_test",
+        es => graft.functions.MinHashAgg(es.head,
+          Dedup.permConstants.map(_._1).toArray,
+          Dedup.permConstants.map(_._2).toArray, Dedup.MinhashPrime),
+        "built-in")
+      corpus.withColumn("t", TextAnalysis.toks($"text"))
+        .filter(size($"t") >= 3)
+        .select($"doc_id", posexplode($"t").as(Seq("pos", "tok")))
+        .withColumn("t1", lead($"tok", 1).over(wd))
+        .withColumn("t2", lead($"tok", 2).over(wd))
+        .filter($"t2".isNotNull)
+        .withColumn("s", concat_ws(" ", $"tok", $"t1", $"t2"))
+        .withColumn("h", Dedup.md5Prefix32($"s", 1))
+        .groupBy($"doc_id").agg(expr("minhash_agg_test(h)").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    }
+    assert(inRow.keySet === viaAgg.keySet)
+    inRow.foreach { case (d, s) => assert(s === viaAgg(d), s"doc $d") }
+  }
+
+  test("SimHashSig == explode(array_distinct)/SimHashAgg pipeline (bit-for-bit)") {
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .union(docs.filter(length($"text") > 0)
+        .select(($"doc_id" + 900000L).as("doc_id"), $"text")) // no id collision
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .filter(size($"t") >= 1)
+    graft.functions.SimHashSig.register(spark)
+    graft.functions.SimHashAgg.register(spark)
+    val inRow = corpus.select($"doc_id", expr("simhash_sig(t)").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = corpus
+      .select($"doc_id", explode(array_distinct($"t")).as("tok"))
+      .withColumn("h",
+        shiftleft(Dedup.md5Prefix32($"tok", 9), 32)
+          .bitwiseOR(Dedup.md5Prefix32($"tok", 1)))
+      .groupBy($"doc_id").agg(expr("simhash_agg(h)").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inRow === viaAgg)
+  }
+
   test("BpeMergeSeq == folded nested BpeMerge (overlap chains, multi-round)") {
     val arrs = Seq(
       Seq("a", "a", "a", "a"),

@@ -154,10 +154,11 @@ class RelationalSpec extends SparkSpec {
       "correlated subquery fell back to a nested loop join:\n" + p)
   }
 
-  test("minhash signatures share one doc_id shuffle between window and aggregate") {
+  test("minhash signatures build in-row: ZERO exchanges (r13 MinHashSig)") {
     val p = text.Dedup.signatures(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected 1 doc_id exchange, got $exchanges:\n$p")
+    assert(exchanges == 0, s"expected no exchange, got $exchanges:\n$p")
+    assert(p.contains("minhash_sig"), s"native in-row signature missing:\n$p")
   }
 
   test("hll sketch union estimate tracks exact distinct (within 5%)") {
