@@ -157,6 +157,171 @@ object DistinctGramHashes {
       "built-in")
 }
 
+/** All space-joined n-grams of a token array, in positional order —
+  * `transform(sequence(1, size(t)-n+1), i -> concat_ws(' ', slice(t, i,
+  * n)))` without the interpreted per-element lambda, and without the
+  * posexplode + stacked-lead-window spelling's doc_id exchange and
+  * per-document sort (the gram at position i is a pure function of the
+  * row's own array — the window shuffled the whole token stream to
+  * compute it). Empty when the doc has fewer than n tokens.
+  */
+case class Grams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"grams expects array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(arr: ArrayData): ArrayData = {
+    val toks = GramMd5.toArray(arr)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](m)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = toks(i + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("grams", this, classOf[Grams].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($v);")
+  }
+
+  override def prettyName: String = s"grams$n"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Grams {
+  def register(spark: org.apache.spark.sql.SparkSession, n: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"grams$n", exprs => Grams(exprs.head, n), "built-in")
+}
+
+/** The DISTINCT space-joined n-gram set of a token array, first
+  * occurrence first — `array_distinct(grams_n(t))` in one pass. Lets a
+  * per-document-distinct consumer (novelty, containment matrices) drop
+  * its corpus-scale `(key, gram)` distinct exchange: exploded rows are
+  * already unique per document.
+  */
+case class DistinctGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"distinct_grams expects array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(arr: ArrayData): ArrayData = {
+    val toks = GramMd5.toArray(arr)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = toks(i + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self =
+      ctx.addReferenceObj("distinctGrams", this, classOf[DistinctGrams].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($v);")
+  }
+
+  override def prettyName: String = s"distinct_grams$n"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DistinctGrams {
+  def register(spark: org.apache.spark.sql.SparkSession, n: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"distinct_grams$n", exprs => DistinctGrams(exprs.head, n), "built-in")
+}
+
+/** The 60-bit md5-prefix hash of the n-gram at EVERY position (no
+  * dedup): element i hashes tokens [i, i+n) — so
+  * `posexplode(pos_gram_hashes_n(t))` yields the same (pos, hash)
+  * stream the posexplode + lead-window + md5-hex spelling produced,
+  * without the doc_id exchange, the per-doc sort, or the hex round-trip
+  * ([[graft.text.Dedup.spanExtentsOf]]' positional gram anchor).
+  */
+case class PosGramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pos_gram_hashes expects array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(arr: ArrayData): ArrayData = {
+    val toks = GramMd5.toArray(arr)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = GramMd5.hash60(toks, i, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self =
+      ctx.addReferenceObj("posGramHashes", this, classOf[PosGramHashes].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($v);")
+  }
+
+  override def prettyName: String = s"pos_gram_hashes$n"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PosGramHashes {
+  def register(spark: org.apache.spark.sql.SparkSession, n: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"pos_gram_hashes$n", exprs => PosGramHashes(exprs.head, n), "built-in")
+}
+
 /** Winnowing fingerprints of a token array in one codegen'd pass: the
   * k-gram 32-bit md5-prefix hash stream, per-window minima over w
   * consecutive hashes, distinct in first-occurrence order — exactly

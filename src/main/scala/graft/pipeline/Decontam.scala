@@ -32,26 +32,24 @@ object Decontam {
     */
   val BenchSource = "src0"
 
+  /** Per-document DISTINCT 60-bit gram hashes (r13: in-row via the
+    * native [[graft.functions.DistinctGramHashes]] — the former
+    * posexplode + stacked-lead-window occurrence stream paid a doc_id
+    * exchange and per-doc sort, and every consumer deduplicated per doc
+    * anyway: flagContaminated's first move was a (doc_id, source, g)
+    * distinct, [[graft.pipeline.SplitAudit]] takes per-gram max flags).
+    * Shuffles 8 hash bytes per distinct gram, never the ~50-char
+    * string; the oracle hashes IDENTICALLY (conv(hex,16,10) == DuckDB
+    * CAST('0x'||hex AS BIGINT)), so parity is exact even in the (≈1e-8
+    * at this corpus) event of a prefix collision.
+    */
   def gramsOf(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val leads: Seq[Column] =
-      (1 until N).map(i => lead($"tok", i).over(w))
+    graft.functions.DistinctGramHashes.register(spark, N)
     Tables.documents(spark, d)
+      .withColumn("t", TextAnalysis.toks($"text"))
       .select($"doc_id", $"source",
-        posexplode(TextAnalysis.toks($"text")).as(Seq("pos", "tok")))
-      .withColumn("lastTok", lead($"tok", N - 1).over(w))
-      .withColumn("g", concat_ws(" ", ($"tok" +: leads): _*))
-      // concat_ws silently skips nulls, which would turn tail windows
-      // into SHORTER grams — require the full width instead.
-      .filter($"lastTok".isNotNull)
-      // shuffle a 60-bit md5-prefix hash of the gram, not the ~50-char
-      // string: the distinct/join below move 8 bytes per gram instead
-      // of the text. The oracle hashes IDENTICALLY (conv(hex,16,10) ==
-      // DuckDB CAST('0x'||hex AS BIGINT)), so parity is exact even in
-      // the (≈1e-8 at this corpus) event of a prefix collision.
-      .select($"doc_id", $"source",
-        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("g"))
+        explode(expr(s"distinct_gram_hashes$N(t)")).as("g"))
   }
 
   /** Per training document: distinct n-grams, how many collide with
@@ -63,13 +61,12 @@ object Decontam {
     // ONE gram pipeline for both sides: the former per-side
     // filter-then-distinct branches each re-planned the full
     // posexplode/window gram build (the filters sit below the distinct
-    // exchanges, so ReuseExchange cannot collapse them). One distinct
-    // over (doc_id, is_bench, g) has the same granularity for the
-    // train side and a superset for the bench side (re-distincted on g
-    // — a types-bounded frame), so the two legs below are unchanged.
+    // exchanges, so ReuseExchange cannot collapse them). gramsOf is
+    // per-doc distinct IN-ROW (r13), so the former (doc_id, is_bench,
+    // g) distinct exchange is structurally redundant and dropped; the
+    // bench side still re-distincts on g (a types-bounded frame).
     val dg = gramsOf(spark, d)
       .select($"doc_id", ($"source" === BenchSource).as("is_bench"), $"g")
-      .distinct()
     val bench = dg.filter($"is_bench").select($"g").distinct()
     val train = dg.filter(!$"is_bench").select($"doc_id", $"g")
     val perDoc = train.groupBy($"doc_id")

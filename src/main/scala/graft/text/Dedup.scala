@@ -882,18 +882,16 @@ object Dedup {
   /** Same, over an already-tokenized (doc_id, t) frame (spec access). */
   def spanExtentsOf(tokenized: DataFrame): DataFrame = {
     import tokenized.sparkSession.implicits._
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    val leads: Seq[Column] = (1 until SpanK).map(i => lead($"tok", i).over(wd))
+    // positional gram hashes in-row (r13): the posexplode + stacked
+    // lead-window spelling shuffled the whole token stream on doc_id
+    // and per-doc sorted it just to reassemble consecutive runs the
+    // native expression reads off the array — posexplode's 0-based
+    // position is exactly the old window `pos`
+    graft.functions.PosGramHashes.register(tokenized.sparkSession, SpanK)
     val grams = tokenized
-      .select($"doc_id", posexplode($"t").as(Seq("pos", "tok")))
-      .withColumn("lastTok", lead($"tok", SpanK - 1).over(wd))
-      .withColumn("g", concat_ws(" ", ($"tok" +: leads): _*))
-      // concat_ws skips nulls; require the full gram width (same guard
-      // as Decontam.gramsOf)
-      .filter($"lastTok".isNotNull)
-      .select($"doc_id", $"pos".cast("long").as("pos"),
-        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .select($"doc_id",
+        posexplode(expr(s"pos_gram_hashes$SpanK(t)")).as(Seq("pos", "h")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"h")
     // positional matches: bucket on the gram hash, explode cross-doc
     // (doc, pos) pairs inside the bucket, ordered so doc_a < doc_b
     val matches = grams

@@ -42,15 +42,21 @@ object Phrases {
     */
   def phraseDetect(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     val toks = Tables.documents(spark, d)
-      .select($"doc_id", posexplode(TextAnalysis.toks($"text")).as(Seq("pos", "tok")))
+      .select($"doc_id", explode(TextAnalysis.toks($"text")).as("tok"))
     val uni = toks.groupBy($"tok").agg(count(lit(1)).as("n1"))
-    val pairs = toks
-      .withColumn("nxt", lead($"tok", 1).over(wDoc))
-      .filter($"nxt".isNotNull)
-      .groupBy($"tok", $"nxt").agg(count(lit(1)).as("n12"))
+    // adjacent pairs in-row (r13 native Grams — the lead-window
+    // spelling shuffled the token stream on doc_id to see one neighbor)
+    graft.functions.Grams.register(spark, 2)
+    val pairs = Tables.documents(spark, d)
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .select(explode(expr("grams2(t)")).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("n12")) // key = the joined pair
       .filter($"n12" >= MinPairCount)
+      // split once per DISTINCT pair (tokens are whitespace-split, so
+      // the single space is unambiguous), after the aggregate
+      .select(element_at(split($"bg", " "), 1).as("tok"),
+        element_at(split($"bg", " "), 2).as("nxt"), $"n12")
     val total = toks.agg(count(lit(1)).as("nn"))
     pairs
       .join(uni, Seq("tok"))

@@ -270,18 +270,15 @@ object TextAnalysis {
     */
   def noveltyRate(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // per-doc distinct grams in-row (r13 native DistinctGrams): drops
+    // the lead-window build's doc_id exchange AND the (doc_id, gram)
+    // distinct exchange — exploded rows are already unique per doc.
+    // Gram STRINGS (not hashes) stay the window key below because the
+    // oracle groups on the string — collision semantics must match.
+    graft.functions.DistinctGrams.register(spark, 3)
     val grams = Tables.documents(spark, d)
-      .select($"doc_id", posexplode(toks($"text")).as(Seq("p", "tok")))
-      .withColumn("g2", lead($"tok", 1)
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"p")))
-      .withColumn("g3", lead($"tok", 2)
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"p")))
-      .filter($"g3".isNotNull)
-      .select($"doc_id",
-        concat_ws(" ", $"tok", $"g2", $"g3").as("gram"))
-      .distinct()
+      .withColumn("t", toks($"text"))
+      .select($"doc_id", explode(expr("distinct_grams3(t)")).as("gram"))
     // first-owner via a PARTITIONED window min on one gram exchange —
     // the former owner-aggregate + gram-keyed join-back paid two
     // exchanges of the gram stream plus the checkpoint that fed them
@@ -332,14 +329,14 @@ object TextAnalysis {
     */
   def sourceGramContainment(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"p")
+    // per-doc distinct grams in-row (r13 native DistinctGrams — the
+    // lead-window build paid a doc_id exchange + per-doc sort); the
+    // (source, gram) distinct below still runs (cross-doc within a
+    // source), but over the per-doc-deduped stream
+    graft.functions.DistinctGrams.register(spark, 3)
     val sg = Tables.documents(spark, d)
-      .select($"doc_id", $"source", posexplode(toks($"text")).as(Seq("p", "tok")))
-      .withColumn("g2", lead($"tok", 1).over(w2))
-      .withColumn("g3", lead($"tok", 2).over(w2))
-      .filter($"g3".isNotNull)
-      .select($"source", concat_ws(" ", $"tok", $"g2", $"g3").as("gram"))
+      .withColumn("t", toks($"text"))
+      .select($"source", explode(expr("distinct_grams3(t)")).as("gram"))
       .distinct()
       .transform(graft.Ckpt.cut) // vocab-bounded; totals + pair join consumers
     val tot = sg.groupBy($"source").agg(count(lit(1)).as("n_grams"))

@@ -26,13 +26,13 @@ object TextExtras {
     */
   def ngramTopk(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     val wTop = Window.orderBy($"n".desc, $"bigram")
+    // bigrams in-row (r13 native Grams — the lead-window spelling paid
+    // a doc_id exchange + per-doc sort of the token stream)
+    graft.functions.Grams.register(spark, 2)
     Tables.documents(spark, d)
-      .select($"doc_id", posexplode(TextAnalysis.toks($"text")).as(Seq("pos", "tok")))
-      .withColumn("nxt", lead($"tok", 1).over(wDoc))
-      .filter($"nxt".isNotNull)
-      .select(concat($"tok", lit(" "), $"nxt").as("bigram"))
+      .withColumn("t", TextAnalysis.toks($"text"))
+      .select(explode(expr("grams2(t)")).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))
       // orderBy+limit compiles to TakeOrderedAndProject — a distributed
@@ -151,21 +151,15 @@ object TextExtras {
     */
   def gramOverlap(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    val leads: Seq[org.apache.spark.sql.Column] =
-      (1 until OverlapN).map(i => lead($"tok", i).over(wDoc))
+    // per-doc distinct gram hashes in-row (r13 native
+    // DistinctGramHashes): drops BOTH the lead-window build's doc_id
+    // exchange and the (doc_id, h) distinct exchange — exploded rows
+    // are already unique per document
+    graft.functions.DistinctGramHashes.register(spark, OverlapN)
     val grams = Tables.documents(spark, d)
-      .select($"doc_id", posexplode(TextAnalysis.toks($"text")).as(Seq("pos", "tok")))
-      // the last lead materializes as a COLUMN first: filtering on the
-      // window expression directly is "window function inside WHERE"
-      .withColumn("lastTok", leads.last)
-      .withColumn("g", concat_ws(" ", ($"tok" +: leads): _*))
-      // concat_ws skips nulls, which would shorten tail grams — require
-      // the full width (the Decontam.gramsOf guard)
-      .filter($"lastTok".isNotNull)
+      .withColumn("t", TextAnalysis.toks($"text"))
       .select($"doc_id",
-        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
+        explode(expr(s"distinct_gram_hashes$OverlapN(t)")).as("h"))
     // per-gram document frequency as a PARTITIONED window count instead
     // of a groupBy(h) + join-back: the window reads the distinct gram
     // stream once on an h exchange and emits gdf in place, where the

@@ -117,6 +117,43 @@ class NativeGramExprSpec extends SparkSpec {
     assert(top2_5 === Some(3L * 11L), s"doc 5 top2 was $top2_5")
   }
 
+  test("Grams / DistinctGrams / PosGramHashes == the SQL spellings") {
+    graft.functions.Grams.register(spark, 2)
+    graft.functions.DistinctGrams.register(spark, 3)
+    graft.functions.PosGramHashes.register(spark, 6)
+    // Grams(2) == transform(sequence, concat_ws(slice)) in order
+    val g2n = toksDf.select($"doc_id", expr("grams2(t)").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val g2s = toksDf.select($"doc_id",
+      when(size($"t") >= 2, expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"))
+        .otherwise(expr("array()").cast("array<string>")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g2n === g2s)
+    // DistinctGrams(3) == array_distinct of the transform spelling
+    val d3n = toksDf.select($"doc_id", expr("distinct_grams3(t)").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val d3s = toksDf.select($"doc_id",
+      when(size($"t") >= 3, array_distinct(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))")))
+        .otherwise(expr("array()").cast("array<string>")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(d3n === d3s)
+    // PosGramHashes(6) == positional conv(substring(md5(gram),1,15),16,10)
+    val p6n = toksDf.select($"doc_id",
+      posexplode(expr("pos_gram_hashes6(t)")).as(Seq("pos", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val p6s = toksDf
+      .select($"doc_id", posexplode(when(size($"t") >= 6, expr(
+        "transform(sequence(1, size(t) - 5), i -> concat_ws(' ', slice(t, i, 6)))"))
+        .otherwise(expr("array()").cast("array<string>"))).as(Seq("pos", "g")))
+      .select($"doc_id", $"pos",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(p6n === p6s)
+    assert(p6n.nonEmpty) // docs 1/6/7 are >= 6 tokens
+  }
+
   test("MinHashSig == posexplode/lead-window/MinHashAgg pipeline (bit-for-bit)") {
     import org.apache.spark.sql.expressions.Window
     val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
